@@ -1,0 +1,351 @@
+"""Aggregating connectors/processors: count, sum, dedup, recombine,
+interval, delta<->cumulative, alert windows, histograms.
+
+Each maps a stateful streaming Go component onto a declarative batch
+form (window functions / groupBy.agg) that Catalyst executes with
+partial (map-side) aggregation — the reference's hand-rolled counter
+maps (``connector/countconnector/counter.go:90-106``) are exactly
+what hash-aggregate partial+final does for free. Streaming variants
+live in ``streaming/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# count / sum connectors
+# ---------------------------------------------------------------------------
+
+def count_connector(
+    df: DataFrame,
+    group_by: list[str],
+    condition: Column | None = None,
+    metric_name: str = "count",
+    require_attrs: bool = True,
+) -> DataFrame:
+    """connector/countconnector/counter.go:38-106 semantics.
+
+    - optional OTTL condition filters rows first;
+    - rows missing any grouped attribute (NULL, no default) are NOT
+      counted (counter.go:70-73) when ``require_attrs``;
+    - output is the delta-sum datapoint set: group tuple + value.
+    """
+    out = df
+    if condition is not None:
+        out = out.filter(condition)
+    if require_attrs and group_by:
+        for g in group_by:
+            out = out.filter(F.col(g).isNotNull())
+    if group_by:
+        return out.groupBy(*group_by).agg(F.count(F.lit(1)).alias(metric_name))
+    return out.agg(F.count(F.lit(1)).alias(metric_name))
+
+
+def sum_connector(
+    df: DataFrame,
+    value: str | Column,
+    group_by: list[str],
+    condition: Column | None = None,
+    metric_name: str = "sum",
+    require_attrs: bool = True,
+) -> DataFrame:
+    """connector/sumconnector: count's shape, summing a numeric attr."""
+    out = df
+    if condition is not None:
+        out = out.filter(condition)
+    v = F.col(value) if isinstance(value, str) else value
+    out = out.filter(v.isNotNull())
+    if require_attrs and group_by:
+        for g in group_by:
+            out = out.filter(F.col(g).isNotNull())
+    if group_by:
+        return out.groupBy(*group_by).agg(F.sum(v).alias(metric_name))
+    return out.agg(F.sum(v).alias(metric_name))
+
+
+# ---------------------------------------------------------------------------
+# logdedup processor (processor/logdedupprocessor/processor.go:85-160)
+# ---------------------------------------------------------------------------
+
+def log_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    interval: str = "10 seconds",
+    count_col: str = "log_count",
+) -> DataFrame:
+    """Within each tumbling ``interval``, collapse identical records
+    (the record-identity hash minus exclude_fields ≙ ``key_cols``) to
+    the FIRST occurrence + count + first/last observed timestamps
+    (aggregator counter.go:27-95 keeps firstObserved/lastObserved).
+
+    One shuffle on (window, key); map-side partial agg shrinks
+    duplicates before the exchange, so at 100 TB the shuffle carries
+    ~distinct keys, not raw rows.
+    """
+    t = F.col(ts_col)
+    win = F.window(t, interval)
+    keep_first = F.struct(t.alias("__ts"), F.struct(*[F.col(c) for c in df.columns]).alias("row"))
+    agg = (
+        df.groupBy(win.alias("window"), *key_cols)
+        .agg(
+            F.min(keep_first).alias("__first"),
+            F.count(F.lit(1)).alias(count_col),
+            F.min(t).alias("first_observed_ts"),
+            F.max(t).alias("last_observed_ts"),
+        )
+    )
+    # re-expand the kept-first record's non-key columns
+    other = [c for c in df.columns if c not in key_cols]
+    sel = (
+        [F.col("window.start").alias("window_start")]
+        + [F.col(c) for c in key_cols]
+        + [F.col(f"__first.row.{c}").alias(c) for c in other]
+        + [F.col(count_col), F.col("first_observed_ts"), F.col("last_observed_ts")]
+    )
+    return agg.select(*sel)
+
+
+# ---------------------------------------------------------------------------
+# recombine (transformer/recombine/transformer.go:25-53,101-195)
+# multiline / sessionization via prefix-sum group ids
+# ---------------------------------------------------------------------------
+
+def recombine(
+    df: DataFrame,
+    source_cols: list[str],
+    order_col: str,
+    is_first_entry: Column,
+    combine_col: str = "text",
+    combine_with: str = "\n",
+    max_batch_size: int | None = None,
+) -> DataFrame:
+    """Group consecutive rows per source into one combined row.
+
+    Batch form of the stanza recombine operator: within each source
+    (default log.file.path; for transcripts: conv_id), ordered by
+    ``order_col``, a running sum over ``is_first_entry`` assigns the
+    group id; then groupBy(group) concatenates ``combine_col`` with
+    ``combine_with`` in order and keeps the first row's metadata.
+
+    The window + groupBy share the same partitioning key, so Catalyst
+    plans ONE shuffle for both.
+    """
+    w = W.partitionBy(*source_cols).orderBy(order_col)
+    first_int = F.when(is_first_entry, 1).otherwise(0)
+    grouped = df.withColumn("__grp", F.sum(first_int).over(w))
+    if max_batch_size:
+        # flush groups larger than max_batch_size (config max_batch_size=1000):
+        # sub-split the group every max_batch_size rows
+        wg = W.partitionBy(*source_cols, "__grp").orderBy(order_col)
+        grouped = grouped.withColumn(
+            "__grp_part", ((F.row_number().over(wg) - 1) / max_batch_size).cast("long")
+        )
+        group_keys = source_cols + ["__grp", "__grp_part"]
+    else:
+        group_keys = source_cols + ["__grp"]
+
+    other = [c for c in df.columns if c not in source_cols and c != combine_col]
+    ordered_pair = F.struct(F.col(order_col).alias("__o"), F.col(combine_col).alias("v"))
+    meta_pair = F.struct(F.col(order_col).alias("__o"), F.struct(*[F.col(c) for c in other]).alias("row"))
+    agg = (
+        grouped.groupBy(*group_keys)
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(ordered_pair)), lambda s: s["v"]),
+                combine_with,
+            ).alias(combine_col),
+            F.min(meta_pair).alias("__meta"),
+            F.count(F.lit(1)).alias("recombined_count"),
+        )
+    )
+    sel = (
+        [F.col(c) for c in source_cols]
+        + [F.col(f"__meta.row.{c}").alias(c) for c in other]
+        + [F.col(combine_col), F.col("recombined_count")]
+    )
+    return agg.select(*sel)
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization (groupbytrace / session-window analog):
+    new session when ts - lag(ts) > gap. Returns df + session_id."""
+    gap_sec = _interval_seconds(gap)
+    w = W.partitionBy(*key_cols).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = (
+        prev.isNull()
+        | (F.col(ts_col).cast("long") - prev.cast("long") > gap_sec)
+    ).cast("int")
+    return df.withColumn("session_seq", F.sum(new_sess).over(w)).withColumn(
+        "session_id",
+        F.concat_ws("#", *[F.col(c) for c in key_cols], F.col("session_seq")),
+    )
+
+
+def _interval_seconds(s: str) -> int:
+    num, unit = s.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    return int(num) * mult
+
+
+# ---------------------------------------------------------------------------
+# interval processor (processor/intervalprocessor/processor.go:72-150)
+# ---------------------------------------------------------------------------
+
+def interval_last(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    interval: str = "60 seconds",
+) -> DataFrame:
+    """Collapse to last-datapoint-per-interval per stream key."""
+    win = F.window(F.col(ts_col), interval)
+    w = W.partitionBy(win, *key_cols).orderBy(F.col(ts_col).desc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# delta <-> cumulative <-> rate
+# ---------------------------------------------------------------------------
+
+def delta_to_cumulative(
+    df: DataFrame, stream_cols: list[str], value_col: str, ts_col: str = "ts", out_col: str | None = None
+) -> DataFrame:
+    """Running sum per stream (processor/deltatocumulativeprocessor)."""
+    w = (
+        W.partitionBy(*stream_cols)
+        .orderBy(ts_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return df.withColumn(out_col or f"{value_col}_cumulative", F.sum(value_col).over(w))
+
+
+def cumulative_to_delta(
+    df: DataFrame, stream_cols: list[str], value_col: str, ts_col: str = "ts", out_col: str | None = None
+) -> DataFrame:
+    """value - lag(value) per stream
+    (cumulativetodeltaprocessor/internal/tracking/tracker.go:153-158;
+    first point in a stream has no reference -> NULL/dropped)."""
+    w = W.partitionBy(*stream_cols).orderBy(ts_col)
+    return df.withColumn(out_col or f"{value_col}_delta", F.col(value_col) - F.lag(value_col).over(w))
+
+
+def delta_to_rate(
+    df: DataFrame, value_col: str, start_ts_col: str, ts_col: str = "ts", out_col: str = "rate"
+) -> DataFrame:
+    """delta / (ts - start_ts) seconds (deltatorateprocessor/processor.go:55-64)."""
+    dur = F.col(ts_col).cast("double") - F.col(start_ts_col).cast("double")
+    return df.withColumn(out_col, F.when(dur > 0, F.col(value_col) / dur))
+
+
+# ---------------------------------------------------------------------------
+# groupbyattrs (processor/groupbyattrsprocessor/processor.go:63-100)
+# ---------------------------------------------------------------------------
+
+def group_by_attrs(df: DataFrame, promote: list[str], resource_col: str = "resource") -> DataFrame:
+    """Move listed attribute columns into the resource struct (re-key).
+
+    Grouping under the new resource is physical-only in Spark —
+    partitioned writes / later groupBys pick it up; no shuffle here.
+    """
+    existing = (
+        [F.col(f"{resource_col}.{f.name}") for f in df.schema[resource_col].dataType.fields]
+        if resource_col in df.columns
+        else []
+    )
+    new_res = F.struct(*existing, *[F.col(c).alias(c) for c in promote])
+    return df.withColumn(resource_col, new_res).drop(*promote)
+
+
+# ---------------------------------------------------------------------------
+# alertsgen connector (fork-specific; connector/alertsgenconnector)
+# ---------------------------------------------------------------------------
+
+def alert_windows(
+    df: DataFrame,
+    group_by: list[str],
+    ts_col: str = "ts",
+    window: str = "5 seconds",
+    slide: str | None = None,
+    exprs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Sliding/tumbling window aggregation per rule group
+    (alertsgenconnector/rules.go:61-139: avg/rate/count/quantile over a
+    5 s window grouped by labels)."""
+    win = F.window(F.col(ts_col), window, slide or window)
+    exprs = exprs or {"value_count": F.count(F.lit(1))}
+    aggs = [c.alias(name) for name, c in exprs.items()]
+    return (
+        df.groupBy(win.alias("w"), *group_by)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_by,
+            *[F.col(name) for name in exprs],
+        )
+    )
+
+
+def alert_rule(
+    windowed: DataFrame,
+    metric_col: str,
+    threshold: float,
+    comparison: str = ">",
+    for_windows: int = 1,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Threshold + `for:` persistence: fire when the comparison holds
+    for ``for_windows`` consecutive windows (rules.go `for:` duration).
+    Batch form: count consecutive breaching windows with a run-id
+    (window_start - rank * window_len groups consecutive runs)."""
+    ops = {">": Column.__gt__, ">=": Column.__ge__, "<": Column.__lt__, "<=": Column.__le__, "==": Column.__eq__}
+    breach = ops[comparison](F.col(metric_col), F.lit(threshold))
+    gb = group_by or []
+    df = windowed.withColumn("__breach", breach)
+    if for_windows <= 1:
+        return df.filter(F.col("__breach")).drop("__breach")
+    w = W.partitionBy(*gb).orderBy("window_start")
+    df = df.withColumn("__rn", F.row_number().over(w))
+    # consecutive-breach run id: rn - rank-within-breaches
+    wb = W.partitionBy(*gb, "__breach").orderBy("window_start")
+    df = df.withColumn("__runid", F.col("__rn") - F.row_number().over(wb))
+    wrun = W.partitionBy(*gb, "__breach", "__runid").orderBy("window_start")
+    df = df.withColumn("__streak", F.row_number().over(wrun))
+    return (
+        df.filter(F.col("__breach") & (F.col("__streak") >= for_windows))
+        .drop("__breach", "__rn", "__runid", "__streak")
+    )
+
+
+# ---------------------------------------------------------------------------
+# spanmetrics-style histogram (connector/spanmetricsconnector)
+# ---------------------------------------------------------------------------
+
+def explicit_histogram(
+    df: DataFrame,
+    value_col: str,
+    bounds: list[float],
+    group_by: list[str],
+) -> DataFrame:
+    """Explicit-bucket histogram: bucket index per row (width_bucket
+    semantics over explicit bounds), then count per (group, bucket).
+    Bucket i covers value <= bounds[i]; last bucket = +Inf."""
+    v = F.col(value_col)
+    idx: Column = F.lit(len(bounds))
+    for i in range(len(bounds) - 1, -1, -1):
+        idx = F.when(v <= F.lit(bounds[i]), F.lit(i)).otherwise(idx)
+    return (
+        df.withColumn("bucket_idx", idx)
+        .groupBy(*group_by, "bucket_idx")
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )

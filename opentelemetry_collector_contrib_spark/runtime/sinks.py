@@ -1,0 +1,46 @@
+"""Sink writers: the fileexporter / per-pipeline-exporter analog.
+
+Reference semantics: fileexporter writes JSON-lines/proto with
+rotation and ``group_by`` resource-attribute path templating
+(``exporter/fileexporter/config.go:53-88``, grouping_file_exporter.go)
+— i.e. per-group files. The Spark-native form is a partitioned
+columnar write: ``df.write.partitionBy(group_cols)``.
+
+On a real cluster these are Iceberg tables (atomic snapshot commits =
+exactly-once, replacing the reference's sync-vs-async emitter
+data-loss tradeoff, adapter/factory.go:21-27). The sandbox has no
+Iceberg jars, so the writer targets partitioned parquet with dynamic
+partition overwrite — the same idempotent per-partition commit
+contract, minus the catalog.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Idempotent partitioned write (dynamic overwrite: re-running a
+    stage replaces exactly the partitions it produced — resume-safe)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        writer = df.write.mode(mode).format(fmt)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def sink_path(root: str, sink: str) -> str:
+    return os.path.join(root, f"sink={sink}")

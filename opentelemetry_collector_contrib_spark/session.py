@@ -1,0 +1,65 @@
+"""SparkSession builder tuned for the log pipeline.
+
+Scale posture: these configs are chosen so the same code runs on a
+1000-executor cluster against ~100 TB. On the sandbox we run
+``local[N]`` (single JVM); the knobs that matter at both scales:
+
+- AQE on (runtime coalescing, skew-join splitting) — the reference has
+  per-file worker parallelism and never sees shuffle skew; we do, so we
+  lean on AQE plus explicit salting (see operators/route.py).
+- shuffle partitions ~ 2-4x total cores (AQE coalesces down).
+- Arrow enabled: every Python-side op is a vectorized pandas UDF.
+- UTC session timezone so results compare bit-exactly vs the DuckDB
+  oracle and vs the Go reference (which is ns-UTC throughout).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "otel-contrib-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, else *).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # ~cores for local mode; a real cluster submit overrides this.
+        n = os.cpu_count() or 8
+        if master.startswith("local["):
+            body = master[len("local[") : -1]
+            if body.isdigit():
+                n = int(body)
+        shuffle_partitions = max(8, n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # parquet writes: snappy is the cluster default; keep it explicit
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
