@@ -1,0 +1,99 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "pipeline_turns_per_sec": <throughput>}
+
+The flagship entry is the full parse→enrich→route→aggregate transcript
+pipeline (the reference's testbed scenario analog: fixed-size synthetic
+load, throughput measured end to end, sent==received asserted). The
+remaining entries are the operator queries from the registry forced
+with a noop sink (full execution, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from opentelemetry_collector_contrib_spark.plans import queries as Q
+from opentelemetry_collector_contrib_spark.plans.pipeline import run_pipeline, write_pipeline
+from opentelemetry_collector_contrib_spark.session import get_spark
+from opentelemetry_collector_contrib_spark.sources.transcripts import generate_transcripts
+
+# registry queries benchmarked at sf dir (row-heavy ones use noop sink)
+BENCH_QUERIES = [
+    "route_connector",
+    "json_parser",
+    "log_dedup",
+    "delta_to_cumulative",
+    "sessionize",
+    "recombine",
+    "enrich_chained",
+    "tail_sampler",
+    "pricing_summary",
+]
+
+PIPELINE_CONVS = 30_000  # ~600k turns; comparable to sf0.1 lineitem
+
+
+def force(df) -> int:
+    """Execute fully without collecting rows driver-side."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+
+    times: dict[str, float] = {}
+
+    # --- flagship pipeline throughput (turns/sec) -----------------------
+    out_dir = tempfile.mkdtemp(prefix="bench-pipeline-")
+    try:
+        t0 = time.time()
+        transcripts = generate_transcripts(spark, n_convs=PIPELINE_CONVS)
+        out = run_pipeline(spark, transcripts)
+        counts = write_pipeline(out, out_dir, write_metrics=False)
+        pipeline_sec = time.time() - t0
+        total_turns = sum(counts.values())
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    times["pipeline"] = round(pipeline_sec, 3)
+
+    # --- operator queries over the sf dir -------------------------------
+    for name in BENCH_QUERIES:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "log-pipeline headline suite (flagship transcript pipeline + operator queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "pipeline_turns": total_turns,
+                "pipeline_turns_per_sec": round(total_turns / pipeline_sec, 1),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -181,10 +181,11 @@ def sessionize(
     gap_sec = _interval_seconds(gap)
     w = W.partitionBy(*key_cols).orderBy(ts_col)
     prev = F.lag(F.col(ts_col)).over(w)
-    new_sess = (
-        prev.isNull()
-        | (F.col(ts_col).cast("long") - prev.cast("long") > gap_sec)
-    ).cast("int")
+    # cast via TIMESTAMP first: parquet TIMESTAMP_NTZ has no direct
+    # long cast (session tz is pinned UTC so the epoch is unambiguous)
+    cur_s = F.col(ts_col).cast("timestamp").cast("long")
+    prev_s = prev.cast("timestamp").cast("long")
+    new_sess = (prev.isNull() | (cur_s - prev_s > gap_sec)).cast("int")
     return df.withColumn("session_seq", F.sum(new_sess).over(w)).withColumn(
         "session_id",
         F.concat_ws("#", *[F.col(c) for c in key_cols], F.col("session_seq")),
