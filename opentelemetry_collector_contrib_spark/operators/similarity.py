@@ -1,0 +1,218 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring how a 100 TB pipeline would actually run:
+
+- ``brute_force_topk``: exact cosine top-k via a broadcast join of the
+  (small) query set against the corpus. Correctness baseline; O(n*q).
+- ``lsh_bucket_topk``: random-hyperplane LSH — bucket by the sign
+  pattern of projections onto deterministic pseudo-random hyperplanes,
+  equi-join on bucket, rank within bucket. The shuffle carries
+  O(n) bucket rows, never n^2; recall is tunable via planes/tables.
+- ``ivf_topk``: IVF-style coarse quantization — assign every vector to
+  its nearest centroid (broadcast centroids), search only within the
+  probe cell(s).
+
+Determinism: hyperplane components derive from md5 hex (char >= '8'
+=> +1 else -1) so Spark and any oracle engine generate bit-identical
+hyperplanes; cosine math is double-precision with fixed (sequential)
+summation order in both engines; outputs round to 6 dp with id
+tiebreaks.
+
+Everything is pure Column exprs (zip_with/aggregate run in codegen).
+A Pandas-UDF matmul variant would batch better on very wide vectors,
+but at 64-dim the JVM expression path wins (no Arrow transfer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product (portable across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors of every query vector (self-join when
+    queries IS corpus; excludes self-matches by id).
+
+    The query side broadcasts; ranking ties break on (rounded sim desc,
+    neighbor id asc) so results are engine-portable.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), round_dp))
+        .drop("__qv", "__cv")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def hyperplane(plane_idx: int, dim: int) -> Column:
+    """Deterministic pseudo-random ±1 hyperplane: component d of plane
+    p = +1 iff first hex char of md5('p-d') >= '8'. Portable: any
+    engine with md5 generates the same plane."""
+    return F.array(
+        *[
+            F.when(
+                F.substring(F.md5(F.lit(f"{plane_idx}-{d}")), 1, 1) >= "8", F.lit(1.0)
+            ).otherwise(F.lit(-1.0))
+            for d in range(dim)
+        ]
+    )
+
+
+def lsh_bucket(vec: Column, num_planes: int, dim: int) -> Column:
+    """Sign-pattern bucket key: one bit per hyperplane."""
+    bits = [
+        F.when(dot(vec, hyperplane(p, dim)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(num_planes)
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 6,
+    k: int = 1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket.
+
+    2^num_planes buckets; expected bucket size n/2^planes. The join is
+    a bucket equi-join (shuffle O(n)); within-bucket ranking is exact
+    cosine. Vectors alone in their bucket yield no row (the recall
+    trade; add more tables to recover).
+    """
+    withb = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+    a = withb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "bucket"
+    )
+    b = withb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "bucket"
+    )
+    scored = (
+        a.join(b, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), round_dp))
+        .drop("__qv", "__cv", "bucket")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style coarse quantization
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast join +
+    rank). Centroids are a tiny DataFrame (id, vector) — e.g. a sampled
+    or k-means'd codebook computed offline."""
+    c = centroids.select(
+        F.col(centroid_id), F.col(centroid_vec).alias("__ctr")
+    )
+    scored = corpus.join(F.broadcast(c)).withColumn(
+        # round 12dp so cell assignment is identical across engines
+        "__sim", F.round(cosine(F.col(vec_col), F.col("__ctr")), 12)
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col(centroid_id).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", "__ctr")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Search within each vector's own IVF cell (nprobe=1): assign,
+    then bucket-join on the cell id, rank by exact cosine."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "centroid_id"
+    )
+    scored = (
+        a.join(b, on="centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), round_dp))
+        .drop("__qv", "__cv", "centroid_id")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -1,0 +1,381 @@
+"""Text analysis + document deduplication for training-data pipelines.
+
+These extend the log-pipeline engine with the operations a large-scale
+corpus pipeline needs over a ``documents`` table: exact dedup,
+MinHash+LSH / SimHash / n-gram-Jaccard near-dup, language id, quality
+scoring, token counting, and fingerprinting.
+
+Design rules (all enforced here):
+- Everything is pure Column expressions (JVM, whole-stage codegen) —
+  no Python in the hot path.
+- Cross-engine-deterministic hashing uses md5 over identical strings
+  (same hex in Spark / DuckDB / the Go reference's ecosystem), so every
+  operator here is oracle-checkable. Engine-native hashes (xxhash64)
+  are used only where the result never leaves Spark.
+- Scale posture: shingle explosion is the only row-multiplying step;
+  candidate generation always goes through a bucket equi-join (LSH
+  bands / shingle buckets), never a cross join, so the shuffle carries
+  O(shingles), not O(n^2). At 100 TB add a frequency cap on bucket size
+  (``max_bucket``) to bound worst-case pair blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling
+# ---------------------------------------------------------------------------
+
+# BPE-ish token regex: letter runs, digit runs, single punctuation
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens (empty-safe)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles as an array<string>.
+
+    Pure array exprs: sequence over token positions + slice + join —
+    no explode until the caller chooses to.
+    """
+    toks = tokens_col(text)
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def token_count(text: Column, pattern: str = TOKEN_REGEX) -> Column:
+    """BPE-ish token count via regexp matching (vectorized, JVM)."""
+    return F.coalesce(F.regexp_count(text, F.lit(pattern)), F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, hash_col: str = "content_hash"
+) -> DataFrame:
+    """Collapse byte-identical documents: md5(text) groupBy, keep the
+    smallest id (deterministic representative), count duplicates.
+
+    One shuffle on the hash; map-side partial agg collapses dup-heavy
+    partitions before the exchange.
+    """
+    h = F.md5(F.col(text_col))
+    return (
+        df.withColumn(hash_col, h)
+        .groupBy(hash_col)
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (shingle bucket join — no cross join)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    Plan: shingle-explode -> self equi-join on shingle (candidate pairs
+    share >=1 shingle; Jaccard>0 requires that, so this is lossless) ->
+    count common shingles per pair -> jaccard = common/(|A|+|B|-common).
+    ``max_bucket`` drops shingles shared by more than that many docs
+    (stopword shingles), the standard frequency cap that bounds the
+    candidate blowup at corpus scale.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6dp.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(word_shingles(F.col(text_col), n)).alias("n_sh"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    if max_bucket is not None:
+        wc = W.partitionBy("shingle")
+        sh = sh.withColumn("__bucket", F.count(F.lit(1)).over(wc)).filter(
+            F.col("__bucket") <= max_bucket
+        ).drop("__bucket")
+    a = sh.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"), "shingle")
+    b = sh.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"), "shingle")
+    pairs = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (banding) near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per document.
+
+    h_j(doc) = min over shingles of md5(j || ':' || shingle) — the
+    md5-string min is a valid min-hash family and is engine-portable
+    (same hex in any system). Output: one row per (doc, j, minhash).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j")
+    hashed = sh.select("doc", "shingle", j).withColumn(
+        "h", F.md5(F.concat_ws(":", F.col("j"), F.col("shingle")))
+    )
+    return hashed.groupBy("doc", "j").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Band the signature (j // rows_per_band) and bucket-join: docs
+    agreeing on ALL rows of any band become a candidate pair.
+
+    bands*rows_per_band must equal num_hashes. The equi-join on
+    (band, band_key) is the scale path: shuffle carries doc-band rows,
+    never doc x doc.
+    """
+    banded = (
+        signatures.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("j", "minhash"))),
+                        lambda s: s["minhash"],
+                    ),
+                    "|",
+                )
+            ).alias("band_key")
+        )
+    )
+    a = banded.select(F.col("doc").alias("id_a"), "band", "band_key")
+    b = banded.select(F.col("doc").alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    verify_threshold: float | None = 0.2,
+) -> DataFrame:
+    """Full MinHash→LSH→(optional exact-Jaccard verify) near-dup pass.
+
+    Returns candidate (id_a, id_b) pairs, with exact ``jaccard`` when
+    ``verify_threshold`` is set (candidates are few, so the verify join
+    is cheap relative to candidate generation).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    if verify_threshold is None:
+        return cands
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    out = (
+        cands.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, md5-derived — engine-portable)
+# ---------------------------------------------------------------------------
+
+def simhash32(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """32-bit SimHash per document as a bit-string column.
+
+    Bit b of token t = high bit of hex digit b of md5(t) (char >= '8').
+    Document bit b = majority vote over token occurrences (+1/-1).
+    Pure exprs: explode tokens, 32 conditional sums, concat — one
+    shuffle on the doc id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens_col(F.col(text_col))).alias("t")
+    ).withColumn("h", F.md5(F.col("t")))
+    aggs = [
+        F.sum(
+            F.when(F.substring(F.col("h"), b + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(32)
+    ]
+    summed = toks.groupBy("doc").agg(*aggs)
+    bits = F.concat(
+        *[F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(32)]
+    )
+    return summed.select(F.col("doc").alias(id_col), bits.alias(out_col))
+
+
+def hamming_distance_bits(a: Column, b: Column) -> Column:
+    """Hamming distance between equal-length bit-strings (zip_with)."""
+    return F.aggregate(
+        F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+# ---------------------------------------------------------------------------
+# language id (stopword-profile scoring)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que"],
+    "es": ["el", "los", "una", "es", "y", "que", "para"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和"],
+}
+
+
+def lang_scores(text: Column, markers: dict[str, list[str]] | None = None) -> dict[str, Column]:
+    """Per-language marker-token hit counts (n-gram-free heuristic)."""
+    markers = markers or LANG_MARKERS
+    toks = tokens_col(F.lower(text))
+    out = {}
+    for lang, words in markers.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(
+    text: Column,
+    markers: dict[str, list[str]] | None = None,
+    default: str = "und",
+    min_hits: int = 1,
+) -> Column:
+    """argmax over language scores; deterministic tiebreak = dict order
+    (first language wins ties); below ``min_hits`` -> ``default``."""
+    scores = lang_scores(text, markers)
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs]) if len(langs) > 1 else scores[langs[0]]
+    chain = None
+    for lang in langs:
+        cond = scores[lang] == best
+        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
+    return F.when(best >= min_hits, chain).otherwise(F.lit(default))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ["the", "a", "an", "of", "and", "is", "to", "in", "it", "that"]
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / repetition features, all pure
+    exprs. Round ratios 6dp so downstream comparisons are portable."""
+    toks = tokens_col(text)
+    n_toks = F.size(toks)
+    n_chars = F.length(text)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    n_distinct = F.size(F.array_distinct(toks))
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_toks.cast("bigint"),
+        "avg_token_len": F.round(F.when(n_toks > 0, tok_chars / n_toks), 6),
+        "stopword_ratio": F.round(F.when(n_toks > 0, n_stop / n_toks).otherwise(0.0), 6),
+        "alpha_ratio": F.round(F.when(n_chars > 0, n_alpha / n_chars).otherwise(0.0), 6),
+        "punct_ratio": F.round(F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0), 6),
+        "distinct_token_ratio": F.round(
+            F.when(n_toks > 0, n_distinct / n_toks).otherwise(0.0), 6
+        ),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score (heuristic): penalize too-short,
+    low-alpha, high-punct, highly repetitive docs."""
+    f = quality_features(text)
+    score = (
+        0.3 * F.least(f["n_tokens"] / F.lit(20.0), F.lit(1.0))
+        + 0.3 * f["alpha_ratio"]
+        + 0.2 * f["distinct_token_ratio"]
+        + 0.2 * (1 - F.least(f["punct_ratio"] * 4, F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (winnowing-lite)
+# ---------------------------------------------------------------------------
+
+def doc_fingerprint(
+    text: Column, shingle_n: int = 4, out_bits: int = 16
+) -> Column:
+    """Content fingerprint = min md5 over word n-gram shingles
+    (the winnowing global-min special case: robust to reordering of
+    surrounding text, portable across engines). Returns the first
+    ``out_bits`` hex chars."""
+    sh = word_shingles(text, shingle_n)
+    return F.substring(
+        F.array_min(F.transform(sh, lambda s: F.md5(s))), 1, out_bits
+    )

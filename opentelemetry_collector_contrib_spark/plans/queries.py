@@ -557,7 +557,7 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": q_pricing_summary,
 }
 
-ORACLES: dict[str, str] = {
+_ORACLES_BASE: dict[str, str] = {
     "count_connector": O_COUNT,
     "sum_connector": O_SUM,
     "route_connector": O_ROUTE,
@@ -579,3 +579,12 @@ ORACLES: dict[str, str] = {
     "attributes_processor": O_ATTRS,
     "pricing_summary": O_PRICING,
 }
+
+ORACLES: dict[str, str] = dict(_ORACLES_BASE)
+
+# merge the corpus / training-data registry (dedup, similarity,
+# text analysis, multimodal) — imported late to avoid a cycle
+from .queries_corpus import CORPUS_ORACLES, CORPUS_QUERIES  # noqa: E402
+
+QUERIES.update(CORPUS_QUERIES)
+ORACLES.update(CORPUS_ORACLES)
