@@ -43,8 +43,10 @@ def _col(c: Column | str) -> Column:
 
 def regex_named_groups(pattern: str) -> dict[str, int]:
     """Named capture groups -> group index (the parser requires >=1,
-    config.go:70-75)."""
-    groups = _re.compile(pattern).groupindex
+    config.go:70-75). Accepts Go/Java ``(?<name>...)`` and Python
+    ``(?P<name>...)`` syntax."""
+    py_pattern = _re.sub(r"\(\?<([A-Za-z][A-Za-z0-9_]*)>", r"(?P<\1>", pattern)
+    groups = _re.compile(py_pattern).groupindex
     if not groups:
         raise ValueError("regex_parser requires at least one named capture group")
     return dict(groups)
@@ -67,11 +69,12 @@ def regex_parser(
     the operator's ``if`` (non-matching rows pass through untouched).
     """
     src = _col(parse_from)
-    matched = src.rlike(pattern)
+    java_pattern = pattern.replace("(?P<", "(?<")
+    matched = src.rlike(java_pattern)
     gate = matched if if_expr is None else (if_expr & matched)
     out = df
     for name, idx in regex_named_groups(pattern).items():
-        val = F.when(gate, F.regexp_extract(src, pattern, idx))
+        val = F.when(gate, F.regexp_extract(src, java_pattern, idx))
         out = out.withColumn(prefix + name, val)
     if mark_ok:
         out = out.withColumn(mark_ok, gate if if_expr is not None else matched)

@@ -588,3 +588,8 @@ from .queries_corpus import CORPUS_ORACLES, CORPUS_QUERIES  # noqa: E402
 
 QUERIES.update(CORPUS_QUERIES)
 ORACLES.update(CORPUS_ORACLES)
+
+from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+
+QUERIES.update(EXT_QUERIES)
+ORACLES.update(EXT_ORACLES)

@@ -52,6 +52,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # cap GC threads: with local[32] on a shared box, G1's
+        # cores-scaled GC workers contend with task threads and
+        # *reduce* throughput (measured 2x slowdown); 8 GC threads
+        # restores scaling. On a real cluster executors are smaller
+        # (4-8 cores) and the JVM default is already in this range.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:ParallelGCThreads=8"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # parquet writes: snappy is the cluster default; keep it explicit
