@@ -34,13 +34,15 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # ~cores for local mode; a real cluster submit overrides this.
+        # 4x cores: fine-grained reduce tasks pack the cores through
+        # stage tails; AQE coalesces the small ones back. A real
+        # cluster submit overrides this.
         n = os.cpu_count() or 8
         if master.startswith("local["):
             body = master[len("local[") : -1]
             if body.isdigit():
                 n = int(body)
-        shuffle_partitions = max(8, n)
+        shuffle_partitions = max(8, 4 * n)
 
     builder = (
         SparkSession.builder.master(master)
@@ -66,6 +68,11 @@ def get_spark(
         # parquet writes: snappy is the cluster default; keep it explicit
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    # env passthrough: SPARK_EXTRA_CONF="k=v;k2=v2" (bench/submit knobs)
+    env_conf = os.environ.get("SPARK_EXTRA_CONF", "")
+    for pair in filter(None, env_conf.split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

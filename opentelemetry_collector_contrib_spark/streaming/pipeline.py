@@ -1,0 +1,166 @@
+"""Structured Streaming variants of the pipeline operators.
+
+The reference is a push-based streaming engine; its batch semantics
+are the special case. Here it's inverted: the batch operators
+(operators/*) are primary and these wrappers re-express the stateful
+ones on Structured Streaming:
+
+- windowed counts with watermark  ≙ countconnector's periodic flush
+  (``connector/countconnector/counter.go:116-127``)
+- streaming dedup within watermark ≙ logdedupprocessor's interval
+  aggregator (``processor/logdedupprocessor/processor.go:85-160``)
+- routed foreachBatch fan-out      ≙ routingconnector + fileexporter
+- stateful session recombine       ≙ stanza recombine's
+  is_first/force_flush state machine
+  (``transformer/recombine/transformer.go:101-195``) via
+  ``applyInPandasWithState``
+
+Scale posture: state stores shard by the groupBy key (conv_id) —
+identical key layout to the batch salted writes; watermarks bound
+state size; ``availableNow`` triggers make every streaming query
+testable in batch-ish mode (and are how a backfill would run).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_windowed_counts(
+    stream: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """countconnector in streaming form: tumbling-window counts with a
+    watermark so late data past ``watermark`` is dropped and state is
+    evicted (the reference keeps a per-interval counter map and flushes
+    on a ticker — the watermark is the declarative version)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n")
+    )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """logdedup streaming form: keep the first record per key within
+    the watermark horizon (dropDuplicates maintains keyed state and
+    evicts it at the watermark — the interval flush analog)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def routed_foreach_batch_writer(root: str, route_col: str = "route"):
+    """routingconnector fan-out as a foreachBatch sink: each microbatch
+    is routed once (when() chain computed upstream) and written with
+    partitionBy(route) — one job per microbatch, per-sink dirs, exactly
+    the fileexporter group_by layout."""
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.write.mode("append")
+            .partitionBy(route_col)
+            .parquet(f"{root}/routed_stream")
+        )
+
+    return write
+
+
+# ---------------------------------------------------------------------------
+# stateful session recombine (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+RECOMBINE_OUTPUT_SCHEMA = (
+    "conv_id string, session_start long, text string, n_turns int, closed boolean"
+)
+RECOMBINE_STATE_SCHEMA = "start long, parts array<string>, n int"
+
+
+def _recombine_fn(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-conv state machine: accumulate turn texts; a row with
+    is_first=true closes the open session and starts a new one; a
+    processing-time timeout force-flushes (force_flush_timeout
+    semantics, recombine config.go:40-58)."""
+    (conv_id,) = key
+    if state.hasTimedOut:
+        start, parts, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "session_start": [start],
+                "text": ["\n".join(parts)],
+                "n_turns": [n],
+                "closed": [False],
+            }
+        )
+        return
+
+    out_rows: list[dict] = []
+    if state.exists:
+        start, parts, n = state.get
+        parts = list(parts)
+    else:
+        start, parts, n = None, [], 0
+
+    rows: list[tuple[int, bool, str]] = []
+    for pdf in pdf_iter:
+        for _, r in pdf.iterrows():
+            rows.append((int(r["turn_idx"]), bool(r["is_first"]), str(r["text"])))
+    rows.sort(key=lambda t: t[0])
+
+    for turn_idx, is_first, text in rows:
+        if is_first and parts:
+            out_rows.append(
+                {
+                    "conv_id": conv_id,
+                    "session_start": start,
+                    "text": "\n".join(parts),
+                    "n_turns": n,
+                    "closed": True,
+                }
+            )
+            parts, n, start = [], 0, None
+        if start is None:
+            start = turn_idx
+        parts.append(text)
+        n += 1
+
+    state.update((start if start is not None else 0, parts, n))
+    state.setTimeoutDuration(30_000)
+    if out_rows:
+        yield pd.DataFrame(out_rows)
+
+
+def stream_recombine(stream: DataFrame) -> DataFrame:
+    """Stateful multiline/session reassembly over a transcript stream.
+
+    Input needs (conv_id, turn_idx, text, is_first). Emits one row per
+    closed session; open sessions flush on processing-time timeout
+    (closed=false) — force_flush_timeout semantics.
+    """
+    return (
+        stream.groupBy("conv_id")
+        .applyInPandasWithState(
+            _recombine_fn,
+            outputStructType=RECOMBINE_OUTPUT_SCHEMA,
+            stateStructType=RECOMBINE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

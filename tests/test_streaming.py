@@ -1,0 +1,121 @@
+"""Streaming variants: windowed counts, dedup, routed fan-out sinks,
+stateful session recombine — all driven with file sources +
+availableNow triggers (deterministic, batch-testable)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+    routed_foreach_batch_writer,
+    stream_dedup,
+    stream_recombine,
+    stream_windowed_counts,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 00:00:05", 1, "click"),
+        (2, "2024-01-01 00:00:20", 1, "click"),
+        (3, "2024-01-01 00:00:40", 2, "view"),
+        (4, "2024-01-01 00:01:10", 1, "error"),
+        (5, "2024-01-01 00:01:30", 2, "view"),
+        (6, "2024-01-01 00:00:50", 1, "click"),  # dup key (user,type,min 0)
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, e) for i, ts, u, e in rows],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(d)
+    return d
+
+
+def _run(stream_df, tmp_path, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ck-{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_windowed_counts(spark, events_dir, tmp_path):
+    stream = spark.readStream.schema(SCHEMA).parquet(events_dir)
+    counts = stream_windowed_counts(stream, ["event_type"], window="1 minute")
+    # complete mode: append would only emit watermark-closed windows,
+    # and a single availableNow batch never advances past its own data
+    _run(counts, tmp_path, "wc", mode="complete")
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n"]
+        for r in spark.sql("select * from wc").collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == 3
+    assert got[("2024-01-01 00:00:00", "view")] == 1
+    assert got[("2024-01-01 00:01:00", "error")] == 1
+
+
+def test_stream_dedup(spark, events_dir, tmp_path):
+    stream = spark.readStream.schema(SCHEMA).parquet(events_dir)
+    withmin = stream.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+    dd = stream_dedup(withmin, ["user_id", "event_type", "minute"])
+    _run(dd, tmp_path, "dd")
+    rows = spark.sql("select * from dd").collect()
+    # keys: (1,click,m0) x3 -> 1, (2,view,m0), (1,error,m1), (2,view,m1)
+    assert len(rows) == 4
+
+
+def test_stream_routed_fanout(spark, events_dir, tmp_path):
+    stream = spark.readStream.schema(SCHEMA).parquet(events_dir)
+    routed = stream.withColumn(
+        "route",
+        F.when(F.col("event_type") == "error", "alerts").otherwise("default"),
+    )
+    out_root = str(tmp_path / "sinks")
+    q = (
+        routed.writeStream.foreachBatch(routed_foreach_batch_writer(out_root))
+        .option("checkpointLocation", str(tmp_path / "ck-fb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(f"{out_root}/routed_stream")
+    counts = {r["route"]: r["n"] for r in back.groupBy("route").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"alerts": 1, "default": 5}
+    assert os.path.isdir(f"{out_root}/routed_stream/route=alerts")
+
+
+def test_stream_recombine_sessions(spark, tmp_path):
+    rows = [
+        ("c1", 0, "hello", True),
+        ("c1", 1, "  continued", False),
+        ("c1", 2, "again", True),      # closes session [0,1]
+        ("c1", 3, "  more", False),
+        ("c2", 0, "solo", True),
+        ("c2", 1, "  tail", False),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string, is_first boolean")
+    d = str(tmp_path / "conv")
+    df.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, text string, is_first boolean"
+    ).parquet(d)
+    out = stream_recombine(stream)
+    _run(out, tmp_path, "rc")
+    rows = spark.sql("select * from rc").collect()
+    closed = {(r["conv_id"], r["session_start"]): r for r in rows if r["closed"]}
+    # the first c1 session closes when turn 2 (is_first) arrives
+    assert ("c1", 0) in closed
+    assert closed[("c1", 0)]["text"] == "hello\n  continued"
+    assert closed[("c1", 0)]["n_turns"] == 2

@@ -32,6 +32,13 @@ def run_job(input_dir: str, master: str, out: str, cores: int | None = None) -> 
     the faithful N-vs-4N emulation (an N-executor cluster has N*c cores
     total, not N*c task threads on shared silicon)."""
     env = dict(os.environ)
+    # parse-heavy pipeline on a small fixture: fine scan splits keep
+    # every core busy through the map stage tail (at 100 TB the default
+    # 128 MB split gives the same tasks-per-core ratio)
+    env["SPARK_EXTRA_CONF"] = (
+        "spark.sql.files.maxPartitionBytes=16777216;"
+        "spark.sql.files.openCostInBytes=1048576"
+    )
     cmd = [
         sys.executable,
         os.path.join(REPO, "jobs", "pipeline.py"),
@@ -41,25 +48,35 @@ def run_job(input_dir: str, master: str, out: str, cores: int | None = None) -> 
     ]
     if cores is not None:
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    res = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1800)
-    for line in res.stdout.splitlines():
-        if line.startswith('{"turns"'):
-            return json.loads(line)
-    raise RuntimeError(f"no JSON from {master}: {res.stdout[-2000:]}\n{res.stderr[-2000:]}")
+    best: dict | None = None
+    for _ in range(3):  # this box's CPU speed swings ±40%; take best-of-3
+        res = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1800)
+        got = None
+        for line in res.stdout.splitlines():
+            if line.startswith('{"turns"'):
+                got = json.loads(line)
+        if got is None:
+            raise RuntimeError(
+                f"no JSON from {master}: {res.stdout[-2000:]}\n{res.stderr[-2000:]}"
+            )
+        if best is None or got["sec"] < best["sec"]:
+            best = got
+    return best
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=600_000)
     ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--input", help="reuse an already-materialized input dir")
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
     work = tempfile.mkdtemp(prefix="scaling-")
-    input_dir = os.path.join(work, "input")
+    input_dir = args.input or os.path.join(work, "input")
 
     # materialize the input once (generator itself is not benchmarked)
-    gen = subprocess.run(
+    gen = None if args.input else subprocess.run(
         [
             sys.executable, "-c",
             f"""
@@ -75,7 +92,8 @@ print("rows:", spark.read.parquet({input_dir!r}).count())
         ],
         capture_output=True, text=True, timeout=1800,
     )
-    print(gen.stdout.strip().splitlines()[-1] if gen.stdout.strip() else gen.stderr[-500:])
+    if gen is not None:
+        print(gen.stdout.strip().splitlines()[-1] if gen.stdout.strip() else gen.stderr[-500:])
 
     results = {}
     for cores in sorted({n, n4, 32}):
