@@ -36,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--salt", type=int, default=16)
     ap.add_argument("--master", default=None)
     ap.add_argument("--run-id", default="run-0")
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="skip ts-day partitions already committed in _lineage.jsonl",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="transcript-pipeline", master=args.master)
@@ -47,7 +51,9 @@ def main(argv: list[str] | None = None) -> int:
 
     lineage = LineageLog(args.out, run_id=args.run_id)
     out = run_pipeline(spark, transcripts)
-    counts = write_pipeline(out, args.out, salt_buckets=args.salt, lineage=lineage)
+    counts = write_pipeline(
+        out, args.out, salt_buckets=args.salt, lineage=lineage, resume=args.resume
+    )
 
     elapsed = time.time() - t0
     total = sum(counts.values())

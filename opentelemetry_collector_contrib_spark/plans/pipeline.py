@@ -147,6 +147,7 @@ def write_pipeline(
     salt_buckets: int = 16,
     lineage: LineageLog | None = None,
     write_metrics: bool = True,
+    resume: bool = False,
 ) -> dict[str, int]:
     """Fan out to per-sink tables: ONE partitioned write job
     (partitionBy(route, ts_day)).
@@ -168,8 +169,15 @@ def write_pipeline(
     from pyspark.sql import Observation
 
     spark = out.routed.sparkSession
+    routed = out.routed
+    if resume and lineage is not None:
+        # checkpoint.Save analog: skip ts-day partitions a previous run
+        # already committed (their sink dirs are intact — dynamic
+        # overwrite only touches days this run writes)
+        routed = routed.withColumn("__day", F.col("ts_day").cast("string"))
+        routed = lineage.filter_pending(routed, "sink_day", "__day").drop("__day")
     salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets))
-    balanced = out.routed.repartition(F.col("route"), F.col("ts_day"), salt)
+    balanced = routed.repartition(F.col("route"), F.col("ts_day"), salt)
     obs = Observation("sink_counts")
     observed = balanced.observe(
         obs,
@@ -188,4 +196,10 @@ def write_pipeline(
     if lineage is not None:
         for sink, n in sorted(counts.items()):
             lineage.record("write_sinks", sink, n)
+        if sum(counts.values()) > 0:
+            # per-day completion records (the resume unit). Read back
+            # from the written sink: columnar scan of one column, no
+            # lineage recompute.
+            back = spark.read.parquet(sink_path(root, "routed"))
+            lineage.record_counts("sink_day", back, "ts_day")
     return counts
