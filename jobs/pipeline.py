@@ -40,6 +40,11 @@ def main(argv: list[str] | None = None) -> int:
         "--resume", action="store_true",
         help="skip ts-day partitions already committed in _lineage.jsonl",
     )
+    ap.add_argument(
+        "--sink", choices=["parquet", "noop"], default="parquet",
+        help="noop: execute the full pipeline but skip the disk sink "
+        "(isolates compute scaling from single-box disk/memory bandwidth)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="transcript-pipeline", master=args.master)
@@ -51,11 +56,41 @@ def main(argv: list[str] | None = None) -> int:
 
     lineage = LineageLog(args.out, run_id=args.run_id)
     out = run_pipeline(spark, transcripts)
-    counts = write_pipeline(
-        out, args.out, salt_buckets=args.salt, lineage=lineage, resume=args.resume
-    )
+    t_plan = time.time()
+    if args.sink == "noop":
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from opentelemetry_collector_contrib_spark.plans.pipeline import ROUTE_NAMES
+
+        obs = Observation("sink_counts")
+        observed = out.routed.observe(
+            obs,
+            *[F.count(F.when(F.col("route") == r, F.lit(1))).alias(r) for r in ROUTE_NAMES],
+        )
+        observed.write.format("noop").mode("overwrite").save()
+        counts = {r: n for r, n in obs.get.items() if n > 0}
+    else:
+        counts = write_pipeline(
+            out, args.out, salt_buckets=args.salt, lineage=lineage, resume=args.resume,
+            write_metrics=False,
+        )
+    t_write = time.time()
+    from opentelemetry_collector_contrib_spark.plans.pipeline import aggregate_counts
+    from opentelemetry_collector_contrib_spark.runtime.sinks import sink_path, write_sink
+
+    if args.sink == "parquet" and sum(counts.values()) > 0:
+        back = spark.read.parquet(sink_path(args.out, "routed"))
+        for name, agg in aggregate_counts(back).items():
+            write_sink(agg, sink_path(args.out, f"metric_{name}"))
+    t_metrics = time.time()
 
     elapsed = time.time() - t0
+    phases = {
+        "plan": round(t_plan - t0, 2),
+        "write": round(t_write - t_plan, 2),
+        "metrics": round(t_metrics - t_write, 2),
+    }
     total = sum(counts.values())
     print(
         json.dumps(
@@ -64,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
                 "per_sink": counts,
                 "sec": round(elapsed, 2),
                 "turns_per_sec": round(total / elapsed, 1),
+                "phases": phases,
                 "out": args.out,
             }
         )
