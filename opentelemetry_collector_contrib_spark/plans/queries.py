@@ -593,3 +593,8 @@ from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 ORACLES.update(EXT_ORACLES)
+
+from .queries_streaming import STREAMING_ORACLES, STREAMING_QUERIES  # noqa: E402
+
+QUERIES.update(STREAMING_QUERIES)
+ORACLES.update(STREAMING_ORACLES)

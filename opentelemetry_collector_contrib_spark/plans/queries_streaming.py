@@ -1,0 +1,91 @@
+"""Streaming-operator queries for the driver contract.
+
+Each runs a REAL Structured Streaming query over the sf-dir events
+parquet (readStream + availableNow trigger + memory sink), then
+returns the materialized result as a DataFrame. The batch SQL oracle
+checks that streaming execution produces exactly the batch-equivalent
+answer — the reference testbed's streaming sent==received invariant,
+upgraded to full value equality.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.pipeline import stream_dedup, stream_windowed_counts
+from .queries import QueryFn
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _as_dir(path: str) -> str:
+    """Streaming file sources need a directory; the testdata tables are
+    single parquet files — expose one via a symlinked temp dir."""
+    if os.path.isdir(path):
+        return path
+    d = tempfile.mkdtemp(prefix="streamsrc-")
+    os.symlink(path, os.path.join(d, os.path.basename(path)))
+    return d
+
+
+def _run_stream(df, name: str) -> None:
+    ck = tempfile.mkdtemp(prefix=f"ck-{name}-")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name.endswith("_agg") else "append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(_as_dir(f"{sf_dir}/events.parquet"))
+    counts = stream_windowed_counts(
+        stream, ["event_type"], ts_col="ts", window="1 hour", watermark="2 hours"
+    )
+    _run_stream(counts, "swc_agg")
+    return spark.table("swc_agg").select("window_start", "event_type", "n")
+
+
+O_STREAM_COUNTS = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(_as_dir(f"{sf_dir}/events.parquet"))
+    keyed = stream.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    dd = stream_dedup(keyed, ["user_id", "event_type", "hour"], watermark="2 hours")
+    _run_stream(dd, "sdd")
+    # dropDuplicates keeps an arbitrary row per key; only the key set
+    # is deterministic — that's what the oracle checks
+    return spark.table("sdd").select("hour", "user_id", "event_type")
+
+
+O_STREAM_DEDUP = """
+SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id, event_type
+FROM events
+"""
+
+
+STREAMING_QUERIES: dict[str, QueryFn] = {
+    "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_dedup": q_stream_dedup,
+}
+
+STREAMING_ORACLES: dict[str, str] = {
+    "stream_windowed_counts": O_STREAM_COUNTS,
+    "stream_dedup": O_STREAM_DEDUP,
+}
