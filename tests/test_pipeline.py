@@ -75,6 +75,36 @@ def test_severity_parse(routed):
     assert tool_err.filter(F.col("severity_number") != 17).count() == 0
 
 
+def test_per_turn_text_equality_under_stable_ordering(spark, routed, tmp_path):
+    """North-star per-row invariant: after the full parse→enrich→route
+    →salted partitioned write, re-establishing order with a window over
+    (conv_id, turn_idx) reproduces the reference stream exactly —
+    every turn's text is byte-identical and the per-conversation
+    ordering is dense and gapless."""
+    from pyspark.sql import Window as W
+
+    root = str(tmp_path / "ordered")
+    write_pipeline(routed, root, salt_buckets=4, write_metrics=False)
+    back = spark.read.parquet(f"{root}/sink=routed")
+
+    reference = generate_transcripts(spark, n_convs=100, partitions=4).select(
+        "conv_id", "turn_idx", F.col("text").alias("ref_text")
+    )
+    joined = back.join(reference, on=["conv_id", "turn_idx"], how="full")
+    # every (conv_id, turn_idx) exists on both sides with identical text
+    assert joined.filter(F.col("text").isNull() | F.col("ref_text").isNull()).count() == 0
+    assert joined.filter(F.col("text") != F.col("ref_text")).count() == 0
+
+    # stable ordering: row_number over (conv_id, turn_idx) == turn_idx+1
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    mis = (
+        back.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") != F.col("turn_idx") + 1)
+        .count()
+    )
+    assert mis == 0
+
+
 def test_write_and_lineage_resume(spark, routed, tmp_path):
     root = str(tmp_path / "out")
     lineage = LineageLog(root, run_id="t1")
