@@ -244,7 +244,11 @@ def delta_to_rate(
     df: DataFrame, value_col: str, start_ts_col: str, ts_col: str = "ts", out_col: str = "rate"
 ) -> DataFrame:
     """delta / (ts - start_ts) seconds (deltatorateprocessor/processor.go:55-64)."""
-    dur = F.col(ts_col).cast("double") - F.col(start_ts_col).cast("double")
+    # NTZ-safe: cast through TIMESTAMP before numeric (session tz UTC)
+    dur = (
+        F.col(ts_col).cast("timestamp").cast("double")
+        - F.col(start_ts_col).cast("timestamp").cast("double")
+    )
     return df.withColumn(out_col, F.when(dur > 0, F.col(value_col) / dur))
 
 

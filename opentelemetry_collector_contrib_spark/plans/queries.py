@@ -598,3 +598,8 @@ from .queries_streaming import STREAMING_ORACLES, STREAMING_QUERIES  # noqa: E40
 
 QUERIES.update(STREAMING_QUERIES)
 ORACLES.update(STREAMING_ORACLES)
+
+from .queries_ext2 import EXT2_ORACLES, EXT2_QUERIES  # noqa: E402
+
+QUERIES.update(EXT2_QUERIES)
+ORACLES.update(EXT2_ORACLES)

@@ -1,0 +1,186 @@
+"""Second extension batch: exceptions connector, rate conversion,
+JSON-array parsing, range enrichment, groupbyattrs, ratio filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregate import delta_to_rate, group_by_attrs
+from ..operators.enrich import range_enrich
+from ..operators.filter import stanza_filter
+from ..operators.parse import jsonarray_parser
+from .queries import QueryFn, load
+
+
+# ---------------------------------------------------------------------------
+# exceptions connector: explode span events, count exception-like ones
+# (connector/exceptionsconnector: explode(events) + filter + groupBy)
+# ---------------------------------------------------------------------------
+
+def q_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # synthesize a span-events array from the row, then explode —
+    # the exceptionsconnector shape over nested event lists
+    events_arr = F.array(
+        F.struct(F.lit("start").alias("name"), F.col("event_type").alias("kind")),
+        F.struct(
+            F.when(F.col("event_type") == "error", "exception").otherwise("ok").alias("name"),
+            F.col("event_type").alias("kind"),
+        ),
+    )
+    exploded = ev.withColumn("ev", F.explode(events_arr))
+    return (
+        exploded.filter(F.col("ev.name") == "exception")
+        .groupBy(F.col("ev.kind").alias("kind"))
+        .agg(F.count(F.lit(1)).alias("exception_count"))
+        .orderBy("kind")
+    )
+
+
+O_EXCEPTIONS = """
+SELECT event_type AS kind, count(*) AS exception_count
+FROM events WHERE event_type = 'error'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# deltatorate processor: delta / (ts - start_ts)
+# ---------------------------------------------------------------------------
+
+def q_delta_to_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    with_start = ev.withColumn(
+        "start_ts", F.col("ts") - F.expr("INTERVAL 10 SECONDS")
+    )
+    out = delta_to_rate(with_start, "value", "start_ts", ts_col="ts", out_col="rate")
+    return out.select("event_id", F.round("rate", 6).alias("rate"))
+
+
+O_RATE = """
+SELECT event_id, round(value / 10.0, 6) AS rate FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# jsonarray parser: JSON array -> typed rows
+# ---------------------------------------------------------------------------
+
+def q_jsonarray_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    arr_json = F.format_string(
+        '[{"i": %d}, {"i": %d}]', F.col("user_id"), F.col("user_id") + 1
+    )
+    parsed = jsonarray_parser(
+        ev.withColumn("body", arr_json), "struct<i: bigint>", parse_from="body"
+    )
+    return parsed.select(
+        "event_id",
+        F.aggregate(
+            F.col("parsed"), F.lit(0).cast("bigint"), lambda acc, x: acc + x["i"]
+        ).alias("i_sum"),
+        F.size("parsed").alias("n_elems"),
+    )
+
+
+O_JSONARRAY = """
+SELECT event_id, user_id * 2 + 1 AS i_sum, 2 AS n_elems FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# range enrich (geoip block-lookup shape)
+# ---------------------------------------------------------------------------
+
+def q_range_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    bands = spark.createDataFrame(
+        [(-100000.0, 0.0, "debt"), (0.0, 5000.0, "low"), (5000.0, 100000.0, "high")],
+        "lo double, hi double, band string",
+    )
+    enriched = range_enrich(
+        cust, bands, F.col("c_acctbal"), "lo", "hi", how="left"
+    )
+    return (
+        enriched.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("band")
+    )
+
+
+O_RANGE_ENRICH = """
+SELECT band, count(*) AS n_customers FROM (
+  SELECT CASE
+    WHEN c_acctbal >= -100000 AND c_acctbal <= 0 THEN 'debt'
+    WHEN c_acctbal > 0 AND c_acctbal <= 5000 THEN 'low'
+    WHEN c_acctbal > 5000 AND c_acctbal <= 100000 THEN 'high'
+    END AS band
+  FROM customer
+) GROUP BY band ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# groupbyattrs: promote attrs into the resource struct, flatten out
+# ---------------------------------------------------------------------------
+
+def q_groupbyattrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    with_res = ev.withColumn("resource", F.struct(F.lit("events").alias("source")))
+    out = group_by_attrs(with_res, ["event_type", "user_id"])
+    return out.select(
+        "event_id",
+        F.col("resource.source").alias("res_source"),
+        F.col("resource.event_type").alias("res_event_type"),
+        F.col("resource.user_id").alias("res_user_id"),
+    )
+
+
+O_GROUPBYATTRS = """
+SELECT event_id, 'events' AS res_source, event_type AS res_event_type,
+       user_id AS res_user_id
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# stanza filter with drop ratio (deterministic md5 bucket)
+# ---------------------------------------------------------------------------
+
+def q_stanza_filter_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stanza filter drops matching rows with probability dropCutoff/1000
+    (transformer/filter/transformer.go:18-55) — deterministically: the
+    md5-hex bucket of the row id replaces rand()."""
+    ev = load(spark, sf_dir, "events")
+    bucket_hex = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+    # drop 'view' rows whose bucket < '80' (≈50% of them)
+    drop = (F.col("event_type") == "view") & (bucket_hex < "80")
+    return ev.filter(~drop).select("event_id", "event_type")
+
+
+O_STANZA_FILTER = """
+SELECT event_id, event_type FROM events
+WHERE NOT (event_type = 'view'
+           AND substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '80')
+"""
+
+
+EXT2_QUERIES: dict[str, QueryFn] = {
+    "exceptions_connector": q_exceptions,
+    "delta_to_rate": q_delta_to_rate,
+    "jsonarray_parser": q_jsonarray_parser,
+    "range_enrich": q_range_enrich,
+    "groupbyattrs": q_groupbyattrs,
+    "stanza_filter_ratio": q_stanza_filter_ratio,
+}
+
+EXT2_ORACLES: dict[str, str] = {
+    "exceptions_connector": O_EXCEPTIONS,
+    "delta_to_rate": O_RATE,
+    "jsonarray_parser": O_JSONARRAY,
+    "range_enrich": O_RANGE_ENRICH,
+    "groupbyattrs": O_GROUPBYATTRS,
+    "stanza_filter_ratio": O_STANZA_FILTER,
+}
