@@ -50,6 +50,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def normalized(vec: Column) -> Column:
+    """Unit-normalize once per vector so the per-pair work is a single
+    dot product (norms are NOT recomputed per pair — at n^2 pairs that
+    is a 3x saving on the dominant cost)."""
+    n = norm(vec)
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -65,14 +73,14 @@ def brute_force_topk(
     neighbor id asc) so results are engine-portable.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"), normalized(F.col(vec_col)).alias("__qv")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"), normalized(F.col(vec_col)).alias("__cv")
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), round_dp))
+        .withColumn("cosine_sim", F.round(dot(F.col("__qv"), F.col("__cv")), round_dp))
         .drop("__qv", "__cv")
     )
     w = W.partitionBy("query_id").orderBy(
@@ -130,19 +138,19 @@ def lsh_bucket_topk(
     """
     withb = corpus.select(
         F.col(id_col),
-        F.col(vec_col),
+        normalized(F.col(vec_col)).alias("__nv"),
         lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
     )
     a = withb.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "bucket"
+        F.col(id_col).alias("query_id"), F.col("__nv").alias("__qv"), "bucket"
     )
     b = withb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "bucket"
+        F.col(id_col).alias("neighbor_id"), F.col("__nv").alias("__cv"), "bucket"
     )
     scored = (
         a.join(b, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), round_dp))
+        .withColumn("cosine_sim", F.round(dot(F.col("__qv"), F.col("__cv")), round_dp))
         .drop("__qv", "__cv", "bucket")
     )
     w = W.partitionBy("query_id").orderBy(
@@ -197,15 +205,19 @@ def ivf_topk(
     then bucket-join on the cell id, rank by exact cosine."""
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     a = assigned.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "centroid_id"
+        F.col(id_col).alias("query_id"),
+        normalized(F.col(vec_col)).alias("__qv"),
+        "centroid_id",
     )
     b = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "centroid_id"
+        F.col(id_col).alias("neighbor_id"),
+        normalized(F.col(vec_col)).alias("__cv"),
+        "centroid_id",
     )
     scored = (
         a.join(b, on="centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), round_dp))
+        .withColumn("cosine_sim", F.round(dot(F.col("__qv"), F.col("__cv")), round_dp))
         .drop("__qv", "__cv", "centroid_id")
     )
     w = W.partitionBy("query_id").orderBy(

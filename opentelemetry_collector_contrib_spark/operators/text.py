@@ -37,13 +37,12 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
-def word_shingles(text: Column, n: int) -> Column:
-    """Distinct word n-gram shingles as an array<string>.
-
-    Pure array exprs: sequence over token positions + slice + join —
-    no explode until the caller chooses to.
-    """
-    toks = tokens_col(text)
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a materialized token-array
+    column. IMPORTANT: pass a plain column reference — a computed
+    expression captured inside the transform lambda is re-evaluated
+    per element (O(len^2) per row; measured 4x slowdown on the
+    shingle-join pipeline)."""
     k = F.size(toks) - (n - 1)
     return F.array_distinct(
         F.when(
@@ -54,6 +53,12 @@ def word_shingles(text: Column, n: int) -> Column:
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles as an array<string> (see
+    shingles_from_tokens for the hot-path variant)."""
+    return shingles_from_tokens(tokens_col(text), n)
 
 
 def token_count(text: Column, pattern: str = TOKEN_REGEX) -> Column:
@@ -108,10 +113,14 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6dp.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.size(word_shingles(F.col(text_col), n)).alias("n_sh"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    sh = (
+        df.select(F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("__toks"))
+        .select("doc", shingles_from_tokens(F.col("__toks"), n).alias("__sh"))
+        .select(
+            "doc",
+            F.size("__sh").alias("n_sh"),
+            F.explode("__sh").alias("shingle"),
+        )
     )
     if max_bucket is not None:
         wc = W.partitionBy("shingle")

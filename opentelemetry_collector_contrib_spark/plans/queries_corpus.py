@@ -47,22 +47,30 @@ FROM documents GROUP BY 1
 # n-gram Jaccard near-dup
 # ---------------------------------------------------------------------------
 
-_JAC_N, _JAC_T = 3, 0.12
+_JAC_N, _JAC_T, _JAC_CAP = 3, 0.12, 64
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-capped: shingles shared by > _JAC_CAP docs are dropped
+    from candidate generation AND from the similarity numerator (the
+    standard stopword-shingle cap — without it a small shared
+    vocabulary makes the bucket join quadratic; measured 389s -> <10s
+    at sf0.1). The oracle mirrors the cap exactly."""
     docs = load(spark, sf_dir, "documents")
-    return TX.ngram_jaccard_pairs(docs, "doc_id", "text", n=_JAC_N, threshold=_JAC_T)
+    return TX.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=_JAC_N, threshold=_JAC_T, max_bucket=_JAC_CAP
+    )
 
 
 O_NGRAM_JACCARD = f"""
 WITH sh AS (SELECT doc_id, {_duck_shingles(_JAC_N)} AS shingles FROM documents),
-ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh)
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+rare AS (SELECT * FROM ex QUALIFY count(*) OVER (PARTITION BY shingle) <= {_JAC_CAP})
 SELECT id_a, id_b, jaccard FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          round(count(*)::DOUBLE /
                (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard
-  FROM ex a JOIN ex b USING (shingle)
+  FROM rare a JOIN rare b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 ) WHERE jaccard >= {_JAC_T}
