@@ -40,6 +40,14 @@ BENCH_QUERIES = [
     "enrich_chained",
     "tail_sampler",
     "pricing_summary",
+    # corpus / training-data ops
+    "exact_dedup",
+    "minhash_lsh",
+    "ngram_jaccard",
+    "simhash",
+    "text_quality",
+    "ivf_ann",
+    "lsh_ann",
 ]
 
 PIPELINE_CONVS = 30_000  # ~600k turns; comparable to sf0.1 lineitem
