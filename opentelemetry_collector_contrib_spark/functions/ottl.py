@@ -183,6 +183,49 @@ def URL(c: Column) -> Column:
     )
 
 
+def UserAgent(c: Column) -> Column:
+    """UserAgent(ua) -> semconv map (func_user_agent.go uses the
+    uap-go library; here: rule-based extraction of the major families
+    — a pure-expr approximation covering the common agents)."""
+    name = (
+        F.when(c.rlike(r"Edg/"), "Edge")
+        .when(c.rlike(r"OPR/|Opera"), "Opera")
+        .when(c.rlike(r"Chrome/"), "Chrome")
+        .when(c.rlike(r"Firefox/"), "Firefox")
+        .when(c.rlike(r"Safari/") & c.rlike(r"Version/"), "Safari")
+        .when(c.rlike(r"^curl/"), "curl")
+        .when(c.rlike(r"^python-requests/"), "python-requests")
+        .otherwise("Other")
+    )
+    def ext(pat: str) -> Column:
+        # regexp_extract yields '' (not NULL) on no-match — nullif so
+        # coalesce falls through correctly
+        return F.nullif(F.regexp_extract(c, pat, 1), F.lit(""))
+
+    version = F.coalesce(
+        ext(r"Edg/([\d.]+)"),
+        F.when(name == "Chrome", ext(r"Chrome/([\d.]+)")),
+        F.when(name == "Firefox", ext(r"Firefox/([\d.]+)")),
+        F.when(name == "Safari", ext(r"Version/([\d.]+)")),
+        ext(r"^[\w-]+/([\d.]+)"),
+    )
+    os_name = (
+        F.when(c.rlike(r"Windows NT"), "Windows")
+        .when(c.rlike(r"Android"), "Android")
+        .when(c.rlike(r"iPhone|iPad"), "iOS")
+        .when(c.rlike(r"Mac OS X"), "macOS")
+        .when(c.rlike(r"Linux"), "Linux")
+        .otherwise("Other")
+    )
+    return F.map_from_arrays(
+        F.array(
+            F.lit("user_agent.name"), F.lit("user_agent.version"), F.lit("os.name"),
+            F.lit("user_agent.original"),
+        ),
+        F.array(name, version, os_name, c),
+    )
+
+
 def Decode(c: Column, encoding: str) -> Column:
     if encoding == "base64":
         return F.unbase64(c)
@@ -513,7 +556,7 @@ OTTL_CONVERTERS = {
     "HasPrefix": HasPrefix, "HasSuffix": HasSuffix, "Len": Len, "String": String,
     "IsMatch": IsMatch, "ExtractPatterns": ExtractPatterns, "ParseJSON": ParseJSON,
     "ParseCSV": ParseCSV, "ParseKeyValue": ParseKeyValue, "ParseInt": ParseInt,
-    "URL": URL, "Decode": Decode, "Base64Decode": Base64Decode,
+    "URL": URL, "UserAgent": UserAgent, "Decode": Decode, "Base64Decode": Base64Decode,
     "Time": Time, "FormatTime": FormatTime, "TruncateTime": TruncateTime,
     "Duration": Duration, "UnixSeconds": UnixSeconds, "UnixMilli": UnixMilli,
     "UnixMicro": UnixMicro, "UnixNano": UnixNano, "Unix": Unix,

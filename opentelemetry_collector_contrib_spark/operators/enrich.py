@@ -62,6 +62,35 @@ def stamp_constants(df: DataFrame, attrs: dict[str, object]) -> DataFrame:
     return out
 
 
+def ip_to_long(ip: Column) -> Column:
+    """Dotted-quad IPv4 -> int64 (geoip block-lookup key). Pure exprs;
+    invalid addresses -> NULL."""
+    parts = F.split(ip, r"\.")
+    valid = ip.rlike(r"^(\d{1,3}\.){3}\d{1,3}$")
+    octet = lambda i: F.element_at(parts, i).try_cast("long")  # noqa: E731
+    val = (
+        octet(1) * 16777216 + octet(2) * 65536 + octet(3) * 256 + octet(4)
+    )
+    ok = valid
+    for i in range(1, 5):
+        ok = ok & (octet(i) <= 255)
+    return F.when(ok, val)
+
+
+def geoip_enrich(
+    fact: DataFrame,
+    blocks: DataFrame,
+    ip_col: str = "client_ip",
+    lo_col: str = "ip_lo",
+    hi_col: str = "ip_hi",
+) -> DataFrame:
+    """geoipprocessor analog: IP -> block range lookup. Converts the
+    dotted quad to int64 and range-joins against broadcast CIDR
+    blocks (pre-expanded to [lo, hi] int ranges offline)."""
+    keyed = fact.withColumn("__ip_long", ip_to_long(F.col(ip_col)))
+    return range_enrich(keyed, blocks, "__ip_long", lo_col, hi_col).drop("__ip_long")
+
+
 def range_enrich(
     fact: DataFrame,
     dim: DataFrame,

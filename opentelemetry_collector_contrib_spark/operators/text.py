@@ -362,13 +362,29 @@ def quality_features(text: Column) -> dict[str, Column]:
 
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality score (heuristic): penalize too-short,
-    low-alpha, high-punct, highly repetitive docs."""
-    f = quality_features(text)
+    low-alpha, high-punct, highly repetitive docs.
+
+    Computed from RAW ratios (not the 6dp-rounded features): weighting
+    pre-rounded components lands sums exactly on round-half boundaries
+    where engines disagree; raw doubles round identically.
+    """
+    toks = tokens_col(text)
+    n_toks = F.size(toks)
+    n_chars = F.length(text)
+    alpha_ratio = F.when(
+        n_chars > 0, F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / n_chars
+    ).otherwise(0.0)
+    punct_ratio = F.when(
+        n_chars > 0, F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")) / n_chars
+    ).otherwise(0.0)
+    distinct_ratio = F.when(
+        n_toks > 0, F.size(F.array_distinct(toks)) / n_toks
+    ).otherwise(0.0)
     score = (
-        0.3 * F.least(f["n_tokens"] / F.lit(20.0), F.lit(1.0))
-        + 0.3 * f["alpha_ratio"]
-        + 0.2 * f["distinct_token_ratio"]
-        + 0.2 * (1 - F.least(f["punct_ratio"] * 4, F.lit(1.0)))
+        0.3 * F.least(n_toks / F.lit(20.0), F.lit(1.0))
+        + 0.3 * alpha_ratio
+        + 0.2 * distinct_ratio
+        + 0.2 * (1 - F.least(punct_ratio * 4, F.lit(1.0)))
     )
     return F.round(score, 6)
 

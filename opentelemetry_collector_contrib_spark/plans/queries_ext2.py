@@ -167,7 +167,36 @@ WHERE NOT (event_type = 'view'
 """
 
 
+# ---------------------------------------------------------------------------
+# composite quality score over documents
+# ---------------------------------------------------------------------------
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+_DUCK_TOKS2 = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+
+O_QUALITY_SCORE = f"""
+SELECT doc_id, round(
+  0.3 * least(len({_DUCK_TOKS2}) / 20.0, 1.0)
+  + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+           / length(text))
+  + 0.2 * (len(list_distinct({_DUCK_TOKS2}))::DOUBLE / len({_DUCK_TOKS2}))
+  + 0.2 * (1 - least((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                      / length(text)) * 4, 1.0))
+, 6) AS quality
+FROM documents
+"""
+
+
 EXT2_QUERIES: dict[str, QueryFn] = {
+    "quality_score": q_quality_score,
     "exceptions_connector": q_exceptions,
     "delta_to_rate": q_delta_to_rate,
     "jsonarray_parser": q_jsonarray_parser,
@@ -177,6 +206,7 @@ EXT2_QUERIES: dict[str, QueryFn] = {
 }
 
 EXT2_ORACLES: dict[str, str] = {
+    "quality_score": O_QUALITY_SCORE,
     "exceptions_connector": O_EXCEPTIONS,
     "delta_to_rate": O_RATE,
     "jsonarray_parser": O_JSONARRAY,

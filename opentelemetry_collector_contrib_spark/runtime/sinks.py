@@ -44,3 +44,24 @@ def write_sink(
 
 def sink_path(root: str, sink: str) -> str:
     return os.path.join(root, f"sink={sink}")
+
+
+def failover_write(
+    df: DataFrame,
+    paths: list[str],
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> str:
+    """failoverconnector semantics (connector/failoverconnector/logs.go:
+    21-25): priority-ordered sinks; on write failure fall through to
+    the next. Driver-side control flow — Spark task retries already
+    handle transient task failures, this covers sink-level outages
+    (bad path/credentials/quota). Returns the path that succeeded."""
+    last_err: Exception | None = None
+    for path in paths:
+        try:
+            write_sink(df, path, partition_by=partition_by, fmt=fmt)
+            return path
+        except Exception as e:  # noqa: BLE001 - any sink failure fails over
+            last_err = e
+    raise RuntimeError(f"all {len(paths)} failover sinks failed") from last_err
