@@ -195,8 +195,42 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# alertsgen quantile rule: exact interpolated percentile per window
+# (alertsgenconnector/rules.go:226-273 quantile expr)
+# ---------------------------------------------------------------------------
+
+def q_alert_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregate import alert_windows
+
+    ev = load(spark, sf_dir, "events")
+    windowed = alert_windows(
+        ev,
+        group_by=["event_type"],
+        ts_col="ts",
+        window="1 hour",
+        exprs={
+            "p50": F.percentile(F.col("value"), F.lit(0.5)),
+            "p90": F.percentile(F.col("value"), F.lit(0.9)),
+        },
+    )
+    return windowed.select(
+        "window_start", "event_type",
+        F.round("p50", 4).alias("p50"), F.round("p90", 4).alias("p90"),
+    )
+
+
+O_ALERT_QUANTILE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       CAST(round(quantile_cont(value, 0.5), 4) AS DOUBLE) AS p50,
+       CAST(round(quantile_cont(value, 0.9), 4) AS DOUBLE) AS p90
+FROM events GROUP BY 1, 2
+"""
+
+
 EXT2_QUERIES: dict[str, QueryFn] = {
     "quality_score": q_quality_score,
+    "alert_quantile": q_alert_quantile,
     "exceptions_connector": q_exceptions,
     "delta_to_rate": q_delta_to_rate,
     "jsonarray_parser": q_jsonarray_parser,
@@ -207,6 +241,7 @@ EXT2_QUERIES: dict[str, QueryFn] = {
 
 EXT2_ORACLES: dict[str, str] = {
     "quality_score": O_QUALITY_SCORE,
+    "alert_quantile": O_ALERT_QUANTILE,
     "exceptions_connector": O_EXCEPTIONS,
     "delta_to_rate": O_RATE,
     "jsonarray_parser": O_JSONARRAY,
