@@ -228,9 +228,50 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# OTTL statement-string compiler end-to-end (EP2: string -> Column)
+# ---------------------------------------------------------------------------
+
+def q_ottl_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ottl_compiler import compile_statements
+
+    ev = load(spark, sf_dir, "events")
+    record = ev.select(
+        "event_id",
+        F.col("props").alias("body"),
+        F.create_map(F.lit("etype"), F.col("event_type")).alias("attributes"),
+        F.when(F.col("event_type") == "error", 17).otherwise(9).alias("severity_number"),
+        F.lit("INFO").alias("severity_text"),
+    )
+    transform = compile_statements(
+        [
+            'set(attributes["hash"], MD5(body))',
+            "truncate_all(attributes, 8)",
+            'set(severity_text, "ERROR") where severity_number >= SEVERITY_NUMBER_ERROR',
+        ]
+    )
+    out = transform(record)
+    return out.select(
+        "event_id",
+        F.element_at("attributes", F.lit("hash")).alias("body_hash8"),
+        F.element_at("attributes", F.lit("etype")).alias("etype"),
+        "severity_text",
+    )
+
+
+O_OTTL_COMPILED = """
+SELECT event_id,
+       substring(md5(props), 1, 8) AS body_hash8,
+       substring(event_type, 1, 8) AS etype,
+       CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END AS severity_text
+FROM events
+"""
+
+
 EXT2_QUERIES: dict[str, QueryFn] = {
     "quality_score": q_quality_score,
     "alert_quantile": q_alert_quantile,
+    "ottl_compiled": q_ottl_compiled,
     "exceptions_connector": q_exceptions,
     "delta_to_rate": q_delta_to_rate,
     "jsonarray_parser": q_jsonarray_parser,
@@ -242,6 +283,7 @@ EXT2_QUERIES: dict[str, QueryFn] = {
 EXT2_ORACLES: dict[str, str] = {
     "quality_score": O_QUALITY_SCORE,
     "alert_quantile": O_ALERT_QUANTILE,
+    "ottl_compiled": O_OTTL_COMPILED,
     "exceptions_connector": O_EXCEPTIONS,
     "delta_to_rate": O_RATE,
     "jsonarray_parser": O_JSONARRAY,
