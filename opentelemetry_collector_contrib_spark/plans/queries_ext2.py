@@ -268,7 +268,49 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# shipping-priority multi-join (general relational capability; the
+# signaltometrics/servicegraph-style join-then-aggregate composed at
+# TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+O_SHIPPING = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
 EXT2_QUERIES: dict[str, QueryFn] = {
+    "shipping_priority": q_shipping_priority,
     "quality_score": q_quality_score,
     "alert_quantile": q_alert_quantile,
     "ottl_compiled": q_ottl_compiled,
@@ -281,6 +323,7 @@ EXT2_QUERIES: dict[str, QueryFn] = {
 }
 
 EXT2_ORACLES: dict[str, str] = {
+    "shipping_priority": O_SHIPPING,
     "quality_score": O_QUALITY_SCORE,
     "alert_quantile": O_ALERT_QUANTILE,
     "ottl_compiled": O_OTTL_COMPILED,

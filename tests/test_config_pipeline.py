@@ -1,0 +1,44 @@
+"""EP3: config dict (collector-YAML analog) → running pipeline, with
+OTTL strings as the transform/filter/route surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.plans.config import build_pipeline
+
+
+def test_config_driven_pipeline(spark):
+    records = spark.createDataFrame(
+        [
+            ("DEBUG noisy internals", 5, {"tool": ""}),
+            ("ERROR payment failed", 17, {"tool": ""}),
+            ("tool call done", 9, {"tool": "search"}),
+            ("hello world", 9, {"tool": ""}),
+        ],
+        "body string, severity_number int, attributes map<string,string>",
+    )
+    role_dim = spark.createDataFrame(
+        [("ERROR payment failed", "critical")], "body string, tier string"
+    )
+    config = {
+        "transform": ['set(attributes["body_hash"], MD5(body))'],
+        "filter": ['IsMatch(body, "^DEBUG")'],
+        "enrich": [{"dim": "role_dim", "on": "body"}],
+        "routes": [
+            {"name": "alerts", "condition": "severity_number >= SEVERITY_NUMBER_WARN"},
+            {"name": "tools", "condition": 'attributes["tool"] != ""'},
+        ],
+        "default_route": "catchall",
+    }
+    out = build_pipeline(config, records, dims={"role_dim": role_dim})
+    rows = {r["body"]: r for r in out.collect()}
+
+    assert "DEBUG noisy internals" not in rows          # filtered
+    assert rows["ERROR payment failed"]["route"] == "alerts"
+    assert rows["ERROR payment failed"]["tier"] == "critical"   # enriched
+    assert rows["tool call done"]["route"] == "tools"
+    assert rows["hello world"]["route"] == "catchall"
+    # transform ran for every surviving row
+    for r in rows.values():
+        assert len(r["attributes"]["body_hash"]) == 32
