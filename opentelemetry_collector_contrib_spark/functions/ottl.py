@@ -241,6 +241,41 @@ def Base64Decode(c: Column) -> Column:  # deprecated alias in reference
 
 
 # ---------------------------------------------------------------------------
+# XML family (func_get_xml.go / func_parse_simplified_xml.go) — Spark's
+# JVM-native xpath_* builtins cover the read-side converters; the
+# insert/convert editors are out of scope (no XML writes in the model)
+# ---------------------------------------------------------------------------
+
+def GetXML(c: Column, xpath: str) -> Column:
+    """GetXML(target, xpath) -> matched nodes' text values as an array
+    (func_get_xml.go returns the matched document fragments; the text
+    view is the load-bearing read path)."""
+    return F.xpath(c, F.lit(xpath))
+
+
+def GetXMLString(c: Column, xpath: str) -> Column:
+    """First match as a string (empty -> '')."""
+    return F.xpath_string(c, F.lit(xpath))
+
+
+def GetXMLInt(c: Column, xpath: str) -> Column:
+    return F.xpath_int(c, F.lit(xpath))
+
+
+def ParseSimplifiedXML(c: Column, fields: dict[str, str]) -> Column:
+    """ParseSimplifiedXML: XML -> map of {key: xpath-extracted value}
+    (func_parse_simplified_xml.go flattens a document into attributes;
+    here the flattening spec is explicit — schema-on-write)."""
+    keys, vals = [], []
+    for k, xp in fields.items():
+        keys.append(F.lit(k))
+        vals.append(F.xpath_string(c, F.lit(xp)))
+    return F.map_filter(
+        F.map_from_arrays(F.array(*keys), F.array(*vals)), lambda k, v: v != ""
+    )
+
+
+# ---------------------------------------------------------------------------
 # time family (helper refs: ottlfuncs/func_time.go, func_duration.go,
 # func_truncate_time.go, func_unix*.go, func_year.go..)
 # ---------------------------------------------------------------------------
@@ -557,6 +592,8 @@ OTTL_CONVERTERS = {
     "IsMatch": IsMatch, "ExtractPatterns": ExtractPatterns, "ParseJSON": ParseJSON,
     "ParseCSV": ParseCSV, "ParseKeyValue": ParseKeyValue, "ParseInt": ParseInt,
     "URL": URL, "UserAgent": UserAgent, "Decode": Decode, "Base64Decode": Base64Decode,
+    "GetXML": GetXML, "GetXMLString": GetXMLString, "GetXMLInt": GetXMLInt,
+    "ParseSimplifiedXML": ParseSimplifiedXML,
     "Time": Time, "FormatTime": FormatTime, "TruncateTime": TruncateTime,
     "Duration": Duration, "UnixSeconds": UnixSeconds, "UnixMilli": UnixMilli,
     "UnixMicro": UnixMicro, "UnixNano": UnixNano, "Unix": Unix,

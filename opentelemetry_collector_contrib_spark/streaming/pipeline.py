@@ -83,6 +83,73 @@ def routed_foreach_batch_writer(root: str, route_col: str = "route"):
 # stateful session recombine (applyInPandasWithState)
 # ---------------------------------------------------------------------------
 
+ALERT_OUTPUT_SCHEMA = (
+    "rule_key string, window_start timestamp, metric double, streak int"
+)
+ALERT_STATE_SCHEMA = "streak int, last_window long"
+
+
+def make_alert_persistence_fn(threshold: float, for_windows: int, window_sec: int):
+    """alertsgen `for:` duration in streaming form: per rule group,
+    count CONSECUTIVE breaching windows in state; emit only once the
+    streak reaches ``for_windows`` (rules.go `for:` persistence +
+    dedup fingerprint semantics). A gap or non-breach resets the
+    streak."""
+
+    def fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        (rule_key,) = key
+        if state.exists:
+            streak, last_window = state.get
+        else:
+            streak, last_window = 0, -1
+
+        rows = []
+        for pdf in pdf_iter:
+            for _, r in pdf.iterrows():
+                rows.append((r["window_start"], float(r["metric"])))
+        rows.sort(key=lambda t: t[0])
+
+        out = []
+        for window_start, metric in rows:
+            epoch = int(window_start.timestamp())
+            breach = metric > threshold
+            consecutive = last_window < 0 or epoch - last_window == window_sec
+            streak = (streak + 1) if (breach and consecutive) else (1 if breach else 0)
+            last_window = epoch
+            if streak >= for_windows:
+                out.append(
+                    {
+                        "rule_key": rule_key,
+                        "window_start": window_start,
+                        "metric": metric,
+                        "streak": streak,
+                    }
+                )
+        state.update((streak, last_window))
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def stream_alert_rule(
+    windowed: DataFrame,
+    threshold: float,
+    for_windows: int,
+    window_sec: int,
+    key_col: str = "rule_key",
+) -> DataFrame:
+    """Stateful streaming threshold rule over pre-windowed metrics
+    (columns: key_col, window_start, metric)."""
+    return windowed.groupBy(key_col).applyInPandasWithState(
+        make_alert_persistence_fn(threshold, for_windows, window_sec),
+        outputStructType=ALERT_OUTPUT_SCHEMA,
+        stateStructType=ALERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 RECOMBINE_OUTPUT_SCHEMA = (
     "conv_id string, session_start long, text string, n_turns int, closed boolean"
 )

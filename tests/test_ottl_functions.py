@@ -183,3 +183,22 @@ def test_registry_is_complete():
     assert len(O.OTTL_CONVERTERS) >= 60
     for name in ["Concat", "ExtractPatterns", "Time", "SHA256", "Int", "Keys"]:
         assert name in O.OTTL_CONVERTERS
+
+
+def test_xml_family(spark):
+    xml = '<log level="warn"><msg>disk low</msg><code>88</code><tag>a</tag><tag>b</tag></log>'
+    df = spark.createDataFrame([(xml,)], "x string")
+    row = df.select(
+        O.GetXMLString(F.col("x"), "/log/msg").alias("msg"),
+        O.GetXMLInt(F.col("x"), "/log/code").alias("code"),
+        O.GetXML(F.col("x"), "/log/tag/text()").alias("tags"),
+        O.GetXMLString(F.col("x"), "/log/@level").alias("level"),
+        O.ParseSimplifiedXML(
+            F.col("x"), {"message": "/log/msg", "missing": "/log/nope"}
+        ).alias("m"),
+    ).collect()[0]
+    assert row["msg"] == "disk low"
+    assert row["code"] == 88
+    assert row["tags"] == ["a", "b"]
+    assert row["level"] == "warn"
+    assert row["m"] == {"message": "disk low"}  # empty matches dropped

@@ -119,3 +119,37 @@ def test_stream_recombine_sessions(spark, tmp_path):
     assert ("c1", 0) in closed
     assert closed[("c1", 0)]["text"] == "hello\n  continued"
     assert closed[("c1", 0)]["n_turns"] == 2
+
+
+def test_stream_alert_for_persistence(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import stream_alert_rule
+
+    # one rule key; windows 60s apart; breaches (>5): w1,w2,w3 then gap
+    rows = [
+        ("r1", "2024-01-01 00:00:00", 9.0),
+        ("r1", "2024-01-01 00:01:00", 8.0),
+        ("r1", "2024-01-01 00:02:00", 7.0),
+        ("r1", "2024-01-01 00:03:00", 1.0),   # streak reset
+        ("r1", "2024-01-01 00:04:00", 9.0),   # streak 1 only -> no fire
+        ("r2", "2024-01-01 00:00:00", 9.0),   # isolated breach
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(rows, "rule_key string, window_start string, metric double")
+    df = df.withColumn("window_start", F.to_timestamp("window_start"))
+    d = str(tmp_path / "alerts-in")
+    df.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(
+        "rule_key string, window_start timestamp, metric double"
+    ).parquet(d)
+    fired = stream_alert_rule(stream, threshold=5.0, for_windows=2, window_sec=60)
+    _run(fired, tmp_path, "alerts")
+    got = [
+        (r["rule_key"], str(r["window_start"]), r["streak"])
+        for r in spark.sql("select * from alerts order by window_start").collect()
+    ]
+    # fires at windows 2 and 3 of the first streak only
+    assert got == [
+        ("r1", "2024-01-01 00:01:00", 2),
+        ("r1", "2024-01-01 00:02:00", 3),
+    ]
