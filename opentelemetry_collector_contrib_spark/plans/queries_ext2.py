@@ -309,7 +309,39 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# pipeline fan-in: multiple receivers -> one processor chain (unionByName)
+# ---------------------------------------------------------------------------
+
+def q_fanin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # two "receivers": error stream and high-value stream, different
+    # column orders — unionByName aligns them (service-level fan-in)
+    a = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.lit("errors").alias("receiver"), "event_type"
+    )
+    b = ev.filter(F.col("value") > 90).select(
+        F.lit("highvalue").alias("receiver"), "event_type", "event_id"
+    )
+    merged = a.unionByName(b)
+    return (
+        merged.groupBy("receiver")
+        .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("event_id").alias("n_distinct"))
+        .orderBy("receiver")
+    )
+
+
+O_FANIN = """
+SELECT receiver, count(*) AS n, count(DISTINCT event_id) AS n_distinct FROM (
+  SELECT event_id, 'errors' AS receiver FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT event_id, 'highvalue' AS receiver FROM events WHERE value > 90
+) GROUP BY receiver ORDER BY receiver
+"""
+
+
 EXT2_QUERIES: dict[str, QueryFn] = {
+    "fanin_union": q_fanin_union,
     "shipping_priority": q_shipping_priority,
     "quality_score": q_quality_score,
     "alert_quantile": q_alert_quantile,
@@ -323,6 +355,7 @@ EXT2_QUERIES: dict[str, QueryFn] = {
 }
 
 EXT2_ORACLES: dict[str, str] = {
+    "fanin_union": O_FANIN,
     "shipping_priority": O_SHIPPING,
     "quality_score": O_QUALITY_SCORE,
     "alert_quantile": O_ALERT_QUANTILE,

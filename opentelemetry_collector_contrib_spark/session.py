@@ -65,8 +65,10 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # parquet writes: snappy is the cluster default; keep it explicit
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # zstd over snappy: measured -29% sink bytes for +15% write CPU
+        # on transcript data — at 100 TB the byte reduction wins every
+        # downstream scan and the object-store egress (PLANS.md)
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     # env passthrough: SPARK_EXTRA_CONF="k=v;k2=v2" (bench/submit knobs)
     env_conf = os.environ.get("SPARK_EXTRA_CONF", "")
