@@ -246,11 +246,12 @@ class Parser:
         # converters take (Column, python-literal...) — coerce the
         # first argument to a Column, keep literal args as literals
         if args and not isinstance(args[0], Column):
-            # Concat/Format lead with a literal (delimiter/format)
             if name in ("Concat", "Format"):
+                # lead with a literal (delimiter/format), rest are values
                 coerced = [args[0]] + [_as_col(a) for a in args[1:]]
                 return fn(*coerced)
-            args[0] = _as_col(args[0])
+            if name != "Duration":  # Duration parses a literal string
+                args[0] = _as_col(args[0])
         return fn(*args)
 
     def parse_path(self, root: str) -> Path | Column:

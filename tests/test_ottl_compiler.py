@@ -138,3 +138,44 @@ def test_syntax_errors():
     ]:
         with pytest.raises(OTTLSyntaxError):
             compile_statement(bad)
+
+
+def test_corpus_more_statements(record):
+    """Additional statement-string cases (closer to the reference's
+    193-case e2e breadth)."""
+    cases = [
+        # (statement, row0 check)
+        ('set(attributes["c"], Concat("-", body, severity_text))',
+         lambda r: r["attributes"]["c"] == "operationA failed: ERROR code 500-ERROR"),
+        ('set(attributes["f"], Format("%s=%d", severity_text, severity_number))',
+         lambda r: r["attributes"]["f"] == "ERROR=17"),
+        ('set(attributes["up"], ToUpperCase(attributes["service"]))',
+         lambda r: r["attributes"]["up"] == "API"),
+        ('set(attributes["sub"], Substring(body, 0, 10))',
+         lambda r: r["attributes"]["sub"] == "operationA"),
+        ('set(attributes["len"], Len(body))',
+         lambda r: r["attributes"]["len"] == "33"),
+        ('set(attributes["snake"], ToSnakeCase("aBigValue"))',
+         lambda r: r["attributes"]["snake"] == "a_big_value"),
+        ('set(attributes["pref"], HasPrefix(body, "operation"))',
+         lambda r: r["attributes"]["pref"] == "true"),
+        ('set(attributes["md"], MD5("abc"))',
+         lambda r: r["attributes"]["md"] == "900150983cd24fb0d6963f7d28e17f72"),
+        ('set(attributes["neg"], 0 - severity_number)',
+         lambda r: r["attributes"]["neg"] == "-17"),
+        ('delete_matching_keys(attributes, "^http\\\\.")',
+         lambda r: "http.method" not in r["attributes"] and "service" in r["attributes"]),
+        ('keep_matching_keys(attributes, "^http\\\\.")',
+         lambda r: list(r["attributes"]) == ["http.method"]),
+        ('limit(attributes, 1, ["service"])',
+         lambda r: list(r["attributes"]) == ["service"]),
+        ('set(severity_text, "LOW") where severity_number < 10 or IsMatch(body, "nomatch")',
+         lambda r: r["severity_text"] == "ERROR"),   # row0 unedited
+        ('set(attributes["b"], ParseInt("0x1F", 16))',
+         lambda r: r["attributes"]["b"] == "31"),
+        ('set(attributes["s"], Seconds(Duration("2m30s")))',
+         lambda r: r["attributes"]["s"] == "150.0"),
+    ]
+    for stmt, check in cases:
+        out = rows(compile_statement(stmt)(record))
+        assert check(out[0]), f"failed: {stmt}\n got {out[0]}"
