@@ -41,11 +41,7 @@ from ..operators.filter import filter_processor, tail_sampler
 from ..operators.parse import json_parser, keyvalue_parser
 from ..operators.route import Route, apply_routes
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+from .base import QueryFn, load  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..operators import text as TX
 from ..operators.multimodal import attach_binary, extract_media_meta, frame_sample
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_bucket_topk
-from .queries import QueryFn, load
+from .base import QueryFn, load
 
 # DuckDB fragments shared by several oracles
 _DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"

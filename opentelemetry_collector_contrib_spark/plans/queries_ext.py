@@ -26,7 +26,7 @@ from ..operators.parse import (
     time_parser,
     uri_parser,
 )
-from .queries import QueryFn, load
+from .base import QueryFn, load
 
 
 # ---------------------------------------------------------------------------

@@ -11,7 +11,7 @@ from ..operators.aggregate import delta_to_rate, group_by_attrs
 from ..operators.enrich import range_enrich
 from ..operators.filter import stanza_filter
 from ..operators.parse import jsonarray_parser
-from .queries import QueryFn, load
+from .base import QueryFn, load
 
 
 # ---------------------------------------------------------------------------
