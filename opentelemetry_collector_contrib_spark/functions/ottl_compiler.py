@@ -13,13 +13,17 @@ Supported surface (the load-bearing subset of the grammar):
 - statements: ``editor(args...) [where <bool expr>]`` with editors
   set, delete_key, delete_matching_keys, keep_keys, keep_matching_keys,
   truncate_all, limit, replace_pattern, replace_all_patterns,
-  merge_maps
+  replace_match, replace_all_matches, flatten, merge_maps
 - paths: top-level fields (``body``, ``severity_number``...),
-  ``attributes["k"]`` / ``resource["k"]`` map indexing, dotted struct
-  fields (``resource.host``)
+  ``attributes["k"]`` / ``resource["k"]`` map indexing, and
+  **context-prefixed** paths with inference
+  (``pkg/ottl/context_inferrer.go:18-28``,
+  ``contexts/ottllog/log.go:182-212``): ``log.body``,
+  ``resource.attributes["k"]``, ``scope.name``,
+  ``instrumentation_scope.name``, ``cache["k"]``
 - converters: every Uppercase function in ``OTTL_CONVERTERS``
-- literals: int/float/string/bool/nil, lists; enums
-  ``SEVERITY_NUMBER_*``
+- literals: int/float/string/bool/nil, negative numbers, lists; enums
+  ``SEVERITY_NUMBER_*``; named args (``flatten(attributes, depth=1)``)
 - operators: ``+ - * /`` (OTTL math semantics: / by zero → NULL =
   statement error under error_mode=ignore), comparisons, and/or/not
 
@@ -30,14 +34,14 @@ leaves the row unedited (``apply_statement`` null-safe gate).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..model import SEVERITY_NUMBER
 from ..operators import transform as TR
-from .ottl import OTTL_CONVERTERS
+from .ottl import OTTL_CONVERTERS, glob_to_regex
 
 # ---------------------------------------------------------------------------
 # tokenizer
@@ -49,7 +53,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<float>\d+\.\d+)
   | (?P<int>\d+)
-  | (?P<op>==|!=|>=|<=|&&|\|\||[()\[\],.<>+\-*/])
+  | (?P<op>==|!=|>=|<=|&&|\|\||[()\[\],.<>+\-*/=])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -92,21 +96,74 @@ _PATH_ROOTS = {"body", "attributes", "resource", "severity_number", "severity_te
                "trace_id", "span_id", "ts", "observed_ts", "scope", "flags",
                "time", "time_unix_nano", "event_name", "cache"}
 
+# columns whose values are MAP<STRING,STRING> in the flat log model
+_MAP_ROOTS = {"attributes", "resource", "cache"}
+
+# OTTL context prefixes (contexts/ottllog registers log + resource +
+# scope + instrumentation_scope path parsers; log.go:182-212). The
+# flat-DataFrame resolution of each prefix:
+#   log.<field>                  -> column <field>
+#   resource.attributes[...]     -> column `resource` (the resource-
+#                                   attribute map IS the column)
+#   scope.name / instrumentation_scope.name -> column `scope`
+#   cache[...]                   -> column `cache`
+_CONTEXTS = {"log", "resource", "scope", "instrumentation_scope", "datapoint",
+             "metric", "span", "spanevent", "profile"}
+
+# context inference priority (context_inferrer.go:18-28)
+CONTEXT_PRIORITY = ["log", "datapoint", "metric", "spanevent", "span",
+                    "profile", "scope", "instrumentation_scope", "resource"]
+
+
+def infer_context(statements: list[str]) -> str:
+    """Priority-based context inference over statement strings
+    (context_inferrer.go:30-38): the highest-priority context prefix
+    that appears wins; prefix-free statements infer the lowest
+    context that supports them — for the log pipeline that is 'log'.
+    """
+    seen: set[str] = set()
+    for s in statements:
+        for m in re.finditer(r"\b([a-z_]+)\s*\.", s):
+            if m.group(1) in _CONTEXTS:
+                seen.add(m.group(1))
+    for ctx in CONTEXT_PRIORITY:
+        if ctx in seen:
+            return ctx
+    return "log"
+
 
 @dataclass
 class Path:
-    """A settable location: top-level column, map key, or struct field."""
+    """A path: top-level column plus an ordered accessor chain.
+
+    Accessors are ``("key", k)`` map lookups or ``("field", f)``
+    struct-field steps, applied in source order — ``attributes["a"].b``
+    chains element_at then getField instead of silently dropping
+    segments.
+    """
     column: str
-    map_key: str | None = None
-    field: str | None = None
+    accessors: list[tuple[str, str]] = field(default_factory=list)
 
     def get(self) -> Column:
         c = F.col(self.column)
-        if self.map_key is not None:
-            return F.element_at(c, self.map_key)
-        if self.field is not None:
-            return c.getField(self.field)
+        for kind, v in self.accessors:
+            c = F.element_at(c, v) if kind == "key" else c.getField(v)
         return c
+
+    @property
+    def map_key(self) -> str | None:
+        """The single map-key accessor, when the path is exactly
+        ``column["k"]`` (the settable map shape)."""
+        if len(self.accessors) == 1 and self.accessors[0][0] == "key":
+            return self.accessors[0][1]
+        return None
+
+    def require_settable(self, editor: str) -> None:
+        if self.accessors and self.map_key is None:
+            raise OTTLSyntaxError(
+                f"{editor}() target {self.column}.{self.accessors} is not a "
+                "settable location (supported: column, column[\"key\"])"
+            )
 
 
 class Parser:
@@ -156,6 +213,19 @@ class Parser:
         if op in ("==", "!=", ">", ">=", "<", "<="):
             self.next()
             right = self.parse_additive()
+            # nil comparisons are null checks (compare.go: nil == nil
+            # true, value == nil false) — Spark three-valued logic
+            # would yield NULL instead
+            if right is None or left is None:
+                operand = left if right is None else right
+                if operand is None:  # nil == nil
+                    return F.lit(op == "==")
+                oc = _as_col(operand)
+                if op == "==":
+                    return oc.isNull()
+                if op == "!=":
+                    return oc.isNotNull()
+                return F.lit(False)
             lc, rc = _as_col(left), _as_col(right)
             return {
                 "==": lc == rc, "!=": lc != rc, ">": lc > rc,
@@ -177,17 +247,34 @@ class Parser:
         while self.peek().text in ("*", "/"):
             op = self.next().text
             right = self.parse_primary()
-            lc, rc = _as_col(left), _as_col(right)
             if op == "*":
-                left = lc * rc
+                left = _as_col(left) * _as_col(right)
+                continue
+            # OTTL division (math.go:165-180): int/int is INTEGER
+            # division (Go truncation toward zero); /0 is a statement
+            # error -> NULL under error_mode=ignore
+            if _is_int_expr(left) and _is_int_expr(right):
+                if isinstance(left, int) and isinstance(right, int):
+                    import math as _math
+
+                    left = _math.trunc(left / right) if right != 0 else None
+                    continue
+                lc, rc = _as_col(left), _as_col(right)
+                left = F.when(rc != 0, (lc / rc).cast("long"))
             else:
-                # OTTL /0 is a statement error -> NULL (error_mode=ignore),
-                # math.go:165-180
+                lc, rc = _as_col(left), _as_col(right)
                 left = F.when(rc != 0, lc / rc)
         return left
 
     def parse_primary(self):
         t = self.peek()
+        if t.text == "-":
+            # unary minus: negative literals / negated expressions
+            self.next()
+            v = self.parse_primary()
+            if isinstance(v, (int, float)):
+                return -v
+            return -_as_col(v)
         if t.text == "(":
             self.next()
             e = self.parse_or()
@@ -229,35 +316,157 @@ class Parser:
         if name in ENUMS:
             return ENUMS[name]
         if self.peek().text == "(":
-            return self.parse_call(name)
+            result = self.parse_call(name)
+            # postfix indexing on a converter result:
+            # Split(x, "h")[1], ParseCSV(...)["header2"] (grammar.go
+            # allows Keys on any value)
+            while self.peek().text == "[":
+                self.next()
+                idx = self.next()
+                self.expect("]")
+                if idx.kind == "int":
+                    result = F.get(result, int(idx.text))
+                elif idx.kind == "string":
+                    result = result.getItem(_unquote(idx.text))
+                else:
+                    raise OTTLSyntaxError("index must be an int or string literal")
+            return result
+        if name in OTTL_CONVERTERS:
+            # bare converter reference as an argument — the optional
+            # Function arg of replace_pattern/replace_match
+            # (func_replace_pattern.go ReplacePatternArguments.Function)
+            return OTTL_CONVERTERS[name]
         return self.parse_path(name)
+
+    def _parse_args(self) -> tuple[list, dict]:
+        """Argument list with optional trailing named args
+        (``flatten(attributes, depth=1)`` — grammar.go named-argument
+        form)."""
+        args: list = []
+        kwargs: dict = {}
+        while self.peek().text != ")":
+            # named arg: ident '=' value (but not '==')
+            if (
+                self.peek().kind == "ident"
+                and self.toks[self.i + 1].text == "="
+            ):
+                key = self.next().text
+                self.expect("=")
+                kwargs[key] = self.parse_or()
+            else:
+                args.append(self.parse_or())
+            if self.peek().text == ",":
+                self.next()
+        self.expect(")")
+        return args, kwargs
 
     def parse_call(self, name: str) -> Column:
         if name not in OTTL_CONVERTERS:
             raise OTTLSyntaxError(f"unknown converter {name!r}")
         self.expect("(")
-        args = []
-        while self.peek().text != ")":
-            args.append(self.parse_or())
-            if self.peek().text == ",":
-                self.next()
-        self.expect(")")
+        args, kwargs = self._parse_args()
+        kwargs = {_snake(k): v for k, v in kwargs.items()}
         fn = OTTL_CONVERTERS[name]
+
+        # schema-aware dispatch: Spark types are static, so Len / Is*
+        # on a known map root resolve their type branch at compile time
+        # (func_len.go / func_is_map.go are runtime type switches)
+        if name == "Len" and len(args) == 1:
+            if isinstance(args[0], Path):
+                p = args[0]
+                if p.column in _MAP_ROOTS and not p.accessors:
+                    return fn(p.get(), kind="collection")
+                return fn(p.get())
+            if isinstance(args[0], (list, tuple)):
+                return len(args[0])
+        if name in ("IsMap", "IsList") and len(args) == 1:
+            if isinstance(args[0], Path):
+                p = args[0]
+                is_map = p.column in _MAP_ROOTS and not p.accessors
+                return fn(p.get(), known=is_map if name == "IsMap" else False)
+            if isinstance(args[0], (list, tuple)):
+                return fn(F.lit(None), known=(name == "IsList"))
+            return fn(_as_col(args[0]))
+        if name == "Now":
+            return fn()
+        if name in ("UUID", "UUIDv7") and not args:
+            # reference UUIDs are random (func_uuid.go); randomness is
+            # banned -> derive from the pinned Now() instant
+            args = [OTTL_CONVERTERS["Now"]()]
+
         # converters take (Column, python-literal...) — coerce the
         # first argument to a Column, keep literal args as literals
         if args and not isinstance(args[0], Column):
-            if name in ("Concat", "Format"):
-                # lead with a literal (delimiter/format), rest are values
-                coerced = [args[0]] + [_as_col(a) for a in args[1:]]
-                return fn(*coerced)
-            if name != "Duration":  # Duration parses a literal string
+            if name == "Concat":
+                # reference order: Concat([values...], delimiter)
+                if not isinstance(args[0], (list, tuple)):
+                    raise OTTLSyntaxError(
+                        "Concat takes ([values...], delimiter) — func_concat.go"
+                    )
+                vals = [_as_col(a) for a in args[0]]
+                return fn(vals, *args[1:])
+            if name == "Format":
+                # format literal first, args as list or varargs
+                rest = args[1:]
+                if len(rest) == 1 and isinstance(rest[0], (list, tuple)):
+                    rest = [[_as_col(a) for a in rest[0]]]
+                else:
+                    rest = [_as_col(a) for a in rest]
+                return fn(args[0], *rest)
+            # these converters are type-aware over literal args
+            # (Duration parses a string; Hex encodes per Go type;
+            # ParseJSON sniffs its schema from the literal)
+            if name not in ("Duration", "Hex", "ParseJSON"):
                 args[0] = _as_col(args[0])
-        return fn(*args)
+        elif args and isinstance(args[0], Path):
+            args[0] = args[0].get()
+        return fn(*args, **kwargs)
 
     def parse_path(self, root: str) -> Path | Column:
+        # context prefixes resolve to flat-model columns first
+        if root in _CONTEXTS:
+            return self._parse_context_path(root)
         if root not in _PATH_ROOTS:
             raise OTTLSyntaxError(f"unknown path root {root!r}")
-        path = Path(column=root)
+        return self._parse_accessors(Path(column=root))
+
+    def _parse_context_path(self, ctx: str) -> Path:
+        """Resolve ``log.body`` / ``resource.attributes["k"]`` /
+        ``scope.name`` to flat columns (contexts/ottllog/log.go
+        path parser table)."""
+        if ctx in ("datapoint", "metric", "span", "spanevent", "profile"):
+            raise OTTLSyntaxError(
+                f"context {ctx!r} is not available in the log pipeline"
+            )
+        if ctx == "log":
+            self.expect(".")
+            nxt = self.next()
+            if nxt.kind != "ident" or nxt.text not in _PATH_ROOTS:
+                raise OTTLSyntaxError(f"unknown log field {nxt.text!r}")
+            return self._parse_accessors(Path(column=nxt.text))
+        if ctx == "resource":
+            # resource.attributes[...] | resource[...] (bare map column)
+            if self.peek().text == ".":
+                self.next()
+                sub = self.next()
+                if sub.text != "attributes":
+                    raise OTTLSyntaxError(
+                        f"unknown resource field {sub.text!r} (resource has "
+                        "attributes only; ctxresource.PathGetSetter)"
+                    )
+            return self._parse_accessors(Path(column="resource"))
+        # scope / instrumentation_scope
+        if self.peek().text == ".":
+            self.next()
+            sub = self.next()
+            if sub.text != "name":
+                raise OTTLSyntaxError(
+                    f"unknown scope field {sub.text!r} (flat model keeps "
+                    "scope.name only)"
+                )
+        return Path(column="scope")
+
+    def _parse_accessors(self, path: Path) -> Path:
         while True:
             t = self.peek()
             if t.text == "[":
@@ -266,10 +475,10 @@ class Parser:
                 if key.kind != "string":
                     raise OTTLSyntaxError("map index must be a string literal")
                 self.expect("]")
-                path.map_key = _unquote(key.text)
+                path.accessors.append(("key", _unquote(key.text)))
             elif t.text == ".":
                 self.next()
-                path.field = self.next().text
+                path.accessors.append(("field", self.next().text))
             else:
                 break
         return path
@@ -279,23 +488,38 @@ class Parser:
     def parse_statement(self):
         name = self.next().text
         self.expect("(")
-        args = []
-        while self.peek().text != ")":
-            args.append(self.parse_or())
-            if self.peek().text == ",":
-                self.next()
-        self.expect(")")
+        args, kwargs = self._parse_args()
         where = None
         if self.peek().text == "where":
             self.next()
             where = _as_col(self.parse_or())
         if self.peek().kind != "eof":
             raise OTTLSyntaxError(f"trailing input: {self.peek().text!r}")
-        return name, args, where
+        return name, args, kwargs, where
+
+
+_ESCAPE_MAP = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\",
+               "'": "'", "/": "/", "a": "\a", "b": "\b", "f": "\f", "v": "\v"}
 
 
 def _unquote(s: str) -> str:
-    return s[1:-1].encode().decode("unicode_escape")
+    """Decode a quoted OTTL string literal WITHOUT the
+    encode()/decode('unicode_escape') round-trip, which reinterprets
+    UTF-8 bytes as Latin-1 and mojibakes non-ASCII ("café" -> "cafÃ©").
+    """
+    body = s[1:-1]
+
+    def repl(m: re.Match) -> str:
+        esc = m.group(1)
+        if esc.startswith("u"):
+            return chr(int(esc[1:], 16))
+        if esc.startswith("x"):
+            return chr(int(esc[1:], 16))
+        if esc in _ESCAPE_MAP:
+            return _ESCAPE_MAP[esc]
+        return esc
+
+    return re.sub(r"\\(u[0-9a-fA-F]{4}|x[0-9a-fA-F]{2}|.)", repl, body)
 
 
 def _as_col(v) -> Column:
@@ -306,34 +530,87 @@ def _as_col(v) -> Column:
     return F.lit(v)
 
 
+# integer-typed columns of the flat log model (int division dispatch)
+_INT_COLS = {"severity_number", "flags", "time_unix_nano"}
+
+
+def _is_int_expr(v) -> bool:
+    """Static int-ness for OTTL's int/int integer-division rule."""
+    if isinstance(v, bool):
+        return False
+    if isinstance(v, int):
+        return True
+    return isinstance(v, Path) and v.column in _INT_COLS and not v.accessors
+
+
+def _snake(name: str) -> str:
+    """Reference named args are camelCase (headerDelimiter=...); the
+    Python builders take snake_case."""
+    return re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", name).lower()
+
+
 # ---------------------------------------------------------------------------
 # editor dispatch
 # ---------------------------------------------------------------------------
 
-def _edit(name: str, args: list, where: Column | None, df: DataFrame) -> DataFrame:
+def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFrame) -> DataFrame:
     def stmt(target: str, edit: Column) -> DataFrame:
         return TR.apply_statement(df, target, edit, where=where)
 
+    def edit_value_path(tgt: Path, edited: Column) -> DataFrame:
+        """Write `edited` back to a settable path (column or map key)."""
+        tgt.require_settable(name)
+        if tgt.map_key is not None:
+            return stmt(tgt.column, TR.map_set(F.col(tgt.column), tgt.map_key, edited))
+        return stmt(tgt.column, edited)
+
     if name == "set":
-        path, value = args[0], _as_col(args[1])
+        path = args[0]
         if not isinstance(path, Path):
             raise OTTLSyntaxError("set() target must be a path")
+        if args[1] is None:
+            # set(target, nil) is a no-op: func_set.go only calls
+            # target.Set when the value getter returned non-nil
+            return df
+        value = _as_col(args[1])
+        path.require_settable(name)
+        # a NULL-valued getter (missing attribute, errored
+        # sub-expression) performs NO edit — func_set.go nil gate,
+        # evaluated per row: the key is not created, the old value kept
         if path.map_key is not None:
-            return stmt(path.column, TR.map_set(F.col(path.column), path.map_key, value))
-        return stmt(path.column, value)
+            edited = F.when(
+                value.isNull(), F.col(path.column)
+            ).otherwise(TR.map_set(F.col(path.column), path.map_key, value))
+            return stmt(path.column, edited)
+        return stmt(path.column, F.when(value.isNull(), path.get()).otherwise(value))
 
     if name == "replace_pattern":
         tgt = args[0]
         if not isinstance(tgt, Path):
             raise OTTLSyntaxError("replace_pattern() target must be a path")
-        edited = F.regexp_replace(tgt.get(), args[1], args[2])
-        if tgt.map_key is not None:
-            return stmt(tgt.column, TR.map_set(F.col(tgt.column), tgt.map_key, edited))
-        return stmt(tgt.column, edited)
+        repl = args[2]
+        if len(args) > 3 and callable(args[3]):
+            # optional Function arg: the replacement value is passed
+            # through the converter before substitution
+            # (func_replace_pattern.go: SHA256 of the replacement)
+            repl = args[3](_as_col(repl))
+        return edit_value_path(
+            tgt, F.regexp_replace(tgt.get(), F.lit(args[1]), _as_col(repl))
+        )
+
+    if name == "replace_match":
+        # glob full-match -> replace whole value (func_replace_match.go)
+        tgt = args[0]
+        if not isinstance(tgt, Path):
+            raise OTTLSyntaxError("replace_match() target must be a path")
+        rx = glob_to_regex(args[1])
+        cur = tgt.get()
+        edited = F.when(cur.rlike(rx), _as_col(args[2])).otherwise(cur)
+        return edit_value_path(tgt, edited)
 
     # remaining editors operate on a map path
     path = args[0]
-    if not isinstance(path, Path) or path.map_key is not None:
+    if not isinstance(path, Path) or path.accessors:
         raise OTTLSyntaxError(f"{name}() expects a map path")
     m = F.col(path.column)
     if name == "delete_key":
@@ -352,6 +629,29 @@ def _edit(name: str, args: list, where: Column | None, df: DataFrame) -> DataFra
     if name == "replace_all_patterns":
         mode = args[1]  # "key" | "value"
         return stmt(path.column, TR.map_replace_all_patterns(m, args[2], args[3], mode))
+    if name == "replace_all_matches":
+        # glob full-match over every map VALUE (func_replace_all_matches.go)
+        rx = glob_to_regex(args[1])
+        repl = _as_col(args[2])
+        edited = F.transform_values(
+            m, lambda _, v: F.when(v.rlike(rx), repl).otherwise(v)
+        )
+        return stmt(path.column, edited)
+    if name == "flatten":
+        # func_flatten.go folds nested maps into dotted keys. The flat
+        # log model's maps are MAP<STRING,STRING> (depth 1 already), so
+        # flatten(attributes) is identity and flatten(attributes, p)
+        # prefixes every key with "p." — the observable semantics of
+        # the reference on depth-1 input.
+        prefix = args[1] if len(args) > 1 else kwargs.get("prefix")
+        if prefix:
+            entries = F.map_entries(m)
+            edited = F.map_from_arrays(
+                F.transform(entries, lambda e: F.concat(F.lit(prefix + "."), e["key"])),
+                F.transform(entries, lambda e: e["value"]),
+            )
+            return stmt(path.column, edited)
+        return stmt(path.column, m)
     if name == "merge_maps":
         other = _as_col(args[1])
         strategy = args[2] if len(args) > 2 else "upsert"
@@ -362,18 +662,23 @@ def _edit(name: str, args: list, where: Column | None, df: DataFrame) -> DataFra
 EDITORS = {
     "set", "delete_key", "delete_matching_keys", "keep_keys",
     "keep_matching_keys", "truncate_all", "limit", "replace_pattern",
-    "replace_all_patterns", "merge_maps",
+    "replace_all_patterns", "replace_match", "replace_all_matches",
+    "flatten", "merge_maps",
 }
 
 
 def compile_statement(src: str):
     """OTTL statement string -> (DataFrame -> DataFrame)."""
-    name, args, where = Parser(src).parse_statement()
+    name, args, kwargs, where = Parser(src).parse_statement()
     if name not in EDITORS:
         raise OTTLSyntaxError(f"unknown editor {name!r}")
+    if name in ("set", "replace_pattern", "replace_match") and args and isinstance(args[0], Path):
+        # fail at compile time, not first-apply time: a multi-segment
+        # target like attributes["k"].sub is never silently truncated
+        args[0].require_settable(name)
 
     def apply(df: DataFrame) -> DataFrame:
-        return _edit(name, args, where, df)
+        return _edit(name, args, kwargs, where, df)
 
     return apply
 

@@ -332,6 +332,85 @@ def alert_rule(
     )
 
 
+def alert_select(df: DataFrame, select: dict[str, str]) -> DataFrame:
+    """Label-select regexes (rules.go:95-101 ``rc.Select`` map): a row
+    participates in a rule only when EVERY selected label matches its
+    regex. NULL labels never match (re.MatchString on missing = false).
+    """
+    for col, pattern in select.items():
+        df = df.filter(F.coalesce(F.col(col).rlike(pattern), F.lit(False)))
+    return df
+
+
+def alert_absent(
+    df: DataFrame,
+    group_by: list[str],
+    groups: DataFrame,
+    ts_col: str = "ts",
+    window: str = "5 seconds",
+) -> DataFrame:
+    """absent_over_time (rules.go:128-132): fire for every
+    (window, group) that saw NO rows. Batch form: the expected grid =
+    (distinct windows in the data's time span) x (expected label
+    groups, a small broadcastable dim — the rule's configured
+    series), anti-joined against observed windows.
+
+    Scale: the grid is |windows| x |groups| rows — windows are the
+    job's time span / window size and groups is rule cardinality, both
+    tiny next to the event volume; the anti-join's observed side is a
+    pre-aggregated (group, window) set, one map-side-combined shuffle
+    of distinct keys, never raw events."""
+    win = F.window(F.col(ts_col), window)
+    observed = (
+        df.groupBy(win.alias("w"), *group_by)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(F.col("w.start").alias("window_start"), *group_by)
+    )
+    windows = (
+        df.select(win.alias("w"))
+        .select(F.col("w.start").alias("window_start"))
+        .distinct()
+    )
+    grid = windows.crossJoin(F.broadcast(groups))
+    return grid.join(observed, on=["window_start", *group_by], how="left_anti")
+
+
+def alert_fingerprint(df: DataFrame, rule_name: str, label_cols: list[str]) -> Column:
+    """Dedup fingerprint (rules.go:514, config FingerprintLabels):
+    stable hash of (rule, sorted labels). md5 keeps it engine-portable
+    for the oracle; the streaming dedup drops duplicate fingerprints
+    within the dedup window."""
+    parts = [F.lit(rule_name)]
+    for c in sorted(label_cols):
+        parts.append(F.lit(c))
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
+def storm_limit(
+    alerts: DataFrame,
+    max_per_minute: int,
+    ts_col: str = "window_start",
+    rule_col: str | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Storm limiter (storm.NewLimiter(cfg.Storm.MaxAlertsPerMinute),
+    factory.go:121): cap emitted alerts per minute (per rule when
+    ``rule_col``); deterministic keep-order = (ts, order_cols) so
+    re-runs emit the identical subset. One window shuffle over the
+    already-aggregated alert stream — negligible at any scale."""
+    keys = [F.date_trunc("minute", F.col(ts_col)).alias("__minute")]
+    part = ["__minute"] + ([rule_col] if rule_col else [])
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    out = alerts.withColumn("__minute", keys[0])
+    w = W.partitionBy(*part).orderBy(*order)
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_per_minute)
+        .drop("__minute", "__rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # spanmetrics-style histogram (connector/spanmetricsconnector)
 # ---------------------------------------------------------------------------
@@ -351,6 +430,41 @@ def explicit_histogram(
         idx = F.when(v <= F.lit(bounds[i]), F.lit(i)).otherwise(idx)
     return (
         df.withColumn("bucket_idx", idx)
+        .groupBy(*group_by, "bucket_idx")
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )
+
+
+def exponential_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_by: list[str],
+    scale: int = 0,
+) -> DataFrame:
+    """Base-2 exponential histogram bucketing (spanmetricsconnector
+    exponential form, ``connector/spanmetricsconnector/internal/
+    metrics/metrics.go:37-77`` via go-expohisto; OTel exp-histogram
+    data model).
+
+    Bucket index for a positive value at scale s:
+    ``ceil(log2(v) * 2^s) - 1`` — bucket i covers
+    (base^i, base^(i+1)] with base = 2^(2^-s). Zero/negative values
+    land in the zero bucket (index NULL, counted separately by the
+    caller if needed); here non-positive rows are dropped like the
+    reference's zero-bucket split.
+
+    Cross-engine determinism: log2 is rounded to 9 dp before the
+    ceil so Spark (JVM Math.log) and an oracle engine (libm) agree at
+    power-of-base boundaries.
+
+    Scale shape: pure expression + one map-side-combined groupBy —
+    identical to explicit_histogram.
+    """
+    v = F.col(value_col)
+    idx = F.ceil(F.round(F.log(2.0, v) * F.lit(float(2 ** scale)), 9)) - 1
+    return (
+        df.filter(v > 0)
+        .withColumn("bucket_idx", idx.cast("int"))
         .groupBy(*group_by, "bucket_idx")
         .agg(F.count(F.lit(1)).alias("bucket_count"))
     )

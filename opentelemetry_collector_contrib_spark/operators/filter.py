@@ -83,3 +83,85 @@ def tail_sampler(
     when the kept-group set is small (AQE decides)."""
     keep = df.groupBy(group_col).agg(keep_policy.alias("__keep")).filter(F.col("__keep"))
     return df.join(keep.select(group_col), on=group_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# tail-sampling named policies
+# (processor/tailsamplingprocessor: internal/sampling/*.go evaluators)
+# ---------------------------------------------------------------------------
+#
+# Each policy builder returns an AGGREGATE Column evaluated per trace
+# group by ``tail_sampler`` — the batch analog of the evaluator's
+# Sampled/NotSampled decision over the buffered trace. Composite
+# policies combine with & / | exactly like the and/composite policy
+# wrappers (sampling/composite.go, sampling/and.go).
+
+def policy_latency(latency_col: str, threshold_ms: int) -> Column:
+    """latency.go: sample when total trace duration >= threshold."""
+    return F.max(F.col(latency_col)) >= threshold_ms
+
+
+def policy_status_code(severity_col: str, min_severity: int = 17) -> Column:
+    """status_code.go (ERROR traces): any record at/above severity."""
+    return F.max(F.col(severity_col)) >= min_severity
+
+
+def policy_string_attribute(col: str, values: list[str]) -> Column:
+    """string_attribute.go: any span carries one of the values."""
+    arr = F.array(*[F.lit(v) for v in values])
+    return F.max(F.when(F.array_contains(arr, F.col(col)), 1).otherwise(0)) == 1
+
+
+def policy_numeric_attribute(col: str, lo: float, hi: float) -> Column:
+    """numeric_attribute.go: any value within [lo, hi]."""
+    return F.max(
+        F.when((F.col(col) >= lo) & (F.col(col) <= hi), 1).otherwise(0)
+    ) == 1
+
+
+def policy_probabilistic(group_col: str, percent: float, seed: int = 22) -> Column:
+    """probabilistic.go: consistent hash of the trace id — the whole
+    group samples together (hash the GROUP key, not the row)."""
+    buckets = 1 << 14
+    threshold = int(buckets * percent / 100.0)
+    return F.pmod(F.xxhash64(F.first(F.col(group_col)), F.lit(seed)), F.lit(buckets)) < threshold
+
+
+def policy_and(*policies: Column) -> Column:
+    """and.go: all sub-policies must sample."""
+    out = policies[0]
+    for p in policies[1:]:
+        out = out & p
+    return out
+
+
+def policy_or(*policies: Column) -> Column:
+    """composite OR: any sub-policy samples."""
+    out = policies[0]
+    for p in policies[1:]:
+        out = out | p
+    return out
+
+
+def rate_limited_sampler(
+    sampled: DataFrame,
+    group_col: str,
+    per_second: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """rate_limiting.go: cap sampled traces per second; deterministic
+    keep order (first per group-min-ts, group id tiebreak) so re-runs
+    keep the identical subset. Operates on the group-level decision
+    set (small), not raw spans."""
+    from pyspark.sql import Window as W
+
+    firsts = sampled.groupBy(group_col).agg(F.min(F.col(ts_col)).alias("__t0"))
+    w = W.partitionBy(F.date_trunc("second", F.col("__t0"))).orderBy(
+        F.col("__t0"), F.col(group_col)
+    )
+    keep = (
+        firsts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_second)
+        .select(group_col)
+    )
+    return sampled.join(keep, on=group_col, how="left_semi")

@@ -219,8 +219,9 @@ def time_parser(
     """
     src = _col(parse_from)
     if layout_type == "strptime":
-        fmt = strptime_to_spark(layout)
-        col = F.to_timestamp(src, fmt)
+        from ..functions.strptime import strptime_parse
+
+        col = strptime_parse(src, layout)
     elif layout_type == "spark":
         col = F.to_timestamp(src, layout)
     elif layout_type == "epoch":

@@ -80,15 +80,22 @@ def salted_repartition(
     salt_buckets: int = 16,
     num_partitions: int | None = None,
     salt_col: str = "_salt",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Repartition by (key, salt) to defeat hot-key skew.
 
-    Salt is derived deterministically from stable row content when
-    available (conv_id, turn_idx) — never rand() — so re-runs produce
-    identical layouts (lineage/resume requirement).
+    Salt is derived deterministically from ``salt_cols`` — never
+    rand() — so re-runs produce identical layouts (lineage/resume
+    requirement). Default salt columns are ``(conv_id, turn_idx)``
+    when present (the transcript key+order pair); pass ``salt_cols``
+    explicitly otherwise. Hashing only the key+order pair keeps the
+    salt O(16 bytes) per row — hashing wide payload columns (e.g. the
+    full ``text``) would re-scan every byte just to pick a bucket.
     """
-    cols = [F.col(key)]
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns if c != key]), F.lit(salt_buckets))
+    if salt_cols is None:
+        default = [c for c in ("conv_id", "turn_idx") if c in df.columns and c != key]
+        salt_cols = default or [c for c in df.columns if c != key][:2]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets))
     out = df.withColumn(salt_col, salt)
     if num_partitions:
         out = out.repartition(num_partitions, F.col(key), F.col(salt_col))

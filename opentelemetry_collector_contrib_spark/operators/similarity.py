@@ -65,13 +65,32 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 1,
     round_dp: int = 6,
+    max_broadcast_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact top-k neighbors of every query vector (self-join when
     queries IS corpus; excludes self-matches by id).
 
-    The query side broadcasts; ranking ties break on (rounded sim desc,
-    neighbor id asc) so results are engine-portable.
+    **Correctness baseline ONLY.** The query side broadcasts and every
+    (query, corpus) pair is scored — O(n*q). A self-ANN call
+    (queries IS corpus) is O(n^2) and broadcasts the entire corpus:
+    it cannot survive 100 TB (driver/executor OOM before the n^2 work
+    starts). The scale paths are ``lsh_bucket_topk`` /
+    ``lsh_bucket_topk_multi`` / ``ivf_topk`` — bucket equi-joins with
+    O(n) shuffle. ``max_broadcast_rows`` enforces the fence: the call
+    fails fast (one cheap count of the small side) instead of OOMing
+    an executor mid-broadcast. Pass None to bypass for tests.
+
+    Ranking ties break on (rounded sim desc, neighbor id asc) so
+    results are engine-portable.
     """
+    if max_broadcast_rows is not None:
+        n_q = queries.select(id_col).limit(max_broadcast_rows + 1).count()
+        if n_q > max_broadcast_rows:
+            raise ValueError(
+                f"brute_force_topk: query side has >{max_broadcast_rows} rows; "
+                "broadcasting it would OOM at scale — use lsh_bucket_topk/"
+                "ivf_topk for self-ANN, or raise max_broadcast_rows explicitly"
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), normalized(F.col(vec_col)).alias("__qv")
     )
@@ -161,6 +180,69 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def lsh_bucket_topk_multi(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 6,
+    num_tables: int = 2,
+    k: int = 1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Multi-table LSH (OR-amplification): a candidate pair qualifies
+    if it collides in ANY of ``num_tables`` independent plane sets —
+    recall ~1-(1-p^planes)^tables instead of p^planes, the standard
+    fix for single-table misses. Each table t uses planes
+    [t*num_planes, (t+1)*num_planes); pairs are deduped across tables
+    BEFORE the exact-cosine ranking so each survives once.
+
+    Scale shape: num_tables bucket equi-joins (each O(n) shuffle) +
+    one dedup shuffle — still never O(n^2)."""
+    per_table = []
+    nv = corpus.select(F.col(id_col), normalized(F.col(vec_col)).alias("__nv"))
+    for t in range(num_tables):
+        withb = corpus.select(
+            F.col(id_col),
+            lsh_bucket_offset(F.col(vec_col), num_planes, dim, t * num_planes).alias("bucket"),
+        )
+        a = withb.select(F.col(id_col).alias("query_id"), "bucket")
+        b = withb.select(F.col(id_col).alias("neighbor_id"), "bucket")
+        per_table.append(
+            a.join(b, on="bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+    cands = per_table[0]
+    for extra in per_table[1:]:
+        cands = cands.unionByName(extra)
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+    scored = (
+        cands.join(nv.select(F.col(id_col).alias("query_id"), F.col("__nv").alias("__qv")), on="query_id")
+        .join(nv.select(F.col(id_col).alias("neighbor_id"), F.col("__nv").alias("__cv")), on="neighbor_id")
+        .withColumn("cosine_sim", F.round(dot(F.col("__qv"), F.col("__cv")), round_dp))
+        .drop("__qv", "__cv")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def lsh_bucket_offset(vec: Column, num_planes: int, dim: int, offset: int) -> Column:
+    """Sign-pattern bucket with a plane-index offset (one plane family
+    per LSH table)."""
+    bits = [
+        F.when(dot(vec, hyperplane(p, dim)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(offset, offset + num_planes)
+    ]
+    return F.concat(*bits)
 
 
 # ---------------------------------------------------------------------------

@@ -34,12 +34,16 @@ from ..sources.dims import role_dim, tool_dim
 
 # grok-style pattern for the synthetic log lines:
 # 2026-08-16T12:00:00Z INFO 10.1.2.3 GET /api/v1/x 200 123ms
+# Separators are single literal spaces so the rlike gate and the
+# split(text, ' ', 7) field extractor below agree exactly: a line with
+# tabs/doubled spaces is rejected by the gate instead of silently
+# yielding shifted fields.
 LOGLINE_PATTERN = (
-    r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z)\s+"
-    r"(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)\s+"
-    r"((?:\d{1,3}\.){3}\d{1,3})\s+"
-    r"(GET|POST|PUT|DELETE|PATCH|HEAD)\s+"
-    r"(\S+)\s+(\d{3})\s+(\d+)ms$"
+    r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z) "
+    r"(TRACE|DEBUG|INFO|WARN|ERROR|FATAL) "
+    r"((?:\d{1,3}\.){3}\d{1,3}) "
+    r"(GET|POST|PUT|DELETE|PATCH|HEAD) "
+    r"(\S+) (\d{3}) (\d+)ms$"
 )
 
 TOOL_PAYLOAD_SCHEMA = "tool string, args struct<q string, n int>, status string"

@@ -599,3 +599,8 @@ from .queries_ext2 import EXT2_ORACLES, EXT2_QUERIES  # noqa: E402
 
 QUERIES.update(EXT2_QUERIES)
 ORACLES.update(EXT2_ORACLES)
+
+from .queries_ext3 import EXT3_ORACLES, EXT3_QUERIES  # noqa: E402
+
+QUERIES.update(EXT3_QUERIES)
+ORACLES.update(EXT3_ORACLES)

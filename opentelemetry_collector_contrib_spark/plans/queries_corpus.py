@@ -263,8 +263,12 @@ _DUCK_COS = (
 
 
 def q_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRECTNESS BASELINE ONLY: self-ANN via brute force is O(n^2)
+    with a corpus-sized broadcast — fenced by max_broadcast_rows (the
+    test corpora are <=100k vectors). The scale paths for the same
+    answer are lsh_ann / lsh_ann_multi / ivf_ann."""
     emb = load(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, emb, k=1)
+    return brute_force_topk(emb, emb, k=1, max_broadcast_rows=100_000)
 
 
 O_COSINE_TOP1 = f"""

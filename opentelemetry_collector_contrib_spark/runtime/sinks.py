@@ -46,6 +46,59 @@ def sink_path(root: str, sink: str) -> str:
     return os.path.join(root, f"sink={sink}")
 
 
+def iceberg_available(spark) -> bool:
+    """Capability probe: are Iceberg runtime jars on the JVM classpath?
+    (Class.forName, not a config check — config without jars fails at
+    write time.)"""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def write_table_sink(
+    df: DataFrame,
+    table: str,
+    path: str,
+    partition_by: list[str] | None = None,
+    fmt: str = "auto",
+) -> str:
+    """Format-pluggable sink: the Iceberg path the north star names,
+    with a documented parquet fallback so the same call works in
+    jar-less environments (this sandbox).
+
+    - ``fmt="iceberg"`` (or "auto" with jars present): V2
+      ``writeTo(table).overwritePartitions()`` — atomic snapshot
+      commit, partition-level idempotence, exactly the resume
+      contract write_sink() emulates on parquet. Cluster recipe:
+      add ``--packages org.apache.iceberg:iceberg-spark-runtime-
+      <spark_ver>`` + a ``spark.sql.catalog.<name>`` config
+      (README §sinks).
+    - fallback: partitioned parquet with dynamic partition overwrite
+      (same idempotent per-partition semantics, minus the catalog).
+
+    Returns the format actually used ("iceberg" | "parquet").
+    """
+    spark = df.sparkSession
+    want_iceberg = fmt == "iceberg" or (fmt == "auto" and iceberg_available(spark))
+    if want_iceberg:
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "fmt='iceberg' requested but Iceberg runtime jars are absent; "
+                "use fmt='auto' for graceful fallback"
+            )
+        writer = df.writeTo(table)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()
+        return "iceberg"
+    write_sink(df, path, partition_by=partition_by, fmt="parquet")
+    return "parquet"
+
+
 def failover_write(
     df: DataFrame,
     paths: list[str],

@@ -105,8 +105,10 @@ def make_alert_persistence_fn(threshold: float, for_windows: int, window_sec: in
 
         rows = []
         for pdf in pdf_iter:
-            for _, r in pdf.iterrows():
-                rows.append((r["window_start"], float(r["metric"])))
+            # zip over numpy columns, not iterrows: the state machine is
+            # sequential per group but per-row extraction cost is the
+            # hot loop at millions of groups/microbatch (~10x cheaper)
+            rows.extend(zip(pdf["window_start"], pdf["metric"].astype(float)))
         rows.sort(key=lambda t: t[0])
 
         out = []
@@ -187,8 +189,14 @@ def _recombine_fn(
 
     rows: list[tuple[int, bool, str]] = []
     for pdf in pdf_iter:
-        for _, r in pdf.iterrows():
-            rows.append((int(r["turn_idx"]), bool(r["is_first"]), str(r["text"])))
+        # numpy column zip, not iterrows (see make_alert_persistence_fn)
+        rows.extend(
+            zip(
+                pdf["turn_idx"].astype(int),
+                pdf["is_first"].astype(bool),
+                pdf["text"].astype(str),
+            )
+        )
     rows.sort(key=lambda t: t[0])
 
     for turn_idx, is_first, text in rows:
@@ -231,3 +239,24 @@ def stream_recombine(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def stream_alert_dedup(
+    alerts: DataFrame,
+    rule_name: str,
+    label_cols: list[str],
+    ts_col: str = "window_start",
+    dedup_window: str = "10 minutes",
+) -> DataFrame:
+    """Streaming alert dedup (alertsgen dedup.Deduper, factory.go:123,
+    :188): one alert per fingerprint within the dedup window. The
+    fingerprint is the stable md5 of (rule, FingerprintLabels) —
+    ``operators.aggregate.alert_fingerprint`` — and dropDuplicates
+    keeps per-fingerprint state only until the watermark passes
+    (state-bounded, the Deduper's expiring map)."""
+    from ..operators.aggregate import alert_fingerprint
+
+    withfp = alerts.withColumn(
+        "fingerprint", alert_fingerprint(alerts, rule_name, label_cols)
+    )
+    return withfp.withWatermark(ts_col, dedup_window).dropDuplicates(["fingerprint"])

@@ -145,7 +145,7 @@ def test_corpus_more_statements(record):
     193-case e2e breadth)."""
     cases = [
         # (statement, row0 check)
-        ('set(attributes["c"], Concat("-", body, severity_text))',
+        ('set(attributes["c"], Concat([body, severity_text], "-"))',
          lambda r: r["attributes"]["c"] == "operationA failed: ERROR code 500-ERROR"),
         ('set(attributes["f"], Format("%s=%d", severity_text, severity_number))',
          lambda r: r["attributes"]["f"] == "ERROR=17"),

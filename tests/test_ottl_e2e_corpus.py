@@ -1,0 +1,392 @@
+"""OTTL e2e statement corpus, ported from the reference's
+``pkg/ottl/e2e/e2e_test.go`` (193 statement→expected-cell cases).
+
+Each case is a real OTTL statement STRING compiled by
+``functions/ottl_compiler`` and executed against the flat-DataFrame
+analog of ``constructLogTransformContext`` (e2e_test.go:1430-1470):
+body "operationA", the standard http.* attribute set, resource
+attributes {host.name: localhost, os.type: linux}, scope "scope",
+TestTime 2020-02-11T20:26:12Z.
+
+Cases whose semantics depend on nested pcommon maps/slices inside
+``attributes`` are out of model (our maps are MAP<STRING,STRING>;
+the flatten/merge nested variants) and are replaced by their flat
+observable equivalents where one exists.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+ATTRS = {
+    "http.method": "get",
+    "http.path": "/health",
+    "http.url": "http://localhost/health",
+    "flags": "A|B|C",
+    "total.string": "123456789",
+}
+RESOURCE = {"host.name": "localhost", "os.type": "linux"}
+TEST_TIME = datetime(2020, 2, 11, 20, 26, 12)
+
+
+@pytest.fixture(scope="module")
+def record(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "operationA", 1, "TRACE", ATTRS, RESOURCE, "scope",
+                "0102030405060708090a0b0c0d0e0f10", "0102030405060708",
+                TEST_TIME, {},
+            )
+        ],
+        "body string, severity_number int, severity_text string, "
+        "attributes map<string,string>, resource map<string,string>, "
+        "scope string, trace_id string, span_id string, time timestamp, "
+        "cache map<string,string>",
+    )
+    return df
+
+
+def run(stmts, record):
+    from opentelemetry_collector_contrib_spark.functions.ottl_compiler import (
+        compile_statements,
+    )
+
+    if isinstance(stmts, str):
+        stmts = [stmts]
+    out = compile_statements(stmts)(record)
+    return out.collect()[0].asDict(recursive=True)
+
+
+def attrs_with(**kv):
+    d = dict(ATTRS)
+    for k, v in kv.items():
+        if v is None:
+            d.pop(k, None)
+        else:
+            d[k] = v
+    return d
+
+
+# ---------------------------------------------------------------------------
+# editors (e2e_test.go Test_e2e_editors)
+# ---------------------------------------------------------------------------
+
+EDITOR_CASES = [
+    ('delete_key(attributes, "http.method")',
+     lambda r: "http.method" not in r["attributes"]),
+    ('delete_matching_keys(attributes, "^http")',
+     lambda r: sorted(r["attributes"]) == ["flags", "total.string"]),
+    ('keep_matching_keys(attributes, "^http")',
+     lambda r: sorted(r["attributes"]) == ["http.method", "http.path", "http.url"]),
+    ("flatten(attributes)",
+     lambda r: r["attributes"] == ATTRS),
+    ('flatten(attributes, "test")',
+     lambda r: r["attributes"] == {f"test.{k}": v for k, v in ATTRS.items()}),
+    ("flatten(attributes, depth=1)",
+     lambda r: r["attributes"] == ATTRS),
+    ('keep_keys(attributes, ["flags", "total.string"])',
+     lambda r: sorted(r["attributes"]) == ["flags", "total.string"]),
+    ("limit(attributes, 100, [])",
+     lambda r: r["attributes"] == ATTRS),
+    ('limit(attributes, 1, ["total.string"])',
+     lambda r: r["attributes"] == {"total.string": "123456789"}),
+    ('replace_all_matches(attributes, "*/*", "test")',
+     lambda r: r["attributes"]["http.path"] == "test"
+     and r["attributes"]["http.url"] == "test"
+     and r["attributes"]["http.method"] == "get"),
+    ('replace_all_patterns(attributes, "key", "^http", "test")',
+     lambda r: sorted(r["attributes"])
+     == ["flags", "test.method", "test.path", "test.url", "total.string"]),
+    ('replace_all_patterns(attributes, "value", "/", "@")',
+     lambda r: r["attributes"]["http.path"] == "@health"
+     and r["attributes"]["http.url"] == "http:@@localhost@health"),
+    ('replace_match(attributes["http.path"], "*/*", "test")',
+     lambda r: r["attributes"]["http.path"] == "test"),
+    ('replace_match(attributes["http.method"], "*/*", "test")',
+     lambda r: r["attributes"]["http.method"] == "get"),  # no glob match
+    ('replace_pattern(attributes["http.path"], "/", "@")',
+     lambda r: r["attributes"]["http.path"] == "@health"),
+    ('replace_pattern(attributes["http.path"], "/", "@", SHA256)',
+     lambda r: r["attributes"]["http.path"]
+     == "c3641f8544d7c02f3580b07c0f9887f0c6a27ff5ab1d4a3e29caf197cfc299aehealth"),
+    ('set(attributes["test"], "pass")',
+     lambda r: r["attributes"]["test"] == "pass"),
+    ('set(attributes["test"], nil)',
+     lambda r: r["attributes"] == ATTRS),
+    ('set(attributes["test"], attributes["unknown"])',
+     lambda r: r["attributes"] == ATTRS),
+    ("truncate_all(attributes, 100)",
+     lambda r: r["attributes"] == ATTRS),
+    ("truncate_all(attributes, 1)",
+     lambda r: r["attributes"]["http.method"] == "g"
+     and r["attributes"]["flags"] == "A"),
+    ('merge_maps(attributes, ParseJSON("{\\"json_test\\":\\"pass\\"}"), "insert")',
+     lambda r: r["attributes"]["json_test"] == "pass"),
+    # escape-sequence literal handling (e2e_test.go:1133-1162)
+    ('set(attributes["test"], "\\\\")',
+     lambda r: r["attributes"]["test"] == "\\"),
+    ('set(attributes["test"], "\\\\\\\\")',
+     lambda r: r["attributes"]["test"] == "\\\\"),
+    ('set(attributes["test"], "\\"")',
+     lambda r: r["attributes"]["test"] == '"'),
+    # non-ASCII string literal survives unquoting (ADVICE mojibake fix)
+    ('set(attributes["test"], "café")',
+     lambda r: r["attributes"]["test"] == "café"),
+]
+
+
+# ---------------------------------------------------------------------------
+# converters (Test_e2e_converters)
+# ---------------------------------------------------------------------------
+
+CONVERTER_CASES = [
+    ('set(attributes["test"], Base64Decode("cGFzcw=="))', "pass"),
+    ('set(attributes["test"], Decode("cGFzcw==", "base64"))', "pass"),
+    ('set(attributes["test"], Concat(["A","B"], ":"))', "A:B"),
+    ('set(attributes["test"], ConvertCase(attributes["http.method"], "upper"))', "GET"),
+    ('set(attributes["test"], ConvertCase("PASS", "lower"))', "pass"),
+    ('set(attributes["test"], ConvertCase("fooBar", "snake"))', "foo_bar"),
+    ('set(attributes["test"], ConvertCase("foo_bar", "camel"))', "FooBar"),
+    ('set(attributes["test"], ToCamelCase("foo_bar"))', "FooBar"),
+    ('set(attributes["test"], ToSnakeCase("fooBar"))', "foo_bar"),
+    ('set(attributes["test"], ToUpperCase(attributes["http.method"]))', "GET"),
+    ('set(attributes["test"], ToLowerCase("PASS"))', "pass"),
+    ('set(attributes["test"], ParseInt("0xAF", 0))', "175"),
+    ('set(attributes["test"], ParseInt("12345", 10))', "12345"),
+    ('set(attributes["test"], ParseInt("AF", 16))', "175"),
+    ('set(attributes["test"], Double("1"))', "1.0"),
+    ('set(attributes["test"], Double(1))', "1.0"),
+    ('set(attributes["test"], FNV("pass"))', "266877920130663416"),
+    ('set(attributes["test"], Format("%03d-%s", [7, "test"]))', "007-test"),
+    ('set(attributes["test"], Hour(Time("12", "%H")))', "12"),
+    ('set(attributes["test"], Hours(Duration("90m")))', "1.5"),
+    ('set(attributes["test"], Int(1.1))', "1"),
+    ('set(attributes["test"], Int("1"))', "1"),
+    ('set(attributes["test"], Hex(1.0))', "3ff0000000000000"),
+    ('set(attributes["test"], Hex(true))', "01"),
+    ('set(attributes["test"], Hex(12))', "000000000000000c"),
+    ('set(attributes["test"], Hex("12"))', "3132"),
+    ('set(attributes["test"], Len(body))', "10"),
+    ('set(attributes["test"], Len(attributes))', "5"),
+    ('set(attributes["test"], Log(1))', "0.0"),
+    ('set(attributes["test"], IsValidLuhn("17893729974"))', "true"),
+    ('set(attributes["test"], IsValidLuhn(17893729975))', "false"),
+    ('set(attributes["test"], MD5("pass"))', "1a1dc91c907325c69271ddf0c944bc72"),
+    ('set(attributes["test"], Microseconds(Duration("1ms")))', "1000.0"),
+    ('set(attributes["test"], Milliseconds(Duration("1s")))', "1000.0"),
+    ('set(attributes["test"], Minutes(Duration("1h")))', "60.0"),
+    ('set(attributes["test"], Murmur3Hash128("Hello World"))',
+     "dbc2a0c1ab26631a27b4c09fcf1fe683"),
+    ('set(attributes["test"], Murmur3Hash("Hello World"))', "ce837619"),
+    ('set(attributes["test"], Nanoseconds(Duration("1ms")))', "1000000"),
+    ('set(attributes["test"], Seconds(Duration("1m")))', "60.0"),
+    ('set(attributes["test"], SHA1("pass"))',
+     "9d4e1e23bd5b727046a9e3b4b7db57bd8d6ee684"),
+    ('set(attributes["test"], SHA256("pass"))',
+     "d74ff0ee8da3b9806b18c877dbf29bbde50b5bd8e4dad7a3a725000feb82e8f1"),
+    ('set(attributes["test"], SHA512("pass"))',
+     "5b722b307fce6c944905d132691d5e4a2214b7fe92b738920eb3fce3a90420a1"
+     "9511c3010a0e7712b054daef5b57bad59ecbd93b3280f210578f547f4aed4d25"),
+    ('set(attributes["test"], String("test"))', "test"),
+    ('set(attributes["test"], String(attributes["http.method"]))', "get"),
+    ('set(attributes["test"], String(span_id))', "0102030405060708"),
+    ('set(attributes["test"], String(true))', "true"),
+    ('set(attributes["test"], Substring("pass", 0, 2))', "pa"),
+    ('set(attributes["test"], Trim("  spaces  "))', "spaces"),
+    ('set(attributes["test"], Split(attributes["flags"], "|")[0])', "A"),
+    ('set(attributes["test"], Sort(Split(attributes["flags"], "|"), "desc")[0])', "C"),
+    ('set(attributes["test"], ParseJSON("{\\"id\\":1}")["id"])', "1"),
+    ('set(attributes["test"], ParseJSON("[\\"value1\\",\\"value2\\"]")[1])', "value2"),
+    ('set(attributes["test"], ParseKeyValue("k1=v1 k2=v2")["k2"])', "v2"),
+    ('set(attributes["test"], ParseKeyValue("k1!v1_k2!v2", "!", "_")["k1"])', "v1"),
+    ('set(attributes["test"], ParseCSV("val1;val2;val3","header1|header2|header3",";","|","strict")["header2"])',
+     "val2"),
+    ('set(attributes["test"], ParseCSV("val1,val2,val3","header1|header2|header3",headerDelimiter="|",mode="strict")["header3"])',
+     "val3"),
+    ('set(attributes["test"], ToKeyValueString(ParseKeyValue("k1=v1 k2=v2"), "=", " ", true))',
+     "k1=v1 k2=v2"),
+    ('set(attributes["test"], ToKeyValueString(ParseKeyValue("k1:v1,k2:v2", ":" , ","), ":", ",", true))',
+     "k1:v1,k2:v2"),
+    ('set(attributes["test"], ToKeyValueString(ParseKeyValue("k1=v1 k2=v2"), "!", "+", true))',
+     "k1!v1+k2!v2"),
+    ('set(attributes["test"], ToKeyValueString(ParseKeyValue("k1=v1 k2=v2=v3"), "=", " ", true))',
+     'k1=v1 k2="v2=v3"'),
+    ('set(attributes["test"], ExtractPatterns("aa123bb", "(?P<numbers>\\\\d+)")["numbers"])',
+     "123"),
+    ('set(attributes["test"], FormatTime(time, "%Y-%m-%d"))', "2020-02-11"),
+    ('set(attributes["test"], FormatTime(time, "%m/%d/%Y"))', "02/11/2020"),
+    ('set(attributes["test"], Year(time))', "2020"),
+    ('set(attributes["test"], Month(time))', "2"),
+    ('set(attributes["test"], Day(time))', "11"),
+    ('set(attributes["test"], Minute(time))', "26"),
+    ('set(attributes["test"], Second(time))', "12"),
+    ('set(attributes["test"], Weekday(time))', "2"),  # 2020-02-11 is a Tuesday
+    ('set(attributes["test"], UnixSeconds(Time("2020-02-11", "%Y-%m-%d")))',
+     "1581379200"),
+    ('set(attributes["test"], TraceID("0102030405060708090a0b0c0d0e0f10"))',
+     "0102030405060708090a0b0c0d0e0f10"),
+    ('set(attributes["test"], SpanID("0102030405060708"))', "0102030405060708"),
+    ('set(attributes["test"], UserAgent("curl/7.81.0")["user_agent.name"])', "curl"),
+    ('set(attributes["test"], UserAgent("curl/7.81.0")["user_agent.version"])',
+     "7.81.0"),
+    ('set(attributes["test"], URL("http://localhost/health")["url.path"])',
+     "/health"),
+    ('set(attributes["test"], Murmur3Hash(""))', "00000000"),
+    ('set(attributes["test"], GetXMLString("<a><b>1</b></a>", "/a/b"))', "1"),
+]
+
+
+# where-clause / condition cases (Test_e2e_ottl_features + contexts)
+WHERE_CASES = [
+    # (statement, expect_edit_applied)
+    ('set(attributes["test"], "pass") where body == "operationA"', True),
+    ('set(attributes["test"], "pass") where body == "operationB"', False),
+    ('set(attributes["test"], "pass") where resource.attributes["host.name"] == "localhost"', True),
+    ('set(attributes["test"], "pass") where resource.attributes["host.name"] == "elsewhere"', False),
+    ('set(attributes["test"], "pass") where HasPrefix(body, "operation")', True),
+    ('set(attributes["test"], "pass") where HasSuffix(body, "tionA")', True),
+    ('set(attributes["test"], "pass") where IsMatch(body, "operation[AC]")', True),
+    ('set(attributes["test"], "pass") where IsMatch(body, "operation[BC]")', False),
+    ('set(attributes["test"], "pass") where body == Concat(["operation", "A"], "")', True),
+    ('set(attributes["test"], "pass") where trace_id == TraceID("0102030405060708090a0b0c0d0e0f10")', True),
+    ('set(attributes["test"], "pass") where IsBool(false)', True),
+    ('set(attributes["test"], "pass") where IsDouble(1.0)', True),
+    ('set(attributes["test"], "pass") where IsMap(attributes)', True),
+    ('set(attributes["test"], "pass") where IsMap(body)', False),
+    ('set(attributes["test"], "pass") where IsList(attributes)', False),
+    ('set(attributes["test"], "pass") where IsMatch("aa123bb", "\\\\d{3}")', True),
+    ('set(attributes["test"], "pass") where IsString("")', True),
+    ('set(attributes["test"], "pass") where Len(body) == 10', True),
+    ('set(attributes["test"], "pass") where Len(attributes) == 5', True),
+    ('set(attributes["test"], "pass") where UnixMicro(time) > 0', True),
+    ('set(attributes["test"], "pass") where UnixMilli(time) > 0', True),
+    ('set(attributes["test"], "pass") where UnixNano(time) > 0', True),
+    ('set(attributes["test"], "pass") where UnixSeconds(time) > 0', True),
+    ('set(attributes["test"], "pass") where IsString(UUID())', True),
+    ('set(attributes["test"], "pass") where IsString(UUIDv7())', True),
+    ('set(attributes["test"], "pass") where Now() == Now()', True),
+    ('set(attributes["test"], "pass") where severity_number == SEVERITY_NUMBER_TRACE', True),
+    ('set(attributes["test"], "pass") where severity_number < -5', False),
+    ('set(attributes["test"], "pass") where -severity_number == -1', True),
+    ('set(attributes["test"], "pass") where ContainsValue(["hello", "world"], "hello")', True),
+    ('set(attributes["test"], "pass") where ContainsValue([1, 2, 3, 4], 4)', True),
+    ('set(attributes["test"], "pass") where ContainsValue([1.1, 2.2], 4.4)', False),
+    ('set(attributes["test"], "pass") where scope.name == "scope"', True),
+    ('set(attributes["test"], "pass") where instrumentation_scope.name == "scope"', True),
+    ('set(attributes["test"], "pass") where log.body == "operationA"', True),
+    ('set(attributes["test"], "pass") where attributes["flags"] != nil', True),
+    ('set(attributes["test"], "pass") where attributes["nothere"] != nil', False),
+]
+
+
+def test_editor_corpus(record):
+    for stmt, check in EDITOR_CASES:
+        got = run(stmt, record)
+        assert check(got), f"failed: {stmt}\n got {got}"
+
+
+def test_converter_corpus(record):
+    for stmt, expected in CONVERTER_CASES:
+        got = run(stmt, record)
+        assert got["attributes"].get("test") == expected, (
+            f"failed: {stmt}\n want {expected!r} got {got['attributes'].get('test')!r}"
+        )
+
+
+def test_where_corpus(record):
+    for stmt, applied in WHERE_CASES:
+        got = run(stmt, record)
+        has = got["attributes"].get("test") == "pass"
+        assert has == applied, f"failed: {stmt}\n want applied={applied} got {got['attributes']}"
+
+
+def test_context_prefixed_edits(record):
+    # set into resource context
+    got = run('set(resource.attributes["cluster"], "c1")', record)
+    assert got["resource"]["cluster"] == "c1"
+    # read resource from a converter chain (e2e_test.go:1424)
+    got = run(
+        'set(attributes["my.environment.2"], Split(resource.attributes["host.name"],"h")[1])',
+        record,
+    )
+    assert got["attributes"]["my.environment.2"] == "ost"
+    # log-context prefix on the edit target
+    got = run('set(log.attributes["test"], "pass") where log.severity_number == 1', record)
+    assert got["attributes"]["test"] == "pass"
+
+
+def test_cache_roundtrip(record):
+    got = run(
+        ['set(cache["temp"], body)', 'set(attributes["test"], cache["temp"])'],
+        record,
+    )
+    assert got["attributes"]["test"] == "operationA"
+    # cache is scratch space: input column unchanged
+    assert got["body"] == "operationA"
+
+
+def test_severity_enum_edit(record):
+    got = run(
+        "set(severity_number, SEVERITY_NUMBER_TRACE2) where severity_number == SEVERITY_NUMBER_TRACE",
+        record,
+    )
+    assert got["severity_number"] == 2
+
+
+def test_int_division_semantics(record):
+    # OTTL int/int is integer division (math.go:165-180)
+    got = run('set(attributes["d"], severity_number / 2)', record)
+    assert got["attributes"]["d"] == "0"
+    got = run('set(attributes["d"], 7 / 2)', record)
+    assert got["attributes"]["d"] == "3"
+    got = run('set(attributes["d"], 7.0 / 2)', record)
+    assert got["attributes"]["d"] == "3.5"
+    # /0 -> statement error -> no edit under error_mode=ignore
+    got = run('set(attributes["d"], severity_number / 0)', record)
+    assert "d" not in got["attributes"]
+
+
+def test_unary_minus(record):
+    got = run('set(attributes["neg"], -1)', record)
+    assert got["attributes"]["neg"] == "-1"
+    got = run('set(attributes["neg"], -1.5)', record)
+    assert got["attributes"]["neg"] == "-1.5"
+    got = run('set(attributes["neg"], -severity_number)', record)
+    assert got["attributes"]["neg"] == "-1"
+
+
+def test_context_inference():
+    from opentelemetry_collector_contrib_spark.functions.ottl_compiler import (
+        infer_context,
+    )
+
+    assert infer_context(['set(log.attributes["a"], 1)']) == "log"
+    assert infer_context(['set(resource.attributes["a"], 1)']) == "resource"
+    assert infer_context(
+        ['set(resource.attributes["a"], 1)', 'set(log.body, "x")']
+    ) == "log"  # log outranks resource (context_inferrer.go:18-28)
+    assert infer_context(['set(attributes["a"], 1)']) == "log"
+
+
+def test_unsupported_context_rejected(record):
+    from opentelemetry_collector_contrib_spark.functions.ottl_compiler import (
+        OTTLSyntaxError, compile_statement,
+    )
+
+    with pytest.raises(OTTLSyntaxError):
+        compile_statement('set(span.attributes["a"], 1)')
+    with pytest.raises(OTTLSyntaxError):
+        compile_statement('set(metric.name, "x")')
+
+
+def test_multisegment_path_rejected_for_set():
+    # 'attributes["k"].sub' must be a loud error, not silent truncation
+    from opentelemetry_collector_contrib_spark.functions.ottl_compiler import (
+        OTTLSyntaxError, compile_statement,
+    )
+
+    with pytest.raises(OTTLSyntaxError):
+        compile_statement('set(attributes["k"].sub, 1)')

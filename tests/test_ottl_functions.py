@@ -57,7 +57,7 @@ def run_cases(row, cases):
 def test_string_family(row):
     c = F.col
     run_cases(row, [
-        (O.Concat("-", c("http_method"), c("http_path")), "get-/health"),
+        (O.Concat([c("http_method"), c("http_path")], "-"), "get-/health"),
         (O.Format("%s=%s", c("http_method"), c("num_s")), "get=42"),
         (O.Split(c("flags"), "|"), ["A", "B", "C"]),
         (O.Substring(c("body"), 0, 9), "operation"),

@@ -153,3 +153,60 @@ def test_stream_alert_for_persistence(spark, tmp_path):
         ("r1", "2024-01-01 00:01:00", 2),
         ("r1", "2024-01-01 00:02:00", 3),
     ]
+
+
+def test_stream_alert_fingerprint_dedup(spark, tmp_path):
+    """`for:` persistence composed with the dedup fingerprint stage:
+    repeated fires of the same (rule, labels) within the dedup window
+    emit once (alertsgen dedup.Deduper semantics)."""
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        stream_alert_dedup,
+        stream_alert_rule,
+    )
+
+    rows = [
+        ("r1", "2024-01-01 00:00:00", 9.0),
+        ("r1", "2024-01-01 00:01:00", 8.0),   # fires (streak 2)
+        ("r1", "2024-01-01 00:02:00", 7.0),   # fires (streak 3) - same fingerprint
+        ("r2", "2024-01-01 00:00:00", 9.0),
+        ("r2", "2024-01-01 00:01:00", 9.0),   # fires (streak 2), other rule key
+    ]
+    df = spark.createDataFrame(rows, "rule_key string, window_start string, metric double")
+    df = df.withColumn("window_start", F.to_timestamp("window_start"))
+    d = str(tmp_path / "alerts-fp-in")
+    df.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(
+        "rule_key string, window_start timestamp, metric double"
+    ).parquet(d)
+    fired = stream_alert_rule(stream, threshold=5.0, for_windows=2, window_sec=60)
+    deduped = stream_alert_dedup(fired, "high_metric", ["rule_key"])
+    _run(deduped, tmp_path, "alerts_fp")
+    got = sorted(
+        (r["rule_key"], r["streak"])
+        for r in spark.sql("select * from alerts_fp").collect()
+    )
+    # r1 fired twice (streaks 2,3) but dedups to ONE alert; r2 once
+    assert [k for k, _ in got] == ["r1", "r2"]
+
+
+def test_iceberg_sink_fallback(spark, tmp_path):
+    """Format-pluggable sink: without Iceberg jars, fmt='auto' falls
+    back to parquet dynamic-overwrite; fmt='iceberg' raises clearly."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.runtime.sinks import (
+        iceberg_available,
+        write_table_sink,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, route string")
+    path = str(tmp_path / "tbl")
+    used = write_table_sink(df, "local.db.t", path, partition_by=["route"], fmt="auto")
+    if not iceberg_available(spark):
+        assert used == "parquet"
+        back = spark.read.parquet(path)
+        assert back.count() == 2
+        with _pytest.raises(RuntimeError, match="jars are absent"):
+            write_table_sink(df, "local.db.t", path, fmt="iceberg")
+    else:
+        assert used == "iceberg"
