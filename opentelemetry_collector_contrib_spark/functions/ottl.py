@@ -30,6 +30,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from .strptime import strptime_parse, strptime_to_spark
+from .xml_edit import (
+    ConvertAttributesToElementsXML,
+    ConvertTextToElementsXML,
+    InsertXML,
+    ParseXML,
+    RemoveXML,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -133,8 +140,17 @@ def LenArray(c: Column) -> Column:
     return F.size(c)
 
 
-def String(c: Column) -> Column:
-    return c.cast("string")
+def String(c) -> Column:
+    """func_string.go -> StringifyValue: slices render JSON-compact
+    ("[1,2,3]", e2e_test.go:1061-1064); scalars are their Go string
+    form. Array COLUMNS go through to_json for the same shape."""
+    if isinstance(c, (list, tuple)):
+        import json as _json
+
+        return F.lit(_json.dumps(c, separators=(",", ":")))
+    if isinstance(c, Column):
+        return c.cast("string")
+    return F.lit(str(c))
 
 
 # ---------------------------------------------------------------------------
@@ -158,6 +174,25 @@ def ExtractPatterns(c: Column, pattern: str) -> Column:
     for name, idx in groups.items():
         keys.append(F.lit(name))
         vals.append(F.regexp_extract(c, java_pattern, idx))
+    m = F.map_from_arrays(F.array(*keys), F.array(*vals))
+    return F.map_filter(m, lambda k, v: v != "")
+
+
+def ExtractGrokPatterns(c: Column, pattern: str) -> Column:
+    """Grok expression -> MAP<STRING,STRING> of named captures
+    (func_extract_grok_patterns.go delegates to elastic/go-grok; here
+    the grok compiler in functions/grok.py expands ``%{NAME:field}``
+    to capture groups and each field reads via regexp_extract — all
+    JVM-side)."""
+    from .grok import compile_grok
+
+    java_regex, fields = compile_grok(pattern)
+    keys, vals = [], []
+    for idx, (name, _cast) in enumerate(fields, start=1):
+        keys.append(F.lit(name))
+        vals.append(F.regexp_extract(c, java_regex, idx))
+    if not keys:
+        return F.create_map()
     m = F.map_from_arrays(F.array(*keys), F.array(*vals))
     return F.map_filter(m, lambda k, v: v != "")
 
@@ -297,7 +332,11 @@ def Base64Decode(c: Column) -> Column:  # deprecated alias in reference
 def GetXML(c: Column, xpath: str) -> Column:
     """GetXML(target, xpath) -> matched nodes' text values as an array
     (func_get_xml.go returns the matched document fragments; the text
-    view is the load-bearing read path)."""
+    view is the load-bearing read path). Spark's xpath() yields NULL
+    for element matches unless the path targets text()/@attr — append
+    text() for plain element selectors."""
+    if not (xpath.rstrip("/").endswith("text()") or "/@" in xpath):
+        xpath = xpath.rstrip("/") + "/text()"
     return F.xpath(c, F.lit(xpath))
 
 
@@ -310,10 +349,22 @@ def GetXMLInt(c: Column, xpath: str) -> Column:
     return F.xpath_int(c, F.lit(xpath))
 
 
-def ParseSimplifiedXML(c: Column, fields: dict[str, str]) -> Column:
-    """ParseSimplifiedXML: XML -> map of {key: xpath-extracted value}
-    (func_parse_simplified_xml.go flattens a document into attributes;
-    here the flattening spec is explicit — schema-on-write)."""
+def ParseSimplifiedXML(c: Column, fields: dict[str, str] | None = None) -> Column:
+    """ParseSimplifiedXML (func_parse_simplified_xml.go:51-116).
+
+    With an explicit ``fields`` spec: XML -> map of {key:
+    xpath-extracted value} — stays JVM-side (schema-on-write fast
+    path for pipeline configs).
+
+    Without ``fields`` (the reference's only form): the recursive
+    simplification — leaf elements become key->text, repeated tags
+    become slices, nested elements become maps — returned as a JSON
+    string (the result map is recursive; Spark column types are
+    closed)."""
+    if fields is None:
+        from .xml_edit import parse_simplified_xml_udf
+
+        return parse_simplified_xml_udf(c.cast("string"))
     keys, vals = [], []
     for k, xp in fields.items():
         keys.append(F.lit(k))
@@ -331,17 +382,29 @@ def ParseSimplifiedXML(c: Column, fields: dict[str, str]) -> Column:
 def Time(c: Column, layout: str) -> Column:
     """strptime-layout parse (func_time.go uses ctimefmt); handles
     day-of-week layouts by stripping the parse-irrelevant day name."""
-    return strptime_parse(c, layout)
+    out = strptime_parse(c, layout)
+    out._ottl_is_ts = True
+    return out
 
 
 def FormatTime(c: Column, layout: str) -> Column:
     return F.date_format(c, strptime_to_spark(layout))
 
 
-def TruncateTime(c: Column, unit: str) -> Column:
-    """Duration-truncate: second/minute/hour/day (func_truncate_time.go
-    takes a Duration; we expose the common units)."""
-    return F.date_trunc(unit, c)
+def TruncateTime(c: Column, unit) -> Column:
+    """Duration-truncate (func_truncate_time.go -> Go time.Truncate:
+    round down to a multiple of d since the zero time).  Accepts a
+    spark date_trunc unit name OR a Duration() result / int64 nanos."""
+    ns = getattr(unit, "_ottl_duration_ns", unit if isinstance(unit, int) else None)
+    if ns is not None:
+        us = max(ns // 1000, 1)
+        out = F.timestamp_micros(
+            F.floor(F.unix_micros(c.cast("timestamp")) / us).cast("long") * us
+        )
+    else:
+        out = F.date_trunc(unit, c)
+    out._ottl_is_ts = True
+    return out
 
 
 _DUR_UNITS = {"ns": 1, "us": 1_000, "µs": 1_000, "ms": 1_000_000, "s": 1_000_000_000,
@@ -356,7 +419,12 @@ def Duration(s: str) -> Column:
     total = 0
     for num, unit in _re.findall(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)", s):
         total += int(float(num) * _DUR_UNITS[unit])
-    return F.lit(total).cast("long")
+    col = F.lit(total).cast("long")
+    # static ns value rides along so TruncateTime / timestamp
+    # arithmetic can resolve at compile time (Go returns a typed
+    # time.Duration; Spark columns are type-blind until analysis)
+    col._ottl_duration_ns = total
+    return col
 
 
 def UnixSeconds(c: Column) -> Column:
@@ -377,7 +445,9 @@ def UnixNano(c: Column) -> Column:
 
 
 def Unix(seconds: Column) -> Column:
-    return F.timestamp_seconds(seconds)
+    out = F.timestamp_seconds(seconds)
+    out._ottl_is_ts = True
+    return out
 
 
 def Year(c: Column) -> Column:
@@ -649,7 +719,9 @@ def set_now(iso_ts: str) -> None:
 
 
 def Now() -> Column:
-    return F.to_timestamp(F.lit(_PINNED_NOW), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    out = F.to_timestamp(F.lit(_PINNED_NOW), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    out._ottl_is_ts = True
+    return out
 
 
 def UUIDv7(ts: Column, seed: Column | None = None) -> Column:
@@ -684,6 +756,12 @@ def TraceID(hex_col: Column) -> Column:
 
 def SpanID(hex_col: Column) -> Column:
     return F.lower(F.regexp_extract(hex_col, r"^([0-9a-fA-F]{16})$", 1))
+
+
+def ProfileID(hex_col: Column) -> Column:
+    """func_profile_id.go: exactly 16 bytes (32 hex chars) or error;
+    here invalid input folds to '' like TraceID/SpanID."""
+    return F.lower(F.regexp_extract(hex_col, r"^([0-9a-fA-F]{32})$", 1))
 
 
 # ---------------------------------------------------------------------------
@@ -896,4 +974,8 @@ OTTL_CONVERTERS = {
     "Keys": Keys, "Values": Values, "Sort": Sort, "SliceToMap": SliceToMap,
     "ContainsValue": ContainsValue, "Append": Append,
     "ToKeyValueString": ToKeyValueString,
+    "ProfileID": ProfileID, "ExtractGrokPatterns": ExtractGrokPatterns,
+    "ParseXML": ParseXML, "InsertXML": InsertXML, "RemoveXML": RemoveXML,
+    "ConvertAttributesToElementsXML": ConvertAttributesToElementsXML,
+    "ConvertTextToElementsXML": ConvertTextToElementsXML,
 }

@@ -51,6 +51,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<hex>0x[0-9a-fA-F]+)
   | (?P<float>\d+\.\d+)
   | (?P<int>\d+)
   | (?P<op>==|!=|>=|<=|&&|\|\||[()\[\],.<>+\-*/=])
@@ -64,6 +65,16 @@ _TOKEN_RE = re.compile(
 class Tok:
     kind: str
     text: str
+
+
+class HexLit(int):
+    """0x… byte literal (grammar.go Bytes): an int that remembers its
+    written hex digits so id converters keep the byte width."""
+
+    def __new__(cls, text: str):
+        obj = super().__new__(cls, int(text, 16))
+        obj.digits = text[2:].lower()
+        return obj
 
 
 def tokenize(src: str) -> list[Tok]:
@@ -238,6 +249,27 @@ class Parser:
         while self.peek().text in ("+", "-"):
             op = self.next().text
             right = self.parse_multiplicative()
+            # Go time arithmetic (compare.go / time.Sub): ts - ts is a
+            # Duration (int64 ns); ts ± Duration shifts the timestamp.
+            # Spark would produce a DayTimeInterval, which doesn't
+            # compare against Duration()'s ns long — lower to ns here.
+            if op == "-" and _is_ts_expr(left) and _is_ts_expr(right):
+                left = (
+                    F.unix_micros(_as_col(left).cast("timestamp"))
+                    - F.unix_micros(_as_col(right).cast("timestamp"))
+                ) * F.lit(1000)
+                continue
+            if _is_ts_expr(left):
+                ns = _static_duration_ns(right)
+                if ns is not None:
+                    us = ns // 1000
+                    shifted = F.timestamp_micros(
+                        F.unix_micros(_as_col(left).cast("timestamp"))
+                        + (us if op == "+" else -us)
+                    )
+                    shifted._ottl_is_ts = True
+                    left = shifted
+                    continue
             lc, rc = _as_col(left), _as_col(right)
             left = lc + rc if op == "+" else lc - rc
         return left
@@ -285,6 +317,9 @@ class Parser:
         if t.kind == "string":
             self.next()
             return _unquote(t.text)
+        if t.kind == "hex":
+            self.next()
+            return HexLit(t.text)
         if t.kind == "int":
             self.next()
             return int(t.text)
@@ -394,6 +429,15 @@ class Parser:
             # banned -> derive from the pinned Now() instant
             args = [OTTL_CONVERTERS["Now"]()]
 
+        if (
+            name in ("TraceID", "SpanID", "ProfileID")
+            and args
+            and isinstance(args[0], HexLit)
+        ):
+            # TraceID(0x…)/SpanID(0x…) byte literals (grammar.go) —
+            # feed the converter the written hex digits
+            args[0] = F.lit(args[0].digits)
+
         # converters take (Column, python-literal...) — coerce the
         # first argument to a Column, keep literal args as literals
         if args and not isinstance(args[0], Column):
@@ -416,7 +460,10 @@ class Parser:
             # these converters are type-aware over literal args
             # (Duration parses a string; Hex encodes per Go type;
             # ParseJSON sniffs its schema from the literal)
-            if name not in ("Duration", "Hex", "ParseJSON"):
+            literal_aware = name in ("Duration", "Hex", "ParseJSON") or (
+                name == "String" and isinstance(args[0], (list, tuple))
+            )
+            if not literal_aware:
                 args[0] = _as_col(args[0])
         elif args and isinstance(args[0], Path):
             args[0] = args[0].get()
@@ -532,6 +579,24 @@ def _as_col(v) -> Column:
 
 # integer-typed columns of the flat log model (int division dispatch)
 _INT_COLS = {"severity_number", "flags", "time_unix_nano"}
+
+
+def _is_ts_expr(v) -> bool:
+    """Static timestamp-ness: the `time` path, or a converter result
+    marked by Time/Now/Unix/TruncateTime (Spark columns are type-blind
+    until analysis; Go's type switch happens at runtime)."""
+    if isinstance(v, Path):
+        return v.column in ("time", "observed_time") and not v.accessors
+    return isinstance(v, Column) and getattr(v, "_ottl_is_ts", False)
+
+
+def _static_duration_ns(v):
+    """ns value of a Duration() literal / int literal, else None."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v
+    return getattr(v, "_ottl_duration_ns", None)
 
 
 def _is_int_expr(v) -> bool:

@@ -279,6 +279,112 @@ WHERE_CASES = [
     ('set(attributes["test"], "pass") where log.body == "operationA"', True),
     ('set(attributes["test"], "pass") where attributes["flags"] != nil', True),
     ('set(attributes["test"], "pass") where attributes["nothere"] != nil', False),
+    # hex byte literals (grammar.go Bytes; e2e_test.go TraceID cases)
+    ('set(attributes["test"], "pass") where trace_id == '
+     "TraceID(0x0102030405060708090a0b0c0d0e0f10)", True),
+    ('set(attributes["test"], "pass") where span_id == SpanID(0x0102030405060708)',
+     True),
+    # Go time arithmetic: ts - ts is an int64-ns Duration (time.Sub)
+    ('set(attributes["test"], "pass") where Now() - Now() < Duration("1h")', True),
+    ('set(attributes["test"], "pass") where '
+     'Time("10", "%M") - Time("01", "%M") < Duration("10m")', True),
+    ('set(attributes["test"], "pass") where '
+     'Time("10", "%M") - Time("01", "%M") > Duration("10m")', False),
+]
+
+
+# ---------------------------------------------------------------------------
+# round-2 verbatim additions (XML write-side, byte literals, grok,
+# simplified XML, container/struct renderings) — e2e_test.go cases that
+# became expressible once ParseXML/InsertXML/RemoveXML/Convert*XML/
+# ExtractGrokPatterns landed. Map/array cells render via Spark's
+# string cast ('{k -> v}' / '[a, b]'); the parse itself is what the
+# reference asserts.
+# ---------------------------------------------------------------------------
+
+ROUND2_CASES = [
+    (r'set(attributes["test"], ConvertAttributesToElementsXML('
+     r'"<Log id=\"1\"><Message>This is a log message!</Message></Log>"))',
+     lambda r: r["attributes"]["test"]
+     == "<Log><Message>This is a log message!</Message><id>1</id></Log>"),
+    (r'set(body, ConvertTextToElementsXML("<a><b/>foo</a>"))',
+     lambda r: r["body"] == "<a><b></b><value>foo</value></a>"),
+    (r'set(body, ConvertTextToElementsXML('
+     r'"<a><b/>foo</a><c><b/>bar</c>", "/a", "custom"))',
+     lambda r: r["body"] == "<a><b></b><custom>foo</custom></a><c><b></b>bar</c>"),
+    (r'set(attributes["test"], InsertXML("<a></a>", "/a", "<b></b>"))',
+     lambda r: r["attributes"]["test"] == "<a><b></b></a>"),
+    (r'set(attributes["test"], ParseXML('
+     r'"<Log id=\"1\"><Message>This is a log message!</Message></Log>"))',
+     lambda r: r["attributes"]["test"]
+     == '{"tag":"Log","attributes":{"id":"1"},'
+        '"children":[{"tag":"Message","content":"This is a log message!"}]}'),
+    (r'set(attributes["test"], RemoveXML('
+     r'"<Log id=\"1\"><Message>This is a log message!</Message></Log>", '
+     r'"/Log/Message"))',
+     lambda r: r["attributes"]["test"] == '<Log id="1"></Log>'),
+    (r'set(attributes["test"], ParseSimplifiedXML('
+     r'"<Log><id>1</id><Message>This is a log message!</Message></Log>"))',
+     lambda r: r["attributes"]["test"]
+     == '{"Log":{"id":"1","Message":"This is a log message!"}}'),
+    (r'set(attributes["test"], GetXML("<a><b>1</b><c><b>2</b></c></a>", "/a//b"))',
+     lambda r: r["attributes"]["test"] == "[1, 2]"),
+    ('set(attributes["test"], String([1,2,3]))',
+     lambda r: r["attributes"]["test"] == "[1,2,3]"),
+    ('set(attributes["test"], Int(1.0))',
+     lambda r: r["attributes"]["test"] == "1"),
+    ('set(attributes["test"], Int(true))',
+     lambda r: r["attributes"]["test"] == "1"),
+    ('set(attributes["test"], Int(1))',
+     lambda r: r["attributes"]["test"] == "1"),
+    ('set(attributes["test"], Double(1.0))',
+     lambda r: r["attributes"]["test"] == "1.0"),
+    ('set(attributes["test"], Double(true))',
+     lambda r: r["attributes"]["test"] == "1.0"),
+    ('set(attributes["test"], ParseCSV("val1;val2;val3",'
+     '"header1|header2|header3",";","|","strict"))',
+     lambda r: r["attributes"]["test"] == "{val1, val2, val3}"),
+    ('set(attributes["test"], ParseCSV("val1,val2,val3",'
+     '"header1|header2|header3",headerDelimiter="|",mode="strict"))',
+     lambda r: r["attributes"]["test"] == "{val1, val2, val3}"),
+    ('set(attributes["test"], ParseKeyValue("k1=v1 k2=v2"))',
+     lambda r: r["attributes"]["test"] == "{k1 -> v1, k2 -> v2}"),
+    ('set(attributes["test"], ParseKeyValue("k1!v1_k2!v2", "!", "_"))',
+     lambda r: r["attributes"]["test"] == "{k1 -> v1, k2 -> v2}"),
+    ('set(attributes["test"], Sort(Split(attributes["flags"], "|"), "desc"))',
+     lambda r: r["attributes"]["test"] == "[C, B, A]"),
+    ('set(attributes["test"], Sort([3, 6, 9], "desc"))',
+     lambda r: r["attributes"]["test"] == "[9, 6, 3]"),
+    ('set(attributes["test"], Sort([true, false, false]))',
+     lambda r: r["attributes"]["test"] == "[false, false, true]"),
+    ('set(attributes["test"], Split(attributes["flags"], "|"))',
+     lambda r: r["attributes"]["test"] == "[A, B, C]"),
+    (r'set(attributes["test"], ExtractPatterns("aa123bb", "(?P<numbers>\\d+)"))',
+     lambda r: r["attributes"]["test"] == "{numbers -> 123}"),
+    ('set(attributes["test"], UserAgent("curl/7.81.0"))',
+     lambda r: "user_agent.name -> curl" in r["attributes"]["test"]
+     and "user_agent.version -> 7.81.0" in r["attributes"]["test"]),
+    ('set(attributes["test"], ExtractGrokPatterns("192.168.0.1 GET /health", '
+     '"%{IP:ip} %{WORD:verb} %{URIPATH:path}"))',
+     lambda r: r["attributes"]["test"]
+     == "{ip -> 192.168.0.1, verb -> GET, path -> /health}"),
+    ('set(attributes["time"], FormatTime(time, "%Y-%m-%d"))',
+     lambda r: r["attributes"]["time"] == "2020-02-11"),
+    ('set(span_id, SpanID(0x0000000000000000))',
+     lambda r: r["span_id"] == "0000000000000000"),
+    ('set(trace_id, TraceID(0x00000000000000000000000000000000))',
+     lambda r: r["trace_id"] == "0" * 32),
+    ('set(time, TruncateTime(time, Duration("1s")))',
+     lambda r: r["time"] == TEST_TIME),
+    (r'merge_maps(attributes, ParseJSON("{\"json_test\":\"pass\"}"), '
+     '"insert") where body == "operationA"',
+     lambda r: r["attributes"]["json_test"] == "pass"),
+    (r'set(attributes["test"], "\\")',
+     lambda r: r["attributes"]["test"] == "\\"),
+    (r'set(attributes["test"], "\"")',
+     lambda r: r["attributes"]["test"] == '"'),
+    ('set(attributes["test"], "pass") where IsMatch("aa123bb", "\\\\d{3}")',
+     lambda r: r["attributes"]["test"] == "pass"),
 ]
 
 
@@ -301,6 +407,12 @@ def test_where_corpus(record):
         got = run(stmt, record)
         has = got["attributes"].get("test") == "pass"
         assert has == applied, f"failed: {stmt}\n want applied={applied} got {got['attributes']}"
+
+
+def test_round2_corpus(record):
+    for stmt, check in ROUND2_CASES:
+        got = run(stmt, record)
+        assert check(got), f"failed: {stmt}\n got {got}"
 
 
 def test_context_prefixed_edits(record):
