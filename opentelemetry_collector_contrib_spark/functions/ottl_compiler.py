@@ -769,3 +769,10 @@ def compile_condition(src: str) -> Column:
     if p.peek().kind != "eof":
         raise OTTLSyntaxError(f"trailing input: {p.peek().text!r}")
     return col
+
+
+def compile_expression(src: str) -> Column:
+    """OTTL value expression string -> Column (signaltometrics value/
+    count expressions; pkg/ottl value grammar — same parse as a
+    condition, the result just isn't required to be boolean)."""
+    return compile_condition(src)

@@ -604,3 +604,8 @@ from .queries_ext3 import EXT3_ORACLES, EXT3_QUERIES  # noqa: E402
 
 QUERIES.update(EXT3_QUERIES)
 ORACLES.update(EXT3_ORACLES)
+
+from .queries_ext4 import EXT4_ORACLES, EXT4_QUERIES  # noqa: E402
+
+QUERIES.update(EXT4_QUERIES)
+ORACLES.update(EXT4_ORACLES)

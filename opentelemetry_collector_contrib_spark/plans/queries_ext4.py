@@ -1,0 +1,205 @@
+"""Round-2 extension batch #2: schema processor (semconv version
+translation), sqlquery receiver (tracking-column watermark ingest),
+signaltometrics connector (config-driven sum/gauge/histogram).
+
+Every query has a DuckDB oracle with identical column aliases
+(driver contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.schema import schema_translate
+from ..operators.signaltometrics import MetricInfo, signal_to_metrics
+from ..sources.sqlquery import SQLQueryReceiver
+from .base import QueryFn, load
+
+
+# ---------------------------------------------------------------------------
+# schema processor: compose published semconv renames 1.7.0 -> 1.20.0
+# (processor/schemaprocessor internal/translation/revision_v1.go;
+# rename tables from the public opentelemetry.io schema files)
+# ---------------------------------------------------------------------------
+
+def _log_shaped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events rows with an old-semconv attribute map (synthetic values
+    derived from columns so both engines compute them identically)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.withColumn(
+        "attributes",
+        F.create_map(
+            F.lit("net.peer.ip"),
+            F.concat(F.lit("10.0.0."), (F.col("user_id") % 256).cast("string")),
+            F.lit("http.user_agent"),
+            F.concat(F.lit("agent/"), F.col("event_type")),
+            F.lit("faas.execution"),
+            F.col("event_id").cast("string"),
+            F.lit("db.cassandra.keyspace"),
+            F.concat(F.lit("ks_"), (F.col("user_id") % 10).cast("string")),
+            F.lit("http.retry_count"),
+            (F.col("user_id") % 3).cast("string"),
+        ),
+    )
+
+
+def q_schema_semconv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _log_shaped_events(spark, sf_dir)
+    df = schema_translate(df, "1.7.0", "1.20.0", attr_cols=("attributes",))
+    a = F.col("attributes")
+    return df.select(
+        "event_id",
+        F.element_at(a, F.lit("db.name")).alias("db_name"),
+        F.element_at(a, F.lit("net.sock.peer.addr")).alias("sock_addr"),
+        F.element_at(a, F.lit("user_agent.original")).alias("ua"),
+        F.element_at(a, F.lit("faas.invocation_id")).alias("invocation_id"),
+        F.element_at(a, F.lit("http.resend_count")).alias("resend_count"),
+        F.element_at(a, F.lit("net.peer.ip")).alias("old_key_gone"),
+    )
+
+
+O_SCHEMA_SEMCONV = """
+SELECT event_id,
+       'ks_' || CAST(user_id % 10 AS VARCHAR) AS db_name,
+       '10.0.0.' || CAST(user_id % 256 AS VARCHAR) AS sock_addr,
+       'agent/' || event_type AS ua,
+       CAST(event_id AS VARCHAR) AS invocation_id,
+       CAST(user_id % 3 AS VARCHAR) AS resend_count,
+       CAST(NULL AS VARCHAR) AS old_key_gone
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# sqlquery receiver: parameterized query with tracking column
+# (receiver/sqlqueryreceiver logs_receiver.go:220-345)
+# ---------------------------------------------------------------------------
+
+def q_sqlquery_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    rx = SQLQueryReceiver(
+        sql="SELECT event_id, event_type, props FROM events WHERE event_id > $1",
+        tracking_column="event_id",
+        tracking_start_value="1000",
+        body_column="props",
+        attribute_columns=("event_id", "event_type"),
+    )
+    logs = rx.to_logs(rx.poll(spark))
+    return logs.select(
+        "body",
+        F.element_at(F.col("attributes"), F.lit("event_id")).alias("event_id"),
+        F.element_at(F.col("attributes"), F.lit("event_type")).alias("event_type"),
+    )
+
+
+O_SQLQUERY_LOGS = """
+SELECT props AS body,
+       CAST(event_id AS VARCHAR) AS event_id,
+       event_type
+FROM events WHERE event_id > 1000
+"""
+
+
+# ---------------------------------------------------------------------------
+# signaltometrics: OTTL-configured sum / gauge / histogram
+# (connector/signaltometricsconnector README config surface)
+# ---------------------------------------------------------------------------
+
+def _signal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("props").alias("body"),
+        F.col("ts").alias("time"),
+        F.create_map(
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("value"), F.col("value").cast("string"),
+            F.lit("user"), F.col("user_id").cast("string"),
+        ).alias("attributes"),
+    )
+
+
+def q_signaltometrics_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _signal_events(spark, sf_dir)
+    cfg = MetricInfo(
+        name="events_value_sum",
+        metric_type="sum",
+        value='Double(attributes["value"])',
+        conditions=('attributes["event_type"] != "signup"',),
+        attributes=(("event_type",),),
+    )
+    out = signal_to_metrics(df, cfg)
+    return out.select(
+        "event_type", F.round(F.col("events_value_sum"), 4).alias("events_value_sum")
+    )
+
+
+O_S2M_SUM = """
+SELECT event_type, ROUND(SUM(value), 4) AS events_value_sum
+FROM events WHERE event_type <> 'signup'
+GROUP BY event_type
+"""
+
+
+def q_signaltometrics_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _signal_events(spark, sf_dir)
+    cfg = MetricInfo(
+        name="events_value_hist",
+        metric_type="histogram",
+        value='Double(attributes["value"])',
+        attributes=(("event_type",),),
+    )
+    return signal_to_metrics(df, cfg).select(
+        "event_type", "bucket_idx", "bucket_count"
+    )
+
+
+def _hist_case() -> str:
+    from ..operators.signaltometrics import DEFAULT_BUCKETS
+
+    clauses = " ".join(
+        f"WHEN value <= {b} THEN {i}" for i, b in enumerate(DEFAULT_BUCKETS)
+    )
+    return f"CASE {clauses} ELSE {len(DEFAULT_BUCKETS)} END"
+
+
+O_S2M_HIST = f"""
+SELECT event_type, {_hist_case()} AS bucket_idx,
+       COUNT(*) AS bucket_count
+FROM events
+GROUP BY event_type, bucket_idx
+"""
+
+
+def q_signaltometrics_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _signal_events(spark, sf_dir)
+    cfg = MetricInfo(
+        name="events_value_gauge",
+        metric_type="gauge",
+        value='Double(attributes["value"])',
+        attributes=(("event_type",),),
+    )
+    return signal_to_metrics(df, cfg)
+
+
+O_S2M_GAUGE = """
+SELECT event_type, arg_max(value, ts) AS events_value_gauge
+FROM events GROUP BY event_type
+"""
+
+
+EXT4_QUERIES: dict[str, QueryFn] = {
+    "schema_semconv": q_schema_semconv,
+    "sqlquery_logs": q_sqlquery_logs,
+    "signaltometrics_sum": q_signaltometrics_sum,
+    "signaltometrics_hist": q_signaltometrics_hist,
+    "signaltometrics_gauge": q_signaltometrics_gauge,
+}
+
+EXT4_ORACLES: dict[str, str] = {
+    "schema_semconv": O_SCHEMA_SEMCONV,
+    "sqlquery_logs": O_SQLQUERY_LOGS,
+    "signaltometrics_sum": O_S2M_SUM,
+    "signaltometrics_hist": O_S2M_HIST,
+    "signaltometrics_gauge": O_S2M_GAUGE,
+}
