@@ -1,0 +1,181 @@
+"""metricstransform processor over the flat metric model
+(metric_name STRING, labels MAP<STRING,STRING>, value DOUBLE).
+
+Mirrors ``processor/metricstransformprocessor`` (README config table;
+metrics_transform_processor.go): transforms select metrics by strict/
+regexp name match (+ optional label matches), apply an action —
+
+- ``update``  : edit matching rows in place (rename via regexp with
+  capture-group expansion, label ops, scaling)
+- ``insert``  : clone matching rows, apply ops to the clone, union
+- ``combine`` : collapse all matching metrics into one new metric,
+  aggregating data points (sum/mean/min/max/count)
+
+and per-metric operations (add_label, update_label,
+delete_label_value, experimental_scale_value, aggregate_labels,
+aggregate_label_values).  Only batch-scope semantics exist (the
+reference aggregates within a batch only), which is exactly a
+DataFrame: every action compiles to filter/withColumn/union/groupBy —
+one shuffle only where an aggregation is requested.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_AGGS = {
+    "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+    "count": F.count,
+}
+
+
+@dataclass
+class Operation:
+    action: str
+    label: str | None = None
+    new_label: str | None = None
+    new_value: str | None = None
+    label_value: str | None = None
+    label_set: tuple[str, ...] = ()
+    aggregated_values: tuple[str, ...] = ()
+    aggregation_type: str = "sum"
+    scale: float = 1.0
+
+
+@dataclass
+class Transform:
+    include: str
+    match_type: str = "strict"  # strict | regexp
+    match_labels: dict = field(default_factory=dict)
+    action: str = "update"  # update | insert | combine
+    new_name: str | None = None
+    aggregation_type: str = "sum"
+    operations: tuple[Operation, ...] = ()
+
+
+def _match(tf: Transform) -> Column:
+    name = F.col("metric_name")
+    cond = (
+        name == tf.include if tf.match_type == "strict"
+        else name.rlike(tf.include)
+    )
+    for k, v in tf.match_labels.items():
+        cond = cond & (F.element_at(F.col("labels"), F.lit(k)) == v)
+    return cond
+
+
+def _expand_name(tf: Transform) -> Column:
+    """new_name with $1-style capture expansion for regexp matches
+    (README: 'capturing groups from the regexp filter will be
+    expanded')."""
+    if tf.match_type == "regexp" and re.search(r"\$\{?\d", tf.new_name or ""):
+        return F.regexp_replace(
+            F.col("metric_name"), tf.include, tf.new_name
+        )
+    return F.lit(tf.new_name)
+
+
+def _apply_op(df: DataFrame, op: Operation) -> DataFrame:
+    labels = F.col("labels")
+    if op.action == "add_label":
+        return df.withColumn(
+            "labels",
+            F.map_concat(labels, F.create_map(F.lit(op.new_label), F.lit(op.new_value))),
+        )
+    if op.action == "update_label":
+        # rename a label key
+        return df.withColumn(
+            "labels",
+            F.transform_keys(
+                labels,
+                lambda k, _v: F.when(k == op.label, F.lit(op.new_label)).otherwise(k),
+            ),
+        )
+    if op.action == "delete_label_value":
+        return df.filter(
+            F.coalesce(
+                F.element_at(labels, F.lit(op.label)) != op.label_value,
+                F.lit(True),
+            )
+        )
+    if op.action == "experimental_scale_value":
+        return df.withColumn("value", F.col("value") * F.lit(op.scale))
+    if op.action == "aggregate_labels":
+        keys = list(op.label_set)
+        agg = _AGGS[op.aggregation_type]
+        flat = [
+            F.element_at(labels, F.lit(k)).alias(f"__l_{k}") for k in keys
+        ]
+        grouped = (
+            df.select("metric_name", F.col("value"), *flat)
+            .groupBy("metric_name", *[f"__l_{k}" for k in keys])
+            .agg(agg("value").alias("value"))
+        )
+        pairs = []
+        for k in keys:
+            pairs.extend([F.lit(k), F.col(f"__l_{k}")])
+        return grouped.select(
+            "metric_name",
+            F.map_filter(
+                F.map_from_arrays(
+                    F.array(*pairs[::2]), F.array(*pairs[1::2])
+                ),
+                lambda _k, v: v.isNotNull(),
+            ).alias("labels"),
+            "value",
+        )
+    if op.action == "aggregate_label_values":
+        # fold listed values of `label` into new_value, re-aggregate
+        agg = _AGGS[op.aggregation_type]
+        folded = df.withColumn(
+            "labels",
+            F.transform_values(
+                F.col("labels"),
+                lambda k, v: F.when(
+                    (k == op.label) & v.isin(*op.aggregated_values),
+                    F.lit(op.new_value),
+                ).otherwise(v),
+            ),
+        )
+        return (
+            folded.groupBy("metric_name", "labels")
+            .agg(agg("value").alias("value"))
+        )
+    if op.action == "toggle_scalar_data_type":
+        return df.withColumn("value", F.col("value").cast("long").cast("double"))
+    raise ValueError(f"unknown operation {op.action!r}")
+
+
+def metrics_transform(df: DataFrame, transforms: list[Transform]) -> DataFrame:
+    """Apply the transform list in order (later transforms see earlier
+    results, README ordering rule)."""
+    for tf in transforms:
+        cond = _match(tf)
+        matched, rest = df.filter(cond), df.filter(~cond)
+        if tf.action == "combine":
+            agg = _AGGS[tf.aggregation_type]
+            combined = (
+                matched.groupBy("labels")
+                .agg(agg("value").alias("value"))
+                .select(
+                    F.lit(tf.new_name).alias("metric_name"), "labels", "value"
+                )
+            )
+            out = combined
+            for op in tf.operations:
+                out = _apply_op(out, op)
+            df = rest.unionByName(out)
+            continue
+        edited = matched
+        if tf.new_name:
+            edited = edited.withColumn("metric_name", _expand_name(tf))
+        for op in tf.operations:
+            edited = _apply_op(edited, op)
+        if tf.action == "insert":
+            df = df.unionByName(edited)
+        else:  # update
+            df = rest.unionByName(edited)
+    return df

@@ -188,12 +188,141 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# span processor: rename from attributes + extract-to-attributes
+# (processor/spanprocessor README name/from_attributes + to_attributes)
+# ---------------------------------------------------------------------------
+
+def q_span_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.span import span_name_from_attributes
+
+    ev = load(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.lit("old-name").alias("name"),
+        F.create_map(
+            F.lit("db.svc"), F.col("event_type"),
+            # 'operation' present only for even user ids -> odd rows
+            # must keep the old name (all-present rule)
+            F.lit("operation"),
+            F.when(F.col("user_id") % 2 == 0, F.concat(F.lit("op"), (F.col("user_id") % 7).cast("string"))),
+        ).alias("attributes"),
+    )
+    out = span_name_from_attributes(df, ["db.svc", "operation"], separator="::")
+    return out.select("event_id", "name")
+
+
+O_SPAN_RENAME = """
+SELECT event_id,
+       CASE WHEN user_id % 2 = 0
+            THEN event_type || '::' || 'op' || CAST(user_id % 7 AS VARCHAR)
+            ELSE 'old-name' END AS name
+FROM events
+"""
+
+
+def q_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.span import span_to_attributes
+
+    ev = load(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("/api/v1/document/"), F.col("event_id").cast("string"),
+            F.lit("/update"),
+        ).alias("name"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("attributes"),
+    )
+    out = span_to_attributes(
+        df, [r"\/api\/v1\/document\/(?P<documentId>.*)\/update"]
+    )
+    return out.select(
+        "event_id",
+        "name",
+        F.element_at(F.col("attributes"), F.lit("documentId")).alias("doc_id"),
+    )
+
+
+O_SPAN_EXTRACT = """
+SELECT event_id,
+       '/api/v1/document/{documentId}/update' AS name,
+       CAST(event_id AS VARCHAR) AS doc_id
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# metricstransform: regexp combine + aggregate_labels + scale
+# (processor/metricstransformprocessor README transform table)
+# ---------------------------------------------------------------------------
+
+def _metric_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("ev."), F.col("event_type")).alias("metric_name"),
+        F.create_map(
+            F.lit("bucket"), (F.col("user_id") % 4).cast("string"),
+            F.lit("host"), F.concat(F.lit("h"), (F.col("event_id") % 3).cast("string")),
+        ).alias("labels"),
+        F.col("value"),
+    )
+
+
+def q_metricstransform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.metricstransform import (
+        Operation,
+        Transform,
+        metrics_transform,
+    )
+
+    df = _metric_rows(spark, sf_dir)
+    out = metrics_transform(
+        df,
+        [
+            # scale one metric family in place
+            Transform(
+                include=r"^ev\.error$", match_type="regexp", action="update",
+                operations=(Operation(action="experimental_scale_value", scale=0.001),),
+            ),
+            # combine everything into one metric summed across names,
+            # then drop the host label (aggregate across it)
+            Transform(
+                include=r"^ev\..*", match_type="regexp", action="combine",
+                new_name="ev.all", aggregation_type="sum",
+                operations=(
+                    Operation(
+                        action="aggregate_labels", label_set=("bucket",),
+                        aggregation_type="sum",
+                    ),
+                ),
+            ),
+        ],
+    )
+    return out.select(
+        "metric_name",
+        F.element_at(F.col("labels"), F.lit("bucket")).alias("bucket"),
+        F.round(F.col("value"), 2).alias("value"),
+    )
+
+
+O_METRICSTRANSFORM = """
+SELECT 'ev.all' AS metric_name,
+       CAST(user_id % 4 AS VARCHAR) AS bucket,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN value * 0.001 ELSE value END), 2) AS value
+FROM events
+GROUP BY user_id % 4
+"""
+
+
 EXT4_QUERIES: dict[str, QueryFn] = {
     "schema_semconv": q_schema_semconv,
     "sqlquery_logs": q_sqlquery_logs,
     "signaltometrics_sum": q_signaltometrics_sum,
     "signaltometrics_hist": q_signaltometrics_hist,
     "signaltometrics_gauge": q_signaltometrics_gauge,
+    "span_rename": q_span_rename,
+    "span_extract": q_span_extract,
+    "metricstransform": q_metricstransform,
 }
 
 EXT4_ORACLES: dict[str, str] = {
@@ -202,4 +331,7 @@ EXT4_ORACLES: dict[str, str] = {
     "signaltometrics_sum": O_S2M_SUM,
     "signaltometrics_hist": O_S2M_HIST,
     "signaltometrics_gauge": O_S2M_GAUGE,
+    "span_rename": O_SPAN_RENAME,
+    "span_extract": O_SPAN_EXTRACT,
+    "metricstransform": O_METRICSTRANSFORM,
 }
