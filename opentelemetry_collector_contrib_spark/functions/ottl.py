@@ -395,7 +395,12 @@ def TruncateTime(c: Column, unit) -> Column:
     """Duration-truncate (func_truncate_time.go -> Go time.Truncate:
     round down to a multiple of d since the zero time).  Accepts a
     spark date_trunc unit name OR a Duration() result / int64 nanos."""
-    ns = getattr(unit, "_ottl_duration_ns", unit if isinstance(unit, int) else None)
+    if isinstance(unit, Column):
+        # __dict__ probe: Column.__getattr__ fabricates field-access
+        # columns for unknown attributes
+        ns = unit.__dict__.get("_ottl_duration_ns")
+    else:
+        ns = unit if isinstance(unit, int) else None
     if ns is not None:
         us = max(ns // 1000, 1)
         out = F.timestamp_micros(
@@ -571,7 +576,7 @@ def Murmur3Hash(c: Column) -> Column:
     return _mm32_cache(c.cast("string"))
 
 
-def Hex(c) -> Column:
+def Hex(c, pad_int: bool = False) -> Column:
     """func_hex.go hex-encodes the Go binary form per type: float64 ->
     IEEE bits, int -> 8-byte BE, bool -> 1 byte, string -> utf8 bytes.
     Python literals resolve at compile time; Columns use Spark hex of
@@ -586,6 +591,9 @@ def Hex(c) -> Column:
         return F.lit(_struct.pack(">d", c).hex())
     if isinstance(c, str):
         return F.lit(c.encode().hex())
+    if pad_int:
+        # statically-known int64 expression: 8-byte BE like Go
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 16, "0")
     return F.lower(F.hex(c))
 
 

@@ -270,8 +270,11 @@ class Parser:
                     shifted._ottl_is_ts = True
                     left = shifted
                     continue
+            both_int = _is_int_expr(left) and _is_int_expr(right)
             lc, rc = _as_col(left), _as_col(right)
             left = lc + rc if op == "+" else lc - rc
+            if both_int:
+                left._ottl_is_int = True  # int arithmetic stays int64
         return left
 
     def parse_multiplicative(self):
@@ -410,8 +413,11 @@ class Parser:
             if isinstance(args[0], Path):
                 p = args[0]
                 if p.column in _MAP_ROOTS and not p.accessors:
-                    return fn(p.get(), kind="collection")
-                return fn(p.get())
+                    out = fn(p.get(), kind="collection")
+                else:
+                    out = fn(p.get())
+                out._ottl_is_int = True  # Go Len returns int64
+                return out
             if isinstance(args[0], (list, tuple)):
                 return len(args[0])
         if name in ("IsMap", "IsList") and len(args) == 1:
@@ -429,6 +435,9 @@ class Parser:
             # banned -> derive from the pinned Now() instant
             args = [OTTL_CONVERTERS["Now"]()]
 
+        if name == "Hex" and args and isinstance(args[0], Column) and _is_int_expr(args[0]):
+            # Go hex-encodes int64 as 8 BE bytes (func_hex.go)
+            return fn(args[0], pad_int=True)
         if (
             name in ("TraceID", "SpanID", "ProfileID")
             and args
@@ -587,7 +596,9 @@ def _is_ts_expr(v) -> bool:
     until analysis; Go's type switch happens at runtime)."""
     if isinstance(v, Path):
         return v.column in ("time", "observed_time") and not v.accessors
-    return isinstance(v, Column) and getattr(v, "_ottl_is_ts", False)
+    # NB: Column.__getattr__ resolves unknown attributes to FIELD
+    # ACCESS columns — must probe __dict__, not getattr
+    return isinstance(v, Column) and v.__dict__.get("_ottl_is_ts", False)
 
 
 def _static_duration_ns(v):
@@ -596,7 +607,10 @@ def _static_duration_ns(v):
         return None
     if isinstance(v, int):
         return v
-    return getattr(v, "_ottl_duration_ns", None)
+    if isinstance(v, Column):
+        # __dict__ probe: Column.__getattr__ would fabricate a column
+        return v.__dict__.get("_ottl_duration_ns")
+    return None
 
 
 def _is_int_expr(v) -> bool:
@@ -605,6 +619,8 @@ def _is_int_expr(v) -> bool:
         return False
     if isinstance(v, int):
         return True
+    if isinstance(v, Column):
+        return v.__dict__.get("_ottl_is_int", False)
     return isinstance(v, Path) and v.column in _INT_COLS and not v.accessors
 
 

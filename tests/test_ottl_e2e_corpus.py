@@ -415,6 +415,36 @@ def test_round2_corpus(record):
         assert check(got), f"failed: {stmt}\n got {got}"
 
 
+# value expressions (Test_e2e_ottl_value_expressions,
+# e2e_test.go:1595-1680): bare expressions evaluated for their value
+VALUE_EXPR_CASES = [
+    ('"foo"', "foo"),
+    ('attributes["http.method"]', "get"),
+    ("body", "operationA"),
+    ("severity_number + 1", "2"),
+    ("Len(attributes) + Len(attributes)", "10"),
+    ("Hex(Len(attributes) + Len(attributes))", "000000000000000a"),
+    ("TraceID(0x0102030405060708090a0b0c0d0e0f10)",
+     "0102030405060708090a0b0c0d0e0f10"),
+    ('Concat([body, "X"], "-")', "operationA-X"),
+    ('attributes["nothere"]', None),
+]
+
+
+def test_value_expressions(record):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.functions.ottl_compiler import (
+        compile_expression,
+    )
+
+    for src, want in VALUE_EXPR_CASES:
+        got = record.select(
+            compile_expression(src).cast("string").alias("v")
+        ).first()["v"]
+        assert got == want, f"failed: {src}\n want {want!r} got {got!r}"
+
+
 def test_context_prefixed_edits(record):
     # set into resource context
     got = run('set(resource.attributes["cluster"], "c1")', record)

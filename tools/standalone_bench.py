@@ -39,9 +39,10 @@ SPARK_HOME = subprocess.run(
 MASTER_URL = "spark://127.0.0.1:7077"
 
 JOB = r"""
-import sys, time, json, tempfile
+import sys, time, json, tempfile, shutil
 sys.path.insert(0, {repo!r})
 n_exec, sink, trials, inp = int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), sys.argv[4]
+sink_base = sys.argv[5] if len(sys.argv) > 5 and sys.argv[5] != "-" else None
 from pyspark.sql import SparkSession, Observation
 from pyspark.sql import functions as F
 spark = (SparkSession.builder
@@ -74,12 +75,14 @@ for _ in range(trials):
         obs = Observation()
         observed = out.routed.observe(
             obs, *[F.count(F.when(F.col("route") == r, F.lit(1))).alias(r) for r in ROUTE_NAMES])
-        d = tempfile.mkdtemp(prefix=f"sb{{n_exec}}-")
+        d = tempfile.mkdtemp(prefix=f"sb{{n_exec}}-", dir=sink_base)
         salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(16))
         (observed.repartition(F.col("route"), F.col("ts_day"), salt)
          .write.mode("overwrite").partitionBy("route", "ts_day").parquet(d + "/routed"))
         total = sum(obs.get.values())
     el = time.time() - t0
+    if sink != "noop":
+        shutil.rmtree(d, ignore_errors=True)   # keep tmpfs from filling
     if best is None or el < best:
         best = el
 print(json.dumps({{"executors": n_exec, "sink": sink, "sec": round(best, 2),
@@ -87,8 +90,11 @@ print(json.dumps({{"executors": n_exec, "sink": sink, "sec": round(best, 2),
 """
 
 
-def start_cluster() -> list[subprocess.Popen]:
+def start_cluster(local_dir: str | None = None) -> list[subprocess.Popen]:
     env = dict(os.environ, SPARK_HOME=SPARK_HOME)
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        env["SPARK_LOCAL_DIRS"] = local_dir
     spark_class = os.path.join(SPARK_HOME, "bin", "spark-class")
     m = subprocess.Popen(
         [spark_class, "org.apache.spark.deploy.master.Master",
@@ -106,10 +112,11 @@ def start_cluster() -> list[subprocess.Popen]:
     return [m, w]
 
 
-def run(n_exec: int, sink: str, trials: int, inp: str) -> dict:
+def run(n_exec: int, sink: str, trials: int, inp: str, sink_dir: str | None = None) -> dict:
     script = JOB.format(repo=REPO, master=MASTER_URL)
     res = subprocess.run(
-        [sys.executable, "-c", script, str(n_exec), sink, str(trials), inp],
+        [sys.executable, "-c", script, str(n_exec), sink, str(trials), inp,
+         sink_dir or "-"],
         capture_output=True, text=True, timeout=3600,
         env=dict(os.environ, SPARK_HOME=SPARK_HOME),
     )
@@ -125,6 +132,9 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--input")
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--sink-dir", help="base dir for parquet sinks (e.g. a tmpfs)")
+    ap.add_argument("--local-dir", help="SPARK_LOCAL_DIRS for executors (shuffle spool)")
+    ap.add_argument("--label", default="", help="suffix for BENCH/STANDALONE<label>.md")
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
@@ -144,12 +154,14 @@ print("rows:", spark.read.parquet({input_dir!r}).count())
         )
         print((gen.stdout.strip() or gen.stderr[-400:]).splitlines()[-1])
 
-    procs = start_cluster()
+    if args.sink_dir:
+        os.makedirs(args.sink_dir, exist_ok=True)
+    procs = start_cluster(args.local_dir)
     try:
         res = {}
         for sink in ("parquet", "noop"):
             for ne in (n, n4):
-                res[(ne, sink)] = run(ne, sink, args.trials, input_dir)
+                res[(ne, sink)] = run(ne, sink, args.trials, input_dir, args.sink_dir)
                 print(json.dumps(res[(ne, sink)]))
     finally:
         for p in procs:
@@ -173,8 +185,8 @@ print("rows:", spark.read.parquet({input_dir!r}).count())
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "STANDALONE.md"), "w") as f:
-        f.write(f"""# BENCH/STANDALONE — N vs 4N executors on a real Spark cluster
+    with open(os.path.join(REPO, "BENCH", f"STANDALONE{args.label}.md"), "w") as f:
+        f.write(f"""# BENCH/STANDALONE{args.label} — N vs 4N executors on a real Spark cluster
 
 Spark standalone master + worker on localhost; executors are separate
 2-core / 5 GB JVMs (own heap + GC, `ParallelGCThreads=2`), cluster
