@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "text_quality",
     "ivf_ann",
     "lsh_ann",
+    # round-2 additions
+    "schema_semconv",
+    "signaltometrics_hist",
+    "metricstransform",
 ]
 
 PIPELINE_CONVS = 30_000  # ~600k turns; comparable to sf0.1 lineitem

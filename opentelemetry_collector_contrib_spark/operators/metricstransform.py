@@ -80,20 +80,11 @@ def _expand_name(tf: Transform) -> Column:
 
 def _apply_op(df: DataFrame, op: Operation) -> DataFrame:
     labels = F.col("labels")
-    if op.action == "add_label":
-        return df.withColumn(
-            "labels",
-            F.map_concat(labels, F.create_map(F.lit(op.new_label), F.lit(op.new_value))),
-        )
-    if op.action == "update_label":
-        # rename a label key
-        return df.withColumn(
-            "labels",
-            F.transform_keys(
-                labels,
-                lambda k, _v: F.when(k == op.label, F.lit(op.new_label)).otherwise(k),
-            ),
-        )
+    if op.action in ("add_label", "update_label",
+                     "experimental_scale_value", "toggle_scalar_data_type"):
+        for col, expr in _op_exprs(op).items():
+            df = df.withColumn(col, expr)
+        return df
     if op.action == "delete_label_value":
         return df.filter(
             F.coalesce(
@@ -101,8 +92,6 @@ def _apply_op(df: DataFrame, op: Operation) -> DataFrame:
                 F.lit(True),
             )
         )
-    if op.action == "experimental_scale_value":
-        return df.withColumn("value", F.col("value") * F.lit(op.scale))
     if op.action == "aggregate_labels":
         keys = list(op.label_set)
         agg = _AGGS[op.aggregation_type]
@@ -149,11 +138,72 @@ def _apply_op(df: DataFrame, op: Operation) -> DataFrame:
     raise ValueError(f"unknown operation {op.action!r}")
 
 
+_CONDITIONAL_OPS = {
+    "add_label", "update_label", "delete_label_value",
+    "experimental_scale_value", "toggle_scalar_data_type",
+}
+
+
+def _op_exprs(op: Operation) -> dict[str, Column]:
+    """Column rewrites of a row-local operation (no aggregation)."""
+    labels, value = F.col("labels"), F.col("value")
+    if op.action == "add_label":
+        return {
+            "labels": F.map_concat(
+                labels, F.create_map(F.lit(op.new_label), F.lit(op.new_value))
+            )
+        }
+    if op.action == "update_label":
+        return {
+            "labels": F.transform_keys(
+                labels,
+                lambda k, _v: F.when(k == op.label, F.lit(op.new_label)).otherwise(k),
+            )
+        }
+    if op.action == "experimental_scale_value":
+        return {"value": value * F.lit(op.scale)}
+    if op.action == "toggle_scalar_data_type":
+        return {"value": value.cast("long").cast("double")}
+    raise ValueError(f"{op.action} is not row-local")
+
+
+def _apply_update_inline(df: DataFrame, tf: Transform, cond: Column) -> DataFrame:
+    """update-action fast path: one scan, every op folded into a
+    conditional expression instead of a filter/union split (halves the
+    source scans at scale; matters when the source is 100 TB)."""
+    if tf.new_name:
+        df = df.withColumn(
+            "metric_name",
+            F.when(cond, _expand_name(tf)).otherwise(F.col("metric_name")),
+        )
+    for op in tf.operations:
+        if op.action == "delete_label_value":
+            df = df.filter(
+                ~cond
+                | F.coalesce(
+                    F.element_at(F.col("labels"), F.lit(op.label))
+                    != op.label_value,
+                    F.lit(True),
+                )
+            )
+            continue
+        for col, expr in _op_exprs(op).items():
+            df = df.withColumn(
+                col, F.when(cond, expr).otherwise(F.col(col))
+            )
+    return df
+
+
 def metrics_transform(df: DataFrame, transforms: list[Transform]) -> DataFrame:
     """Apply the transform list in order (later transforms see earlier
     results, README ordering rule)."""
     for tf in transforms:
         cond = _match(tf)
+        if tf.action == "update" and all(
+            op.action in _CONDITIONAL_OPS for op in tf.operations
+        ):
+            df = _apply_update_inline(df, tf, cond)
+            continue
         matched, rest = df.filter(cond), df.filter(~cond)
         if tf.action == "combine":
             agg = _AGGS[tf.aggregation_type]
