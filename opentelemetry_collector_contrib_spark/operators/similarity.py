@@ -182,6 +182,51 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_near_duplicates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 6,
+    threshold: float = 0.99,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, LSH-bucketed.
+
+    The dedup sibling of lsh_bucket_topk: candidate pairs share a
+    bucket (O(n) shuffle, never all-pairs), exact cosine verifies, and
+    each duplicate maps to its smallest-id near-neighbor as the
+    canonical representative (same min-id convention as exact_dedup /
+    minhash_lsh in operators/text.py).  Output: (doc_id, dup_of,
+    cosine_sim) — one row per detected duplicate.
+    """
+    withb = corpus.select(
+        F.col(id_col),
+        normalized(F.col(vec_col)).alias("__nv"),
+        lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+    a = withb.select(
+        F.col(id_col).alias("dup_of"), F.col("__nv").alias("__qv"), "bucket"
+    )
+    b = withb.select(
+        F.col(id_col).alias("doc_id"), F.col("__nv").alias("__cv"), "bucket"
+    )
+    pairs = (
+        a.join(b, on="bucket")
+        .filter(F.col("dup_of") < F.col("doc_id"))
+        .withColumn(
+            "cosine_sim", F.round(dot(F.col("__qv"), F.col("__cv")), round_dp)
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.min("dup_of").alias("dup_of"),
+        F.round(F.min_by("cosine_sim", F.col("dup_of")), round_dp).alias(
+            "cosine_sim"
+        ),
+    ).select("doc_id", "dup_of", "cosine_sim")
+
+
 def lsh_bucket_topk_multi(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -314,6 +314,109 @@ GROUP BY user_id % 4
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (dedup family completion): LSH-bucketed
+# pair detection at threshold, min-id representative. Deterministic
+# near-dups are synthesized by scaling 50 vectors by 1.01 — cosine-
+# and LSH-bucket-invariant, so recall is exact and oracle-checkable.
+# ---------------------------------------------------------------------------
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_near_duplicates
+
+    emb = load(spark, sf_dir, "embeddings")
+    dups = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.01)).alias(
+            "embedding"
+        ),
+    )
+    return lsh_near_duplicates(
+        emb.select("vec_id", "embedding").unionByName(dups),
+        threshold=0.99,
+    )
+
+
+def _neardup_oracle() -> str:
+    from .queries_corpus import _DUCK_COS, _LSH_DIM, _LSH_PLANES
+
+    planes = []
+    for p in range(_LSH_PLANES):
+        comps = ", ".join(
+            f"CASE WHEN substring(md5('{p}-{d}'), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END"
+            for d in range(_LSH_DIM)
+        )
+        planes.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], [{comps}]) >= 0 "
+            f"THEN '1' ELSE '0' END"
+        )
+    bucket = " || ".join(planes)
+    return f"""
+WITH uni AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, x -> x * 1.01) AS embedding
+  FROM embeddings WHERE vec_id < 50
+),
+withb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM uni),
+pairs AS (
+  SELECT a.vec_id AS dup_of, b.vec_id AS doc_id, {_DUCK_COS} AS cosine_sim
+  FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT doc_id, MIN(dup_of) AS dup_of,
+       ROUND(arg_min(cosine_sim, dup_of), 6) AS cosine_sim
+FROM pairs WHERE cosine_sim >= 0.99
+GROUP BY doc_id
+"""
+
+
+O_EMBED_NEARDUP = _neardup_oracle()
+
+
+# ---------------------------------------------------------------------------
+# metricstarttime: subtract_initial_point strategy
+# (processor/metricstarttimeprocessor README)
+# ---------------------------------------------------------------------------
+
+def q_metricstarttime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.metricstarttime import metric_start_time
+
+    ev = load(spark, sf_dir, "events")
+    series = ev.select(
+        F.col("event_type").alias("metric_name"),
+        "ts",
+        "value",
+        "event_id",
+    )
+    out = metric_start_time(
+        series,
+        series_cols=["metric_name"],
+        strategy="subtract_initial_point",
+        order_cols=["event_id"],
+    )
+    return out.select(
+        "metric_name", "event_id",
+        F.round(F.col("value"), 6).alias("value"),
+        F.col("start_ts"),
+    )
+
+
+O_METRICSTARTTIME = """
+WITH w AS (
+  SELECT event_type AS metric_name, ts, value, event_id,
+         first_value(value) OVER win AS first_val,
+         first_value(ts) OVER win AS start_ts,
+         row_number() OVER win AS rn
+  FROM events
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT metric_name, event_id, ROUND(value - first_val, 6) AS value, start_ts
+FROM w WHERE rn > 1
+"""
+
+
 EXT4_QUERIES: dict[str, QueryFn] = {
     "schema_semconv": q_schema_semconv,
     "sqlquery_logs": q_sqlquery_logs,
@@ -323,6 +426,8 @@ EXT4_QUERIES: dict[str, QueryFn] = {
     "span_rename": q_span_rename,
     "span_extract": q_span_extract,
     "metricstransform": q_metricstransform,
+    "embed_neardup": q_embed_neardup,
+    "metricstarttime": q_metricstarttime,
 }
 
 EXT4_ORACLES: dict[str, str] = {
@@ -334,4 +439,6 @@ EXT4_ORACLES: dict[str, str] = {
     "span_rename": O_SPAN_RENAME,
     "span_extract": O_SPAN_EXTRACT,
     "metricstransform": O_METRICSTRANSFORM,
+    "embed_neardup": O_EMBED_NEARDUP,
+    "metricstarttime": O_METRICSTARTTIME,
 }

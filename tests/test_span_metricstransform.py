@@ -120,3 +120,50 @@ def test_metricstransform_aggregate_label_values(spark):
     ).collect()
     got = {(r["labels"]["env"], r["value"]) for r in out}
     assert got == {("dev", 3.0), ("prod", 5.0)}
+
+
+def test_metricstarttime_strategies(spark):
+    from opentelemetry_collector_contrib_spark.operators.metricstarttime import (
+        metric_start_time,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("m", "2024-01-01 00:00:00", 10.0, 1),
+            ("m", "2024-01-01 00:01:00", 15.0, 2),
+            ("m", "2024-01-01 00:02:00", 25.0, 3),
+        ],
+        "metric_name string, ts string, value double, event_id int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # true reset: first point start==ts, all reuse first ts
+    trp = metric_start_time(
+        df, ["metric_name"], "true_reset_point", order_cols=["event_id"]
+    ).orderBy("event_id").collect()
+    assert all(str(r["start_ts"]) == "2024-01-01 00:00:00" for r in trp)
+    assert len(trp) == 3
+    # subtract initial: first dropped, values rebased
+    sip = metric_start_time(
+        df, ["metric_name"], "subtract_initial_point", order_cols=["event_id"]
+    ).orderBy("event_id").collect()
+    assert [(r["event_id"], r["value"]) for r in sip] == [(2, 5.0), (3, 15.0)]
+    assert all(str(r["start_ts"]) == "2024-01-01 00:00:00" for r in sip)
+
+
+def test_metricstarttime_start_time_metric(spark):
+    from opentelemetry_collector_contrib_spark.operators.metricstarttime import (
+        metric_start_time,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("job1", "process_start_time", "2024-01-01 00:05:00", 1700000000.0),
+            ("job1", "http_requests", "2024-01-01 00:06:00", 42.0),
+        ],
+        "job string, metric_name string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = metric_start_time(
+        df, ["job", "metric_name"], "start_time_metric"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["metric_name"] == "http_requests"
+    assert int(out[0]["start_ts"].timestamp()) == 1700000000
