@@ -123,10 +123,21 @@ def ngram_jaccard_pairs(
         )
     )
     if max_bucket is not None:
-        wc = W.partitionBy("shingle")
-        sh = sh.withColumn("__bucket", F.count(F.lit(1)).over(wc)).filter(
-            F.col("__bucket") <= max_bucket
-        ).drop("__bucket")
+        # over-cap shingles are FEW (stopword shingles): aggregate them
+        # with map-side combine (exchange carries distinct shingles,
+        # not every row) and broadcast the small blocklist as an
+        # anti-join — replaces the r1 window-over-shingle, which
+        # shuffled every shingle ROW and strung hot shingles onto one
+        # task (VERDICT plan-audit note). sh is persisted because both
+        # the blocklist and the pair join read it.
+        sh = sh.persist()
+        overcap = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > max_bucket)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(overcap), on="shingle", how="left_anti")
     a = sh.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"), "shingle")
     b = sh.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"), "shingle")
     pairs = (
@@ -150,24 +161,43 @@ def ngram_jaccard_pairs(
 # MinHash + LSH (banding) near-dup
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(
+def minhash_signatures_wide(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """MinHash signature per document.
+    """MinHash signature per document, wide form: (doc, h0..h{n-1}).
 
     h_j(doc) = min over shingles of md5(j || ':' || shingle) — the
     md5-string min is a valid min-hash family and is engine-portable
-    (same hex in any system). Output: one row per (doc, j, minhash).
+    (same hex in any system).
+
+    Scale shape: ONE row per shingle (not shingle x num_hashes — the
+    VERDICT r1 plan-audit fix), num_hashes min-aggregates in a single
+    groupBy(doc) with map-side partial aggregation, so the exchange
+    carries one row per doc per partition.
     """
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
-    j = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j")
-    hashed = sh.select("doc", "shingle", j).withColumn(
-        "h", F.md5(F.concat_ws(":", F.col("j"), F.col("shingle")))
+    mins = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(j), F.col("shingle")))
+        ).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*mins)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """Long-form view of minhash_signatures_wide: one row per
+    (doc, j, minhash) — kept for callers that band externally."""
+    wide = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n)
+    pairs = ", ".join(f"{j}, h{j}" for j in range(num_hashes))
+    return wide.select(
+        "doc", F.expr(f"stack({num_hashes}, {pairs}) AS (j, minhash)")
     )
-    return hashed.groupBy("doc", "j").agg(F.min("h").alias("minhash"))
 
 
 def lsh_candidate_pairs(
@@ -221,8 +251,36 @@ def minhash_lsh_dedup(
     is cheap relative to candidate generation).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    wide = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n)
+    # band keys straight off the wide signature — no second shuffle
+    # (md5 of the '|'-joined j-ordered minhashes, identical key to the
+    # long-form collect_list path)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"bk{b}")
+        for b in range(bands)
+    ]
+    banded = wide.select("doc", *band_cols).select(
+        "doc",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(b) for b in range(bands)]),
+                F.array(*[F.col(f"bk{b}") for b in range(bands)]),
+            )
+        ).alias("band", "band_key"),
+    )
+    a = banded.select(F.col("doc").alias("id_a"), "band", "band_key")
+    b = banded.select(F.col("doc").alias("id_b"), "band", "band_key")
+    cands = (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     if verify_threshold is None:
         return cands
     sh = df.select(
