@@ -527,11 +527,16 @@ class Parser:
             t = self.peek()
             if t.text == "[":
                 self.next()
-                key = self.next()
-                if key.kind != "string":
-                    raise OTTLSyntaxError("map index must be a string literal")
-                self.expect("]")
-                path.accessors.append(("key", _unquote(key.text)))
+                if self.peek().kind == "string":
+                    key = self.next()
+                    self.expect("]")
+                    path.accessors.append(("key", _unquote(key.text)))
+                else:
+                    # dynamic index: attributes[attributes["flags"]]
+                    # (grammar.go Key takes a full value expression)
+                    expr = self.parse_or()
+                    self.expect("]")
+                    path.accessors.append(("key", _as_col(expr)))
             elif t.text == ".":
                 self.next()
                 path.accessors.append(("field", self.next().text))
@@ -659,8 +664,13 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
         # sub-expression) performs NO edit — func_set.go nil gate,
         # evaluated per row: the key is not created, the old value kept
         if path.map_key is not None:
+            no_edit = value.isNull()
+            if isinstance(path.map_key, Column):
+                # dynamic index resolving to nil -> statement error ->
+                # no edit under error_mode=ignore (grammar.go Key)
+                no_edit = no_edit | path.map_key.isNull()
             edited = F.when(
-                value.isNull(), F.col(path.column)
+                no_edit, F.col(path.column)
             ).otherwise(TR.map_set(F.col(path.column), path.map_key, value))
             return stmt(path.column, edited)
         return stmt(path.column, F.when(value.isNull(), path.get()).otherwise(value))

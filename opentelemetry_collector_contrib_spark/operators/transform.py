@@ -68,11 +68,13 @@ def regex_replace_field(df: DataFrame, name: str, pattern: str, replacement: str
 # ---------------------------------------------------------------------------
 
 
-def map_set(attrs: Column, key: str, value: Column) -> Column:
-    """OTTL set(attributes[key], v) / attraction UPSERT."""
+def map_set(attrs: Column, key, value: Column) -> Column:
+    """OTTL set(attributes[key], v) / attraction UPSERT. ``key`` may
+    be a literal or a Column (dynamic index, grammar.go Key expr)."""
+    kc = key if isinstance(key, Column) else F.lit(key)
     return F.map_concat(
-        F.map_filter(attrs, lambda k, _: k != F.lit(key)),
-        F.map_from_arrays(F.array(F.lit(key)), F.array(value.cast("string"))),
+        F.map_filter(attrs, lambda k, _: k != kc),
+        F.map_from_arrays(F.array(kc), F.array(value.cast("string"))),
     )
 
 

@@ -415,6 +415,41 @@ def test_round2_corpus(record):
         assert check(got), f"failed: {stmt}\n got {got}"
 
 
+# dynamic map indexing (e2e_test.go:395-457: grammar.go Key accepts a
+# full value expression). Cases needing attributes["A|B|C"] pre-seed it
+# with a first statement (the reference fixture carries it pre-set).
+DYNKEY_CASES = [
+    ('set(attributes[attributes["flags"]], "something33")',
+     lambda r: r["attributes"]["A|B|C"] == "something33"),
+    (['set(attributes["A|B|C"], "something")',
+      'set(attributes[ConvertCase(attributes["A|B|C"], "upper")], "myvalue")'],
+     lambda r: r["attributes"]["SOMETHING"] == "myvalue"),
+    (['set(attributes["A|B|C"], "something")',
+      'set(attributes[ConvertCase(attributes[attributes["flags"]], "upper")], "myvalue")'],
+     lambda r: r["attributes"]["SOMETHING"] == "myvalue"),
+    (['set(attributes["A|B|C"], "something")',
+      'set(attributes[attributes[attributes["flags"]]], "something2")'],
+     lambda r: r["attributes"]["something"] == "something2"),
+    ('set(resource.attributes[attributes["flags"]], "something33")',
+     lambda r: r["resource"]["A|B|C"] == "something33"),
+    # nil dynamic key -> statement error -> no edit (ignore mode)
+    ('set(attributes[attributes["nothere"]], "x")',
+     lambda r: r["attributes"] == ATTRS),
+    # dynamic key in a condition
+    ('set(attributes["foo"], "bar") where attributes[attributes["flags"]] != nil',
+     lambda r: "foo" not in r["attributes"]),
+    (['set(attributes["A|B|C"], "something")',
+      'set(attributes["foo"], "bar") where attributes[attributes["flags"]] != nil'],
+     lambda r: r["attributes"]["foo"] == "bar"),
+]
+
+
+def test_dynamic_map_keys(record):
+    for stmt, check in DYNKEY_CASES:
+        got = run(stmt, record)
+        assert check(got), f"failed: {stmt}\n got {got}"
+
+
 # value expressions (Test_e2e_ottl_value_expressions,
 # e2e_test.go:1595-1680): bare expressions evaluated for their value
 VALUE_EXPR_CASES = [
