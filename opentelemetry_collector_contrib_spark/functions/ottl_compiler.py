@@ -54,7 +54,7 @@ _TOKEN_RE = re.compile(
   | (?P<hex>0x[0-9a-fA-F]+)
   | (?P<float>\d+\.\d+)
   | (?P<int>\d+)
-  | (?P<op>==|!=|>=|<=|&&|\|\||[()\[\],.<>+\-*/=])
+  | (?P<op>==|!=|>=|<=|&&|\|\||[(){}\[\],.:<>+\-*/=])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -317,6 +317,8 @@ class Parser:
             return e
         if t.text == "[":
             return self.parse_list()
+        if t.text == "{":
+            return self.parse_map()
         if t.kind == "string":
             self.next()
             return _unquote(t.text)
@@ -342,6 +344,22 @@ class Parser:
                 self.next()
         self.expect("]")
         return items
+
+    def parse_map(self) -> dict:
+        """Map literal {"k": value, ...} (grammar.go mapValue). Values
+        may be literals, nested maps/lists, or expressions."""
+        self.expect("{")
+        out: dict = {}
+        while self.peek().text != "}":
+            key = self.next()
+            if key.kind != "string":
+                raise OTTLSyntaxError("map literal keys must be strings")
+            self.expect(":")
+            out[_unquote(key.text)] = self.parse_or()
+            if self.peek().text == ",":
+                self.next()
+        self.expect("}")
+        return out
 
     def parse_ident(self):
         name = self.next().text
@@ -418,7 +436,7 @@ class Parser:
                     out = fn(p.get())
                 out._ottl_is_int = True  # Go Len returns int64
                 return out
-            if isinstance(args[0], (list, tuple)):
+            if isinstance(args[0], (list, tuple, dict)):
                 return len(args[0])
         if name in ("IsMap", "IsList") and len(args) == 1:
             if isinstance(args[0], Path):
@@ -427,7 +445,34 @@ class Parser:
                 return fn(p.get(), known=is_map if name == "IsMap" else False)
             if isinstance(args[0], (list, tuple)):
                 return fn(F.lit(None), known=(name == "IsList"))
+            if isinstance(args[0], dict):
+                return fn(F.lit(None), known=(name == "IsMap"))
             return fn(_as_col(args[0]))
+        if (
+            name in ("Int", "Double")
+            and len(args) == 1
+            and isinstance(args[0], (bool, int, float, str))
+        ):
+            # literal numeric conversion resolves at compile time so
+            # Sort/Len over converter-typed list literals can too
+            try:
+                if name == "Int":
+                    return int(args[0]) if not isinstance(args[0], str) else int(float(args[0]))
+                return float(args[0])
+            except ValueError:
+                return None
+        if (
+            name == "Sort"
+            and args
+            and isinstance(args[0], (list, tuple))
+            and not any(isinstance(i, (Column, Path, dict)) for i in args[0])
+        ):
+            order = args[1] if len(args) > 1 else kwargs.get("order", "asc")
+            return _go_sort_literal(list(args[0]), order == "desc")
+        if name in ("Keys", "Values") and args and isinstance(args[0], dict):
+            vals = list(args[0].keys() if name == "Keys" else args[0].values())
+            return [v if not isinstance(v, (dict, list)) else _json_literal(v)
+                    for v in vals]
         if name == "Now":
             return fn()
         if name in ("UUID", "UUIDv7") and not args:
@@ -583,11 +628,62 @@ def _unquote(s: str) -> str:
     return re.sub(r"\\(u[0-9a-fA-F]{4}|x[0-9a-fA-F]{2}|.)", repl, body)
 
 
+def _json_literal(v):
+    """Render a map/list literal (possibly containing Column exprs —
+    not supported there) to its compact JSON string, the flat model's
+    encoding for nested pcommon values."""
+    import json as _json
+
+    def enc(x):
+        if isinstance(x, dict):
+            return {k: enc(val) for k, val in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [enc(i) for i in x]
+        if isinstance(x, (Column, Path)):
+            raise OTTLSyntaxError(
+                "column expressions inside map/list literals are not "
+                "supported in the flat model"
+            )
+        return x
+
+    return _json.dumps(enc(v), separators=(",", ":"))
+
+
+def _go_str(v) -> str:
+    """Go fmt %v of a pcommon scalar."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _go_sort_literal(items: list, desc: bool) -> list:
+    """func_sort.go: homogeneous bools/numbers sort natively, mixed
+    types fall back to the string-representation sort."""
+    if items and all(isinstance(i, bool) for i in items):
+        out = sorted(items)
+    elif items and all(
+        isinstance(i, (int, float)) and not isinstance(i, bool) for i in items
+    ):
+        out = sorted(items)
+    else:
+        out = sorted(items, key=_go_str)
+    return list(reversed(out)) if desc else out
+
+
 def _as_col(v) -> Column:
     if isinstance(v, Path):
         return v.get()
     if isinstance(v, Column):
         return v
+    if isinstance(v, dict):
+        return F.lit(_json_literal(v))
+    if isinstance(v, (list, tuple)):
+        if any(isinstance(i, (dict, list, tuple)) for i in v):
+            return F.lit(_json_literal(v))
+        kinds = {type(i) for i in v}
+        if len(kinds) > 1 and not kinds <= {int, float}:
+            # mixed-type slice: flat model renders Go string forms
+            return F.lit([_go_str(i) for i in v])
     return F.lit(v)
 
 
@@ -658,6 +754,23 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
             # set(target, nil) is a no-op: func_set.go only calls
             # target.Set when the value getter returned non-nil
             return df
+        if (
+            isinstance(args[1], dict)
+            and not path.accessors
+            and path.column in _MAP_ROOTS
+        ):
+            # whole-map assignment from a map literal: values land in
+            # the flat MAP<STRING,STRING> as Go-string/JSON forms
+            pairs = []
+            for k, v in args[1].items():
+                if isinstance(v, (dict, list, tuple)):
+                    sv = _json_literal(v)
+                elif isinstance(v, str):
+                    sv = v
+                else:
+                    sv = _go_str(v)
+                pairs.extend([F.lit(k), F.lit(sv)])
+            return stmt(path.column, F.create_map(*pairs))
         value = _as_col(args[1])
         path.require_settable(name)
         # a NULL-valued getter (missing attribute, errored

@@ -450,6 +450,44 @@ def test_dynamic_map_keys(record):
         assert check(got), f"failed: {stmt}\n got {got}"
 
 
+# map/slice literal values (e2e_test.go:895-1020, 1560-1590): the
+# nested pcommon values land in the flat MAP<STRING,STRING> as their
+# compact-JSON / Go-string forms.
+MAPLIT_CASES = [
+    ('set(attributes["test"], {"list":[{"foo":"bar"}]})',
+     lambda r: r["attributes"]["test"] == '{"list":[{"foo":"bar"}]}'),
+    ('set(attributes, {"list":[{"foo":"bar"}], "n": 2})',
+     lambda r: r["attributes"] == {"list": '[{"foo":"bar"}]', "n": "2"}),
+    ('set(attributes["arr"], [{"list":[{"foo":"bar"}]}, {"bar":"baz"}])',
+     lambda r: r["attributes"]["arr"]
+     == '[{"list":[{"foo":"bar"}]},{"bar":"baz"}]'),
+    ('set(attributes["test"], IsList([{"list":[{"foo":"bar"}]}, {"bar":"baz"}]))',
+     lambda r: r["attributes"]["test"] == "true"),
+    ('set(attributes["test"], IsMap({"list":[{"foo":"bar"}]}))',
+     lambda r: r["attributes"]["test"] == "true"),
+    ('set(attributes["test"], Len([{"list":[{"foo":"bar"}]}, {"bar":"baz"}]))',
+     lambda r: r["attributes"]["test"] == "2"),
+    ('set(attributes["list"], Sort(Keys({"foo": "bar", "baz": "foo"})))',
+     lambda r: r["attributes"]["list"] == "[baz, foo]"),
+    ('set(attributes["test"], Sort(Values({"key1": true, "key2": "value", "key3": 1})))',
+     lambda r: r["attributes"]["test"] == "[1, true, value]"),
+    # int+float slice promotes to doubles in the flat model (Spark
+    # array literal); the sort ORDER is the asserted semantics
+    ('set(attributes["test"], Sort([Int(11), Double(2.2), Double(-1)]))',
+     lambda r: r["attributes"]["test"] == "[-1.0, 2.2, 11.0]"),
+    ('set(attributes["test"], Sort([false, Int(11), Double(2.2), "three"]))',
+     lambda r: r["attributes"]["test"] == "[11, 2.2, false, three]"),
+    ('set(attributes["test"], Sort([Double(1.5), Double(10.2), Double(2.3), Double(0.5)]))',
+     lambda r: r["attributes"]["test"] == "[0.5, 1.5, 2.3, 10.2]"),
+]
+
+
+def test_map_literals(record):
+    for stmt, check in MAPLIT_CASES:
+        got = run(stmt, record)
+        assert check(got), f"failed: {stmt}\n got {got}"
+
+
 # value expressions (Test_e2e_ottl_value_expressions,
 # e2e_test.go:1595-1680): bare expressions evaluated for their value
 VALUE_EXPR_CASES = [
