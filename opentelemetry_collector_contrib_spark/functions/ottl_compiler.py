@@ -157,7 +157,31 @@ class Path:
 
     def get(self) -> Column:
         c = F.col(self.column)
-        for kind, v in self.accessors:
+        acc = list(self.accessors)
+        if (
+            self.column in _MAP_ROOTS
+            and len(acc) >= 2
+            and acc[0][0] == "key"
+            and isinstance(acc[0][1], str)
+        ):
+            # nested read on the flat model: the first key fetches the
+            # cell, deeper segments walk its JSON encoding (nested
+            # pcommon values are stored as compact JSON — see
+            # _json_literal); attributes["foo"]["bar"] ->
+            # get_json_object(attributes['foo'], '$.bar')
+            jpath = "$"
+            for kind, v in acc[1:]:
+                if kind == "key" and isinstance(v, int):
+                    jpath += f"[{v}]"
+                elif kind in ("key", "field") and isinstance(v, str):
+                    jpath += f"['{v}']" if "." in v else f".{v}"
+                else:
+                    raise OTTLSyntaxError(
+                        "dynamic segments below the first map key are "
+                        "not supported in the flat model"
+                    )
+            return F.get_json_object(F.element_at(c, acc[0][1]), jpath)
+        for kind, v in acc:
             c = F.element_at(c, v) if kind == "key" else c.getField(v)
         return c
 
@@ -441,6 +465,13 @@ class Parser:
         if name in ("IsMap", "IsList") and len(args) == 1:
             if isinstance(args[0], Path):
                 p = args[0]
+                if p.accessors and p.column in _MAP_ROOTS:
+                    # flat-model cell: nested pcommon values are their
+                    # JSON encoding — sniff the leading bracket
+                    lead = "\\{" if name == "IsMap" else "\\["
+                    return F.coalesce(
+                        F.trim(p.get()).rlike(f"^{lead}"), F.lit(False)
+                    )
                 is_map = p.column in _MAP_ROOTS and not p.accessors
                 return fn(p.get(), known=is_map if name == "IsMap" else False)
             if isinstance(args[0], (list, tuple)):
@@ -578,10 +609,14 @@ class Parser:
                     path.accessors.append(("key", _unquote(key.text)))
                 else:
                     # dynamic index: attributes[attributes["flags"]]
-                    # (grammar.go Key takes a full value expression)
+                    # (grammar.go Key takes a full value expression);
+                    # int literals stay ints for JSON-array steps
                     expr = self.parse_or()
                     self.expect("]")
-                    path.accessors.append(("key", _as_col(expr)))
+                    if isinstance(expr, int) and not isinstance(expr, bool):
+                        path.accessors.append(("key", expr))
+                    else:
+                        path.accessors.append(("key", _as_col(expr)))
             elif t.text == ".":
                 self.next()
                 path.accessors.append(("field", self.next().text))

@@ -488,6 +488,38 @@ def test_map_literals(record):
         assert check(got), f"failed: {stmt}\n got {got}"
 
 
+# nested reads over the JSON-encoded cells (e2e cases
+# attributes["foo"]["bar"], attributes["things"][i]["name"]; the
+# reference fixture pre-seeds foo/things — here statement 1 seeds them)
+NESTED_READ_CASES = [
+    (['set(attributes["foo"], {"bar":"pass"})',
+      'set(attributes["test"], attributes["foo"]["bar"])'],
+     lambda r: r["attributes"]["test"] == "pass"),
+    (['set(attributes["things"], [{"name":"foo"},{"name":"bar"}])',
+      'set(body, attributes["things"][1]["name"])'],
+     lambda r: r["body"] == "bar"),
+    (['set(attributes["things"], [{"name":"foo"},{"name":"bar"}])',
+      'set(body, attributes["things"][0]["name"])'],
+     lambda r: r["body"] == "foo"),
+    (['set(attributes["foo"], {"bar":"pass"})',
+      'set(attributes["test"], "pass") where IsMap(attributes["foo"])'],
+     lambda r: r["attributes"]["test"] == "pass"),
+    (['set(attributes["foo"], {"slice":["val"]})',
+      'set(attributes["test"], "pass") where IsList(attributes["foo"]["slice"])'],
+     lambda r: r["attributes"]["test"] == "pass"),
+    # missing nested key -> nil -> set() no-op
+    (['set(attributes["foo"], {"bar":"pass"})',
+      'set(attributes["test"], attributes["foo"]["nothere"])'],
+     lambda r: "test" not in r["attributes"]),
+]
+
+
+def test_nested_reads(record):
+    for stmt, check in NESTED_READ_CASES:
+        got = run(stmt, record)
+        assert check(got), f"failed: {stmt}\n got {got}"
+
+
 # value expressions (Test_e2e_ottl_value_expressions,
 # e2e_test.go:1595-1680): bare expressions evaluated for their value
 VALUE_EXPR_CASES = [
