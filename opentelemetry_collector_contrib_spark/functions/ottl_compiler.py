@@ -705,12 +705,42 @@ def _go_sort_literal(items: list, desc: bool) -> list:
     return list(reversed(out)) if desc else out
 
 
+def _has_col(v) -> bool:
+    if isinstance(v, (Column, Path)):
+        return True
+    if isinstance(v, dict):
+        return any(_has_col(i) for i in v.values())
+    if isinstance(v, (list, tuple)):
+        return any(_has_col(i) for i in v)
+    return False
+
+
+def _literal_col_json(v) -> Column:
+    """Map/list literal containing column expressions -> its JSON
+    Column (to_json of the struct/array tree; static-only literals go
+    through _json_literal instead for byte-stable output)."""
+    def enc(x):
+        if isinstance(x, dict):
+            return F.struct(*[enc(val).alias(k) for k, val in x.items()])
+        if isinstance(x, (list, tuple)):
+            return F.array(*[enc(i) for i in x])
+        if isinstance(x, Path):
+            return x.get()
+        if isinstance(x, Column):
+            return x
+        return F.lit(x)
+
+    return F.to_json(enc(v))
+
+
 def _as_col(v) -> Column:
     if isinstance(v, Path):
         return v.get()
     if isinstance(v, Column):
         return v
     if isinstance(v, dict):
+        if _has_col(v):
+            return _literal_col_json(v)
         return F.lit(_json_literal(v))
     if isinstance(v, (list, tuple)):
         if any(isinstance(i, (dict, list, tuple)) for i in v):
@@ -892,7 +922,23 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
             return stmt(path.column, edited)
         return stmt(path.column, m)
     if name == "merge_maps":
-        other = _as_col(args[1])
+        src = args[1]
+        if isinstance(src, Path) and src.accessors and src.column in _MAP_ROOTS:
+            # a JSON-encoded nested map cell: decode to merge
+            # (merge_maps(attributes, attributes["foo"], mode))
+            other = F.from_json(src.get(), "map<string,string>")
+        elif isinstance(src, dict):
+            pairs = []
+            for k, v in src.items():
+                sv = (
+                    _json_literal(v)
+                    if isinstance(v, (dict, list, tuple))
+                    else (v if isinstance(v, str) else _go_str(v))
+                )
+                pairs.extend([F.lit(k), F.lit(sv)])
+            other = F.create_map(*pairs)
+        else:
+            other = _as_col(src)
         strategy = args[2] if len(args) > 2 else "upsert"
         return stmt(path.column, TR.map_merge(m, other, strategy))
     raise OTTLSyntaxError(f"unknown editor {name!r}")

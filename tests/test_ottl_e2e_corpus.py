@@ -520,6 +520,40 @@ def test_nested_reads(record):
         assert check(got), f"failed: {stmt}\n got {got}"
 
 
+# merge_maps source variants (e2e_test.go merge_maps insert/update/
+# upsert over attributes["foo"]) + column exprs inside map literals
+MERGE_CASES = [
+    (['set(attributes["foo"], {"flags": "other", "new1": "v"})',
+      'merge_maps(attributes, attributes["foo"], "insert")'],
+     lambda r: r["attributes"]["flags"] == "A|B|C"
+     and r["attributes"]["new1"] == "v"),
+    (['set(attributes["foo"], {"flags": "other", "new1": "v"})',
+      'merge_maps(attributes, attributes["foo"], "update")'],
+     lambda r: r["attributes"]["flags"] == "other"
+     and "new1" not in r["attributes"]),
+    (['set(attributes["foo"], {"flags": "other", "new1": "v"})',
+      'merge_maps(attributes, attributes["foo"], "upsert")'],
+     lambda r: r["attributes"]["flags"] == "other"
+     and r["attributes"]["new1"] == "v"),
+    ('merge_maps(attributes, {"map_literal": {"list": [{"foo":"bar"}, "test"]}}, "upsert")',
+     lambda r: r["attributes"]["map_literal"]
+     == '{"list":[{"foo":"bar"},"test"]}'),
+    # column expressions inside a map literal render via to_json
+    (['set(attributes["foo"], {"bar":"pass"})',
+      'set(body, {"_raw": body, "test": {"result": attributes["foo"]["bar"], '
+      '"time": UnixNano(time)}})'],
+     lambda r: r["body"]
+     == '{"_raw":"operationA","test":{"result":"pass",'
+        '"time":1581452772000000000}}'),
+]
+
+
+def test_merge_maps_variants(record):
+    for stmt, check in MERGE_CASES:
+        got = run(stmt, record)
+        assert check(got), f"failed: {stmt}\n got {got}"
+
+
 # value expressions (Test_e2e_ottl_value_expressions,
 # e2e_test.go:1595-1680): bare expressions evaluated for their value
 VALUE_EXPR_CASES = [
