@@ -57,6 +57,18 @@ PATTERNS: dict[str, str] = {
 PATTERNS["IP"] = f"(?:{PATTERNS['IPV6']}|{PATTERNS['IPV4']})"
 PATTERNS["IPORHOST"] = f"(?:{PATTERNS['IP']}|{PATTERNS['HOSTNAME']})"
 PATTERNS["USER"] = PATTERNS["USERNAME"]
+# URI family incl. the ECS-named ELB_URI set (elastic/go-grok public
+# pattern library, used by ExtractGrokPatterns in the reference e2e)
+PATTERNS["URIHOST"] = "%{IPORHOST}(?::%{POSINT})?"
+PATTERNS["ELB_URIQUERY"] = r"[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*"
+PATTERNS["ELB_URIHOST"] = "%{IPORHOST:url.domain}(?::%{POSINT:url.port:int})?"
+PATTERNS["ELB_URIPATHQUERY"] = (
+    r"%{URIPATH:url.path}(?:\?%{ELB_URIQUERY:url.query})?"
+)
+PATTERNS["ELB_URI"] = (
+    "%{URIPROTO:url.scheme}://(?:%{USER:url.username}(?::[^@]*)?@)?"
+    "(?:%{ELB_URIHOST})?(?:%{ELB_URIPATHQUERY})?"
+)
 PATTERNS["TIMESTAMP_ISO8601"] = (
     r"(?:\d\d){1,2}-(?:0?[1-9]|1[0-2])-(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])"
     r"[T ](?:2[0123]|[01]?[0-9]):?(?:[0-5][0-9])(?::?(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?))?"
@@ -116,15 +128,42 @@ def compile_grok(
 
     # process left-to-right so `fields` order matches group order;
     # neutralize bare capturing groups in literal text so they don't
-    # shift grok group numbering
-    bare_group = re.compile(r"(?<!\\)\((?!\?)")
+    # shift grok group numbering. Char-class aware: a '(' INSIDE
+    # [...] is a literal and must not become '(?:' (that would inject
+    # '?' and ':' into the class, silently widening it).
+    def neutralize(seg: str) -> str:
+        out_c: list[str] = []
+        in_class = False
+        i = 0
+        while i < len(seg):
+            ch = seg[i]
+            if ch == "\\" and i + 1 < len(seg):
+                out_c.append(seg[i : i + 2])
+                i += 2
+                continue
+            if not in_class and ch == "[":
+                in_class = True
+            elif in_class and ch == "]":
+                in_class = False
+            elif (
+                not in_class
+                and ch == "("
+                and (i + 1 >= len(seg) or seg[i + 1] != "?")
+            ):
+                out_c.append("(?:")
+                i += 1
+                continue
+            out_c.append(ch)
+            i += 1
+        return "".join(out_c)
+
     out: list[str] = []
     pos = 0
     for m in _GROK_REF.finditer(pattern):
-        out.append(bare_group.sub("(?:", pattern[pos : m.start()]))
+        out.append(neutralize(pattern[pos : m.start()]))
         out.append(repl(m))
         pos = m.end()
-    out.append(bare_group.sub("(?:", pattern[pos:]))
+    out.append(neutralize(pattern[pos:]))
     return "".join(out), fields
 
 

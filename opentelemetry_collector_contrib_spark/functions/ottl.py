@@ -178,12 +178,16 @@ def ExtractPatterns(c: Column, pattern: str) -> Column:
     return F.map_filter(m, lambda k, v: v != "")
 
 
-def ExtractGrokPatterns(c: Column, pattern: str) -> Column:
+def ExtractGrokPatterns(
+    c: Column, pattern: str, named_captures_only: bool = True
+) -> Column:
     """Grok expression -> MAP<STRING,STRING> of named captures
     (func_extract_grok_patterns.go delegates to elastic/go-grok; here
     the grok compiler in functions/grok.py expands ``%{NAME:field}``
     to capture groups and each field reads via regexp_extract — all
-    JVM-side)."""
+    JVM-side). compile_grok only captures NAMED fields, so
+    named_captures_only=true is inherent; false is accepted and
+    identical here."""
     from .grok import compile_grok
 
     java_regex, fields = compile_grok(pattern)
