@@ -27,7 +27,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -260,3 +260,41 @@ def stream_alert_dedup(
         "fingerprint", alert_fingerprint(alerts, rule_name, label_cols)
     )
     return withfp.withWatermark(ts_col, dedup_window).dropDuplicates(["fingerprint"])
+
+
+def stream_signal_to_metrics(
+    stream: DataFrame,
+    cfg,
+    ts_col: str = "time",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """signaltometrics in streaming form: the same MetricInfo config
+    (OTTL conditions/value, attributes) aggregated per tumbling window
+    with a watermark — the reference aggregates per Consume* call;
+    a stream's natural batch is the window. sum and histogram types
+    (gauge's 'last' needs per-window ordering, offered in batch only).
+    """
+    from ..operators.signaltometrics import _prepared
+
+    df, keys = _prepared(stream, cfg)
+    win = F.window(F.col(ts_col), window).alias("w")
+    wm = df.withWatermark(ts_col, watermark)
+    if cfg.metric_type == "sum":
+        out = wm.groupBy(win, *keys).agg(F.sum("__value").alias(cfg.name))
+    elif cfg.metric_type == "histogram":
+        v = F.col("__value")
+        idx: Column = F.lit(len(cfg.buckets))
+        for i in range(len(cfg.buckets) - 1, -1, -1):
+            idx = F.when(v <= F.lit(cfg.buckets[i]), F.lit(i)).otherwise(idx)
+        out = (
+            wm.withColumn("bucket_idx", idx)
+            .groupBy(win, *keys, F.col("bucket_idx"))
+            .agg(F.count(F.lit(1)).alias("bucket_count"))
+        )
+    else:
+        raise ValueError(
+            f"streaming signaltometrics supports sum/histogram, "
+            f"not {cfg.metric_type!r}"
+        )
+    return out.select(F.col("w.start").alias("window_start"), "*").drop("w")

@@ -210,3 +210,43 @@ def test_iceberg_sink_fallback(spark, tmp_path):
             write_table_sink(df, "local.db.t", path, fmt="iceberg")
     else:
         assert used == "iceberg"
+
+
+def test_stream_signaltometrics(spark, events_dir, tmp_path):
+    from opentelemetry_collector_contrib_spark.operators.signaltometrics import (
+        MetricInfo,
+    )
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        stream_signal_to_metrics,
+    )
+
+    stream = spark.readStream.schema(SCHEMA).parquet(events_dir)
+    sig = stream.select(
+        F.col("ts").alias("time"),
+        F.create_map(
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("value"), F.col("user_id").cast("string"),
+        ).alias("attributes"),
+    )
+    cfg = MetricInfo(
+        name="n_sum",
+        metric_type="sum",
+        value='Double(attributes["value"])',
+        attributes=(("event_type",),),
+    )
+    out = stream_signal_to_metrics(sig, cfg, window="1 minute")
+    _run(out, tmp_path, "s2m", mode="complete")
+    rows = {
+        (str(r["window_start"]), r["event_type"]): r["n_sum"]
+        for r in spark.sql("select * from s2m").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(
+            F.date_trunc("minute", "ts").alias("m"), "event_type"
+        )
+        .agg(F.sum(F.col("user_id").cast("double")).alias("s"))
+        .collect()
+    )
+    want = {(str(r["m"]), r["event_type"]): r["s"] for r in batch}
+    assert rows == want
