@@ -11,6 +11,8 @@ live in ``streaming/``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -467,4 +469,91 @@ def exponential_histogram(
         .withColumn("bucket_idx", idx.cast("int"))
         .groupBy(*group_by, "bucket_idx")
         .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )
+
+
+def alert_rule_stateful(
+    windowed: DataFrame,
+    metric_col: str,
+    threshold: float,
+    comparison: str = ">",
+    for_windows: int = 1,
+    group_by: list[str] | None = None,
+    window_sec: int = 5,
+    state_path: str | None = None,
+) -> DataFrame:
+    """alert_rule + cross-run streak continuity: the batch analog of
+    alertsgen's TSDB state sync (README.md TSDB restore; the collector
+    reloads per-series `for:` state on restart so a streak that began
+    before the restart still fires on time).
+
+    State file (parquet at ``state_path``): one row per rule group —
+    (group..., last_window_start, streak). A new run seeds any breach
+    run that starts at the batch's first window AND is contiguous with
+    the stored last window (last_window_start + window_sec ==
+    first window) with the stored streak; at the end it rewrites the
+    state from this batch's tail. Everything is one window chain plus
+    a broadcast join against the (tiny, one-row-per-group) state.
+    """
+    ops = {">": Column.__gt__, ">=": Column.__ge__, "<": Column.__lt__,
+           "<=": Column.__le__, "==": Column.__eq__}
+    breach = ops[comparison](F.col(metric_col), F.lit(threshold))
+    gb = group_by or []
+    spark = windowed.sparkSession
+
+    df = windowed.withColumn("__breach", breach)
+    w = W.partitionBy(*gb).orderBy("window_start")
+    df = df.withColumn("__rn", F.row_number().over(w))
+    wb = W.partitionBy(*gb, "__breach").orderBy("window_start")
+    df = df.withColumn("__runid", F.col("__rn") - F.row_number().over(wb))
+    wrun = W.partitionBy(*gb, "__breach", "__runid").orderBy("window_start")
+    df = df.withColumn("__streak", F.row_number().over(wrun))
+    df = df.withColumn("__grp_min", F.min("window_start").over(W.partitionBy(*gb)))
+
+    prior = None
+    if state_path and os.path.exists(state_path):
+        # materialize the prior state BEFORE this run overwrites the
+        # path (alert state is one row per rule group — operationally
+        # tiny, same cardinality the collector holds in memory)
+        prior_rows = spark.read.parquet(state_path).collect()
+        if prior_rows:
+            prior = spark.createDataFrame(prior_rows).select(
+                *gb,
+                F.col("last_window_start").alias("__prior_ws"),
+                F.col("streak").alias("__prior_streak"),
+            )
+    if prior is not None:
+        df = df.join(F.broadcast(prior), on=gb, how="left")
+        contiguous = (
+            F.col("__prior_ws")
+            + F.expr(f"INTERVAL {window_sec} SECONDS")
+            == F.col("__grp_min")
+        )
+        first_run_row = F.col("__rn") == F.col("__streak")  # run began at batch head
+        seed = F.when(
+            F.col("__breach") & first_run_row & contiguous,
+            F.coalesce(F.col("__prior_streak"), F.lit(0)),
+        ).otherwise(F.lit(0))
+        df = df.withColumn("__streak", F.col("__streak") + seed)
+        df = df.drop("__prior_ws", "__prior_streak")
+
+    if state_path:
+        # rewrite state from this batch's last window per group
+        wlast = W.partitionBy(*gb).orderBy(F.col("window_start").desc())
+        tail = (
+            df.withColumn("__last", F.row_number().over(wlast))
+            .filter(F.col("__last") == 1)
+            .select(
+                *gb,
+                F.col("window_start").alias("last_window_start"),
+                F.when(F.col("__breach"), F.col("__streak"))
+                .otherwise(F.lit(0))
+                .alias("streak"),
+            )
+        )
+        tail.write.mode("overwrite").parquet(state_path)
+
+    return (
+        df.filter(F.col("__breach") & (F.col("__streak") >= for_windows))
+        .drop("__breach", "__rn", "__runid", "__streak", "__grp_min")
     )

@@ -165,3 +165,31 @@ def rate_limited_sampler(
         .select(group_col)
     )
     return sampled.join(keep, on=group_col, how="left_semi")
+
+
+def remote_tap(
+    df: DataFrame,
+    limit_per_sec: float = 1.0,
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """remotetapprocessor's rate-limited tap (README `limit`: messages
+    per second duplicated to inspectors; the pipeline itself passes
+    everything through untouched — callers keep using the input df).
+
+    Batch form: the tap yields the first ``limit_per_sec`` rows of
+    every wall-clock second, deterministically ordered by
+    ``order_cols`` (the reference's token bucket is arrival-order;
+    a distributed batch needs an explicit order). One window, one
+    shuffle, and WindowGroupLimit prunes rows at the exchange.
+    """
+    from pyspark.sql.window import Window as W
+
+    order = [F.col(c) for c in (order_cols or [ts_col])]
+    sec = F.date_trunc("second", F.col(ts_col)).alias("__sec")
+    w = W.partitionBy(sec).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(max(limit_per_sec, 1)))
+        .drop("__rn")
+    )

@@ -417,6 +417,31 @@ FROM w WHERE rn > 1
 """
 
 
+# ---------------------------------------------------------------------------
+# remotetap: rate-limited tee (processor/remotetapprocessor README)
+# ---------------------------------------------------------------------------
+
+def q_remote_tap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.filter import remote_tap
+
+    ev = load(spark, sf_dir, "events")
+    return remote_tap(
+        ev.select("event_id", "ts", "event_type"),
+        limit_per_sec=2,
+        order_cols=["event_id"],
+    )
+
+
+O_REMOTE_TAP = """
+SELECT event_id, ts, event_type FROM (
+  SELECT event_id, ts, event_type,
+         row_number() OVER (PARTITION BY date_trunc('second', ts)
+                            ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn <= 2
+"""
+
+
 EXT4_QUERIES: dict[str, QueryFn] = {
     "schema_semconv": q_schema_semconv,
     "sqlquery_logs": q_sqlquery_logs,
@@ -428,6 +453,7 @@ EXT4_QUERIES: dict[str, QueryFn] = {
     "metricstransform": q_metricstransform,
     "embed_neardup": q_embed_neardup,
     "metricstarttime": q_metricstarttime,
+    "remote_tap": q_remote_tap,
 }
 
 EXT4_ORACLES: dict[str, str] = {
@@ -441,4 +467,5 @@ EXT4_ORACLES: dict[str, str] = {
     "metricstransform": O_METRICSTRANSFORM,
     "embed_neardup": O_EMBED_NEARDUP,
     "metricstarttime": O_METRICSTARTTIME,
+    "remote_tap": O_REMOTE_TAP,
 }

@@ -250,3 +250,45 @@ def test_stream_signaltometrics(spark, events_dir, tmp_path):
     )
     want = {(str(r["m"]), r["event_type"]): r["s"] for r in batch}
     assert rows == want
+
+
+def test_alert_state_sync_across_runs(spark, tmp_path):
+    """A `for: 3 windows` streak split across two batch runs fires in
+    the second run (TSDB restore analog)."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        alert_rule_stateful,
+    )
+
+    state = str(tmp_path / "alert_state")
+
+    def windowed(rows):
+        return spark.createDataFrame(
+            rows, "window_start string, svc string, v double"
+        ).withColumn("window_start", F.to_timestamp("window_start"))
+
+    # run 1: two breaching windows (streak 2 < 3 -> nothing fires)
+    run1 = windowed(
+        [
+            ("2024-01-01 00:00:00", "a", 9.0),
+            ("2024-01-01 00:00:05", "a", 9.0),
+        ]
+    )
+    fired1 = alert_rule_stateful(
+        run1, "v", 5.0, ">", for_windows=3, group_by=["svc"],
+        window_sec=5, state_path=state,
+    ).collect()
+    assert fired1 == []
+    # run 2: contiguous breach -> streak 3 -> fires immediately
+    run2 = windowed([("2024-01-01 00:00:10", "a", 9.0)])
+    fired2 = alert_rule_stateful(
+        run2, "v", 5.0, ">", for_windows=3, group_by=["svc"],
+        window_sec=5, state_path=state,
+    ).collect()
+    assert len(fired2) == 1 and fired2[0]["svc"] == "a"
+    # run 3: NON-contiguous breach (gap) -> streak resets -> no fire
+    run3 = windowed([("2024-01-01 00:01:00", "a", 9.0)])
+    fired3 = alert_rule_stateful(
+        run3, "v", 5.0, ">", for_windows=3, group_by=["svc"],
+        window_sec=5, state_path=state,
+    ).collect()
+    assert fired3 == []
