@@ -64,6 +64,18 @@ def build_pipeline(
     """
     df = records
 
+    schema_cfg = config.get("schema")
+    if schema_cfg:
+        from ..operators.schema import schema_translate
+
+        df = schema_translate(
+            df,
+            schema_cfg["from"],
+            schema_cfg["to"],
+            attr_cols=tuple(schema_cfg.get("attr_cols", ("attributes",))),
+            resource_cols=tuple(schema_cfg.get("resource_cols", ())),
+        )
+
     stmts = list(config.get("transform", []))
     if stmts:
         df = compile_statements(stmts)(df)
@@ -83,6 +95,24 @@ def build_pipeline(
             insert_if_absent=spec.get("insert_if_absent", True),
         )
 
+    span_cfg = config.get("span")
+    if span_cfg:
+        from ..operators.span import span_name_from_attributes, span_to_attributes
+
+        name_cfg = span_cfg.get("name")
+        if name_cfg:
+            df = span_name_from_attributes(
+                df,
+                name_cfg["from_attributes"],
+                name_cfg.get("separator", ""),
+                name_col=span_cfg.get("name_col", "name"),
+            )
+        rules = span_cfg.get("to_attributes", {}).get("rules")
+        if rules:
+            df = span_to_attributes(
+                df, rules, name_col=span_cfg.get("name_col", "name")
+            )
+
     route_cfgs = config.get("routes", [])
     if route_cfgs:
         df = apply_routes(
@@ -91,3 +121,34 @@ def build_pipeline(
             default=config.get("default_route", "default"),
         )
     return df
+
+
+def metrics_from_config(df: DataFrame, metric_cfgs: list[Mapping]) -> dict[str, DataFrame]:
+    """signaltometrics section: each entry is a MetricInfo-shaped dict
+    (name, type key holding {value, ...}, attributes, conditions) ->
+    one aggregated DataFrame per metric (the connector's per-metric
+    output streams)."""
+    from ..operators.signaltometrics import MetricInfo, signal_to_metrics
+
+    out: dict[str, DataFrame] = {}
+    for cfg in metric_cfgs:
+        mtype = next(
+            t for t in ("sum", "gauge", "histogram", "exponential_histogram")
+            if t in cfg
+        )
+        body = cfg[mtype]
+        info = MetricInfo(
+            name=cfg["name"],
+            metric_type=mtype,
+            value=body["value"],
+            description=cfg.get("description", ""),
+            conditions=tuple(cfg.get("conditions", ())),
+            attributes=tuple(
+                (a["key"], a["default_value"]) if "default_value" in a
+                else (a["key"],)
+                for a in cfg.get("attributes", ())
+            ),
+            **({"buckets": body["buckets"]} if "buckets" in body else {}),
+        )
+        out[cfg["name"]] = signal_to_metrics(df, info)
+    return out

@@ -42,3 +42,48 @@ def test_config_driven_pipeline(spark):
     # transform ran for every surviving row
     for r in rows.values():
         assert len(r["attributes"]["body_hash"]) == 32
+
+
+def test_config_schema_span_and_metrics(spark):
+    from opentelemetry_collector_contrib_spark.plans.config import (
+        build_pipeline,
+        metrics_from_config,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("old", {"net.peer.ip": "1.2.3.4", "db.svc": "pg",
+                     "operation": "read", "value": "5"},
+             "2024-01-01 00:00:00"),
+            ("old", {"net.peer.ip": "5.6.7.8", "db.svc": "pg",
+                     "operation": "write", "value": "7"},
+             "2024-01-01 00:00:01"),
+        ],
+        "name string, attributes map<string,string>, time string",
+    ).withColumn("time", F.to_timestamp("time"))
+
+    cfg = {
+        "schema": {"from": "1.7.0", "to": "1.20.0"},
+        "span": {"name": {"from_attributes": ["db.svc", "operation"],
+                          "separator": "::"}},
+    }
+    out = build_pipeline(cfg, df)
+    rows = out.orderBy("time").collect()
+    assert rows[0]["name"] == "pg::read"
+    assert rows[0]["attributes"]["net.sock.peer.addr"] == "1.2.3.4"
+    assert "net.peer.ip" not in rows[0]["attributes"]
+
+    # signaltometrics config section (connector README yaml shape)
+    metrics = metrics_from_config(
+        out,
+        [
+            {
+                "name": "op.value.sum",
+                "sum": {"value": 'Double(attributes["value"])'},
+                "attributes": [{"key": "operation"}],
+            }
+        ],
+    )
+    got = {r["operation"]: r["op.value.sum"]
+           for r in metrics["op.value.sum"].collect()}
+    assert got == {"read": 5.0, "write": 7.0}
