@@ -442,6 +442,49 @@ SELECT event_id, ts, event_type FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# spanmetrics exemplars: up to K trace exemplars per histogram bucket
+# (spanmetricsconnector exemplars config: attach sampled trace ids to
+# each bucket so dashboards can jump metric -> trace; deterministic
+# form keeps the K smallest ids)
+# ---------------------------------------------------------------------------
+
+def q_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    buckets = [10.0, 50.0, 100.0, 200.0]
+    v = F.col("value")
+    idx = F.lit(len(buckets))
+    for i in range(len(buckets) - 1, -1, -1):
+        idx = F.when(v <= F.lit(buckets[i]), F.lit(i)).otherwise(idx)
+    return (
+        ev.withColumn("bucket_idx", idx)
+        .groupBy("event_type", "bucket_idx")
+        .agg(
+            F.count(F.lit(1)).alias("bucket_count"),
+            F.slice(F.sort_array(F.collect_list("event_id")), 1, 2).alias(
+                "exemplar_ids"
+            ),
+        )
+        .select(
+            "event_type", "bucket_idx", "bucket_count",
+            F.col("exemplar_ids").cast("array<string>").alias("exemplar_ids"),
+        )
+    )
+
+
+O_EXEMPLARS = """
+SELECT event_type,
+       CASE WHEN value <= 10 THEN 0 WHEN value <= 50 THEN 1
+            WHEN value <= 100 THEN 2 WHEN value <= 200 THEN 3
+            ELSE 4 END AS bucket_idx,
+       COUNT(*) AS bucket_count,
+       list_transform(list_slice(list_sort(list(event_id)), 1, 2),
+                      x -> CAST(x AS VARCHAR)) AS exemplar_ids
+FROM events
+GROUP BY 1, 2
+"""
+
+
 EXT4_QUERIES: dict[str, QueryFn] = {
     "schema_semconv": q_schema_semconv,
     "sqlquery_logs": q_sqlquery_logs,
@@ -454,6 +497,7 @@ EXT4_QUERIES: dict[str, QueryFn] = {
     "embed_neardup": q_embed_neardup,
     "metricstarttime": q_metricstarttime,
     "remote_tap": q_remote_tap,
+    "exemplars": q_exemplars,
 }
 
 EXT4_ORACLES: dict[str, str] = {
@@ -468,4 +512,5 @@ EXT4_ORACLES: dict[str, str] = {
     "embed_neardup": O_EMBED_NEARDUP,
     "metricstarttime": O_METRICSTARTTIME,
     "remote_tap": O_REMOTE_TAP,
+    "exemplars": O_EXEMPLARS,
 }
