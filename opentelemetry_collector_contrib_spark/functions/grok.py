@@ -164,7 +164,21 @@ def compile_grok(
         out.append(repl(m))
         pos = m.end()
     out.append(neutralize(pattern[pos:]))
-    return "".join(out), fields
+    rx = "".join(out)
+    if _depth == 0:
+        # group-count audit: a stray backslash or unbalanced paren in
+        # literal text can swallow a capture group, silently shifting
+        # every regexp_extract index — fail compilation instead
+        try:
+            n_groups = re.compile(rx).groups
+        except re.error as exc:
+            raise GrokError(f"grok expands to invalid regex: {exc}") from None
+        if n_groups != len(fields):
+            raise GrokError(
+                f"grok literal text breaks capture numbering "
+                f"({n_groups} regex groups for {len(fields)} fields)"
+            )
+    return rx, fields
 
 
 def grok_columns(

@@ -207,9 +207,13 @@ class Parser:
         self.i = 0
 
     def peek(self) -> Tok:
+        if self.i >= len(self.toks):
+            return Tok("eof", "")
         return self.toks[self.i]
 
     def next(self) -> Tok:
+        if self.i >= len(self.toks):
+            raise OTTLSyntaxError("unexpected end of input")
         t = self.toks[self.i]
         self.i += 1
         return t

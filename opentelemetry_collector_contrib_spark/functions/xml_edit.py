@@ -102,9 +102,10 @@ def _compile_xpath(xpath: str) -> tuple[str, str, str | None]:
     # malformed paths; surface it at statement-compile time
     try:
         ET.Element(_WRAP).findall(sel)
-    except (SyntaxError, KeyError) as exc:
-        # ElementPath raises SyntaxError for malformed paths and
-        # KeyError for unknown operators (e.g. XPath functions)
+    except Exception as exc:
+        # ElementPath raises SyntaxError for malformed paths, KeyError
+        # for unknown operators, TypeError for degenerate tokens ('[')
+        # — every parse failure must surface as OTTLXPathError
         raise OTTLXPathError(
             f"XPath {xpath!r} is outside the supported ElementTree "
             f"subset: {exc!r}"
