@@ -134,9 +134,19 @@ def infer_context(statements: list[str]) -> str:
     """
     seen: set[str] = set()
     for s in statements:
-        for m in re.finditer(r"\b([a-z_]+)\s*\.", s):
-            if m.group(1) in _CONTEXTS:
-                seen.add(m.group(1))
+        # tokenize so context words inside STRING LITERALS don't skew
+        # inference ('set(body, "span.example.com")' is not span ctx)
+        try:
+            toks = tokenize(s)
+        except OTTLSyntaxError:
+            continue
+        for i, t in enumerate(toks[:-1]):
+            if (
+                t.kind == "ident"
+                and t.text in _CONTEXTS
+                and toks[i + 1].text == "."
+            ):
+                seen.add(t.text)
     for ctx in CONTEXT_PRIORITY:
         if ctx in seen:
             return ctx
@@ -737,6 +747,24 @@ def _literal_col_json(v) -> Column:
     return F.to_json(enc(v))
 
 
+def _map_literal_to_map_col(d: dict) -> Column:
+    """Map literal -> MAP<STRING,STRING> Column: nested values as
+    compact JSON (to_json when they contain column exprs), scalars as
+    Go strings, column exprs cast to string."""
+    pairs = []
+    for k, v in d.items():
+        if isinstance(v, (dict, list, tuple)):
+            vc = _literal_col_json(v) if _has_col(v) else F.lit(_json_literal(v))
+        elif isinstance(v, (Path, Column)):
+            vc = _as_col(v).cast("string")
+        elif isinstance(v, str):
+            vc = F.lit(v)
+        else:
+            vc = F.lit(_go_str(v))
+        pairs.extend([F.lit(k), vc])
+    return F.create_map(*pairs)
+
+
 def _as_col(v) -> Column:
     if isinstance(v, Path):
         return v.get()
@@ -812,7 +840,15 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
         """Write `edited` back to a settable path (column or map key)."""
         tgt.require_settable(name)
         if tgt.map_key is not None:
-            return stmt(tgt.column, TR.map_set(F.col(tgt.column), tgt.map_key, edited))
+            new_map = TR.map_set(F.col(tgt.column), tgt.map_key, edited)
+            if isinstance(tgt.map_key, Column):
+                # nil dynamic key -> statement error -> no edit
+                # (same ignore-mode gate as set(); a NULL map key
+                # would otherwise kill the job with NULL_MAP_KEY)
+                new_map = F.when(
+                    tgt.map_key.isNull(), F.col(tgt.column)
+                ).otherwise(new_map)
+            return stmt(tgt.column, new_map)
         return stmt(tgt.column, edited)
 
     if name == "set":
@@ -829,17 +865,9 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
             and path.column in _MAP_ROOTS
         ):
             # whole-map assignment from a map literal: values land in
-            # the flat MAP<STRING,STRING> as Go-string/JSON forms
-            pairs = []
-            for k, v in args[1].items():
-                if isinstance(v, (dict, list, tuple)):
-                    sv = _json_literal(v)
-                elif isinstance(v, str):
-                    sv = v
-                else:
-                    sv = _go_str(v)
-                pairs.extend([F.lit(k), F.lit(sv)])
-            return stmt(path.column, F.create_map(*pairs))
+            # the flat MAP<STRING,STRING> as Go-string/JSON forms;
+            # column expressions evaluate per row
+            return stmt(path.column, _map_literal_to_map_col(args[1]))
         value = _as_col(args[1])
         path.require_settable(name)
         # a NULL-valued getter (missing attribute, errored
@@ -861,15 +889,34 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
         tgt = args[0]
         if not isinstance(tgt, Path):
             raise OTTLSyntaxError("replace_pattern() target must be a path")
-        repl = args[2]
-        if len(args) > 3 and callable(args[3]):
-            # optional Function arg: the replacement value is passed
-            # through the converter before substitution
-            # (func_replace_pattern.go: SHA256 of the replacement)
-            repl = args[3](_as_col(repl))
-        return edit_value_path(
-            tgt, F.regexp_replace(tgt.get(), F.lit(args[1]), _as_col(repl))
-        )
+        pat, template = args[1], args[2]
+        conv = args[3] if len(args) > 3 and callable(args[3]) else None
+        cur = tgt.get()
+        if conv is not None and isinstance(template, str) and re.search(r"\$\d", template):
+            # func_replace_pattern.go expands $n PER MATCH and then
+            # applies the Function to the expanded string — a constant
+            # conv("$1") would hash the literal dollar-ref. Fold over
+            # the distinct full-match strings: expand each against the
+            # pattern, convert, substitute.
+            def _expand(fm: Column) -> Column:
+                parts = re.split(r"(\$\d+)", template)
+                cols = []
+                for p in parts:
+                    if re.fullmatch(r"\$\d+", p):
+                        cols.append(F.regexp_extract(fm, pat, int(p[1:])))
+                    elif p:
+                        cols.append(F.lit(p))
+                return F.concat(*cols) if cols else F.lit("")
+
+            full = F.array_distinct(
+                F.regexp_extract_all(cur, F.lit(pat), F.lit(0))
+            )
+            edited = F.aggregate(
+                full, cur, lambda acc, fm: F.replace(acc, fm, conv(_expand(fm)))
+            )
+            return edit_value_path(tgt, edited)
+        repl = conv(_as_col(template)) if conv is not None else _as_col(template)
+        return edit_value_path(tgt, F.regexp_replace(cur, F.lit(pat), repl))
 
     if name == "replace_match":
         # glob full-match -> replace whole value (func_replace_match.go)
@@ -932,15 +979,7 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
             # (merge_maps(attributes, attributes["foo"], mode))
             other = F.from_json(src.get(), "map<string,string>")
         elif isinstance(src, dict):
-            pairs = []
-            for k, v in src.items():
-                sv = (
-                    _json_literal(v)
-                    if isinstance(v, (dict, list, tuple))
-                    else (v if isinstance(v, str) else _go_str(v))
-                )
-                pairs.extend([F.lit(k), F.lit(sv)])
-            other = F.create_map(*pairs)
+            other = _map_literal_to_map_col(src)
         else:
             other = _as_col(src)
         strategy = args[2] if len(args) > 2 else "upsert"

@@ -417,6 +417,16 @@ def storm_limit(
 # spanmetrics-style histogram (connector/spanmetricsconnector)
 # ---------------------------------------------------------------------------
 
+def bucket_index(v: Column, bounds: list[float]) -> Column:
+    """Explicit-bucket index expression: bucket i covers
+    value <= bounds[i]; last bucket (len(bounds)) = +Inf. The ONE
+    definition batch and streaming histograms share."""
+    idx: Column = F.lit(len(bounds))
+    for i in range(len(bounds) - 1, -1, -1):
+        idx = F.when(v <= F.lit(bounds[i]), F.lit(i)).otherwise(idx)
+    return idx
+
+
 def explicit_histogram(
     df: DataFrame,
     value_col: str,
@@ -424,12 +434,8 @@ def explicit_histogram(
     group_by: list[str],
 ) -> DataFrame:
     """Explicit-bucket histogram: bucket index per row (width_bucket
-    semantics over explicit bounds), then count per (group, bucket).
-    Bucket i covers value <= bounds[i]; last bucket = +Inf."""
-    v = F.col(value_col)
-    idx: Column = F.lit(len(bounds))
-    for i in range(len(bounds) - 1, -1, -1):
-        idx = F.when(v <= F.lit(bounds[i]), F.lit(i)).otherwise(idx)
+    semantics over explicit bounds), then count per (group, bucket)."""
+    idx = bucket_index(F.col(value_col), bounds)
     return (
         df.withColumn("bucket_idx", idx)
         .groupBy(*group_by, "bucket_idx")

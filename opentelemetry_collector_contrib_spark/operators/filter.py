@@ -186,10 +186,19 @@ def remote_tap(
     from pyspark.sql.window import Window as W
 
     order = [F.col(c) for c in (order_cols or [ts_col])]
-    sec = F.date_trunc("second", F.col(ts_col)).alias("__sec")
-    w = W.partitionBy(sec).orderBy(*order)
+    if limit_per_sec >= 1:
+        quota = int(limit_per_sec)
+        bucket = F.date_trunc("second", F.col(ts_col))
+    else:
+        # sub-1 rates (the reference default is 1, config allows e.g.
+        # 0.5/sec): one row per 1/limit-second bucket
+        quota = 1
+        bucket = F.floor(
+            F.unix_timestamp(F.col(ts_col)) * F.lit(float(limit_per_sec))
+        )
+    w = W.partitionBy(bucket).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= int(max(limit_per_sec, 1)))
+        .filter(F.col("__rn") <= quota)
         .drop("__rn")
     )

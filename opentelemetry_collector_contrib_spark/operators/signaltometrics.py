@@ -50,13 +50,17 @@ class MetricInfo:
 
 
 def _prepared(df: DataFrame, cfg: MetricInfo) -> tuple[DataFrame, list[str]]:
+    """Filter + attribute columns. Attribute keys are OTel-dotted
+    (http.method) — grouped under sanitized internal aliases so
+    groupBy never resolves a dot as a struct path; callers rename back
+    via ``_renamed``."""
     if cfg.conditions:
         cond = compile_condition(cfg.conditions[0])
         for c in cfg.conditions[1:]:
             cond = cond | compile_condition(c)
         df = df.filter(cond)
     keys = []
-    for attr in cfg.attributes:
+    for i, attr in enumerate(cfg.attributes):
         key, default = attr if len(attr) == 2 else (attr[0], None)
         col = F.element_at(F.col("attributes"), F.lit(key))
         if default is not None:
@@ -65,22 +69,30 @@ def _prepared(df: DataFrame, cfg: MetricInfo) -> tuple[DataFrame, list[str]]:
             # README: no default -> signals missing the attribute are
             # not recorded for this metric
             df = df.filter(col.isNotNull())
-        df = df.withColumn(key, col)
-        keys.append(key)
+        df = df.withColumn(f"__attr_{i}", col)
+        keys.append(f"__attr_{i}")
     return df.withColumn("__value", compile_expression(cfg.value)), keys
+
+
+def _renamed(out: DataFrame, cfg: MetricInfo, keys: list[str]) -> DataFrame:
+    for alias, attr in zip(keys, cfg.attributes):
+        out = out.withColumnRenamed(alias, attr[0])
+    return out
 
 
 def signal_to_metrics(df: DataFrame, cfg: MetricInfo) -> DataFrame:
     """One configured metric -> its aggregated DataFrame."""
     df, keys = _prepared(df, cfg)
     if cfg.metric_type == "sum":
-        return df.groupBy(*keys).agg(F.sum("__value").alias(cfg.name))
-    if cfg.metric_type == "gauge":
-        return df.groupBy(*keys).agg(
+        out = df.groupBy(*keys).agg(F.sum("__value").alias(cfg.name))
+    elif cfg.metric_type == "gauge":
+        out = df.groupBy(*keys).agg(
             F.max_by("__value", F.col(cfg.order_col)).alias(cfg.name)
         )
-    if cfg.metric_type == "histogram":
-        return explicit_histogram(df, "__value", cfg.buckets, keys)
-    if cfg.metric_type == "exponential_histogram":
-        return exponential_histogram(df, "__value", keys, scale=cfg.scale)
-    raise ValueError(f"unknown metric type {cfg.metric_type!r}")
+    elif cfg.metric_type == "histogram":
+        out = explicit_histogram(df, "__value", cfg.buckets, keys)
+    elif cfg.metric_type == "exponential_histogram":
+        out = exponential_histogram(df, "__value", keys, scale=cfg.scale)
+    else:
+        raise ValueError(f"unknown metric type {cfg.metric_type!r}")
+    return _renamed(out, cfg, keys)

@@ -125,19 +125,22 @@ def ngram_jaccard_pairs(
     if max_bucket is not None:
         # over-cap shingles are FEW (stopword shingles): aggregate them
         # with map-side combine (exchange carries distinct shingles,
-        # not every row) and broadcast the small blocklist as an
-        # anti-join — replaces the r1 window-over-shingle, which
-        # shuffled every shingle ROW and strung hot shingles onto one
-        # task (VERDICT plan-audit note). sh is persisted because both
-        # the blocklist and the pair join read it.
-        sh = sh.persist()
-        overcap = (
-            sh.groupBy("shingle")
+        # not every row) and apply the small blocklist as a literal
+        # filter — replaces the r1 window-over-shingle, which shuffled
+        # every shingle ROW and strung hot shingles onto one task
+        # (VERDICT plan-audit note). Collected eagerly (bounded by
+        # construction) so nothing stays pinned in executor storage,
+        # unlike a persist() the caller could never release.
+        overcap = [
+            r[0]
+            for r in sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__c"))
             .filter(F.col("__c") > max_bucket)
             .select("shingle")
-        )
-        sh = sh.join(F.broadcast(overcap), on="shingle", how="left_anti")
+            .collect()
+        ]
+        if overcap:
+            sh = sh.filter(~F.col("shingle").isin(overcap))
     a = sh.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"), "shingle")
     b = sh.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"), "shingle")
     pairs = (

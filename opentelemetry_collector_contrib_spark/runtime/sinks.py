@@ -88,12 +88,21 @@ def write_table_sink(
                 "fmt='iceberg' requested but Iceberg runtime jars are absent; "
                 "use fmt='auto' for graceful fallback"
             )
-        writer = df.writeTo(table)
-        if partition_by:
-            from pyspark.sql import functions as F
+        # overwritePartitions is the contract (partition-level
+        # idempotent overwrite; createOrReplace would DROP every
+        # partition a previous incremental run wrote). First-ever run
+        # creates the table, after which overwritePartitions applies.
+        try:
+            df.writeTo(table).overwritePartitions()
+        except Exception as exc:  # table does not exist yet
+            if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc) and "NoSuchTable" not in str(exc):
+                raise
+            writer = df.writeTo(table)
+            if partition_by:
+                from pyspark.sql import functions as F
 
-            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
-        writer.createOrReplace()
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.create()
         return "iceberg"
     write_sink(df, path, partition_by=partition_by, fmt="parquet")
     return "parquet"

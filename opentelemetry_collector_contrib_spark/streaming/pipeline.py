@@ -251,15 +251,22 @@ def stream_alert_dedup(
     """Streaming alert dedup (alertsgen dedup.Deduper, factory.go:123,
     :188): one alert per fingerprint within the dedup window. The
     fingerprint is the stable md5 of (rule, FingerprintLabels) —
-    ``operators.aggregate.alert_fingerprint`` — and dropDuplicates
-    keeps per-fingerprint state only until the watermark passes
-    (state-bounded, the Deduper's expiring map)."""
+    ``operators.aggregate.alert_fingerprint``.
+
+    dropDuplicatesWithinWatermark is load-bearing: a plain
+    dropDuplicates(["fingerprint"]) never evicts state (eviction only
+    applies when the event-time column is among the dedup keys), which
+    would both grow state forever AND suppress a legitimate re-alert
+    hours later. WithinWatermark keys expire after the delay — the
+    Deduper's expiring map exactly."""
     from ..operators.aggregate import alert_fingerprint
 
     withfp = alerts.withColumn(
         "fingerprint", alert_fingerprint(alerts, rule_name, label_cols)
     )
-    return withfp.withWatermark(ts_col, dedup_window).dropDuplicates(["fingerprint"])
+    return withfp.withWatermark(
+        ts_col, dedup_window
+    ).dropDuplicatesWithinWatermark(["fingerprint"])
 
 
 def stream_signal_to_metrics(
@@ -283,12 +290,10 @@ def stream_signal_to_metrics(
     if cfg.metric_type == "sum":
         out = wm.groupBy(win, *keys).agg(F.sum("__value").alias(cfg.name))
     elif cfg.metric_type == "histogram":
-        v = F.col("__value")
-        idx: Column = F.lit(len(cfg.buckets))
-        for i in range(len(cfg.buckets) - 1, -1, -1):
-            idx = F.when(v <= F.lit(cfg.buckets[i]), F.lit(i)).otherwise(idx)
+        from ..operators.aggregate import bucket_index
+
         out = (
-            wm.withColumn("bucket_idx", idx)
+            wm.withColumn("bucket_idx", bucket_index(F.col("__value"), cfg.buckets))
             .groupBy(win, *keys, F.col("bucket_idx"))
             .agg(F.count(F.lit(1)).alias("bucket_count"))
         )
@@ -297,4 +302,7 @@ def stream_signal_to_metrics(
             f"streaming signaltometrics supports sum/histogram, "
             f"not {cfg.metric_type!r}"
         )
+    from ..operators.signaltometrics import _renamed
+
+    out = _renamed(out, cfg, keys)
     return out.select(F.col("w.start").alias("window_start"), "*").drop("w")

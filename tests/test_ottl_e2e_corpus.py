@@ -388,6 +388,11 @@ ROUND2_CASES = [
     (r'merge_maps(attributes, ParseJSON("{\"json_test\":\"pass\"}"), '
      '"insert") where body == "operationA"',
      lambda r: r["attributes"]["json_test"] == "pass"),
+    # Function + $n: expansion happens PER MATCH before the converter
+    # (func_replace_pattern.go), not on the literal "$1"
+    ('replace_pattern(body, "(operation)A", "$1", SHA256)',
+     lambda r: r["body"]
+     == __import__("hashlib").sha256(b"operation").hexdigest()),
     (r'set(attributes["test"], "\\")',
      lambda r: r["attributes"]["test"] == "\\"),
     (r'set(attributes["test"], "\"")',

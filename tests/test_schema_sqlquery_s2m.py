@@ -133,3 +133,21 @@ def test_signaltometrics_default_and_required_attrs(spark):
         ),
     ).collect()
     assert {(r["k"], r["m"]) for r in dflt} == {("a", 1.0), ("unknown", 2.0)}
+
+
+def test_signaltometrics_dotted_attribute_keys(spark):
+    df = spark.createDataFrame(
+        [("b", {"http.method": "GET", "v": "2"}),
+         ("b", {"http.method": "GET", "v": "3"})],
+        "body string, attributes map<string,string>",
+    ).withColumn("time", F.lit("2024-01-01").cast("timestamp"))
+    out = signal_to_metrics(
+        df,
+        MetricInfo(
+            name="m", metric_type="sum", value='Double(attributes["v"])',
+            attributes=(("http.method",),),
+        ),
+    )
+    rows = out.collect()
+    assert out.columns == ["http.method", "m"]
+    assert rows[0]["http.method"] == "GET" and rows[0]["m"] == 5.0
