@@ -928,6 +928,42 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
         edited = F.when(cur.rlike(rx), _as_col(args[2])).otherwise(cur)
         return edit_value_path(tgt, edited)
 
+    if name == "append":
+        # func_append.go: append value/values to the target; a missing
+        # target becomes a fresh slice, a scalar target becomes
+        # [old, new...]. Flat model: slices are JSON-array cells.
+        path = args[0]
+        if not isinstance(path, Path):
+            raise OTTLSyntaxError("append() target must be a path")
+        path.require_settable(name)
+        vals = []
+        if len(args) > 1:
+            vals.append(args[1])
+        kw_vals = kwargs.get("values")
+        if kw_vals:
+            vals.extend(kw_vals)
+        if kwargs.get("value") is not None:
+            vals.append(kwargs["value"])
+        if not vals:
+            raise OTTLSyntaxError("append requires value or values")
+        new_items = F.array(*[_as_col(v).cast("string") for v in vals])
+        cur = path.get()
+        cur_arr = (
+            F.when(cur.isNull(), F.array().cast("array<string>"))
+            .when(
+                F.trim(cur).rlike(r"^\["),
+                F.from_json(cur, "array<string>"),
+            )
+            .otherwise(F.array(cur))
+        )
+        encoded = F.to_json(F.concat(cur_arr, new_items))
+        if path.map_key is not None:
+            return stmt(
+                path.column,
+                TR.map_set(F.col(path.column), path.map_key, encoded),
+            )
+        return stmt(path.column, encoded)
+
     # remaining editors operate on a map path
     path = args[0]
     if not isinstance(path, Path) or path.accessors:
@@ -991,7 +1027,7 @@ EDITORS = {
     "set", "delete_key", "delete_matching_keys", "keep_keys",
     "keep_matching_keys", "truncate_all", "limit", "replace_pattern",
     "replace_all_patterns", "replace_match", "replace_all_matches",
-    "flatten", "merge_maps",
+    "flatten", "merge_maps", "append",
 }
 
 

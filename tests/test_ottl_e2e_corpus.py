@@ -502,6 +502,24 @@ def test_map_literals(record):
         assert check(got), f"failed: {stmt}\n got {got}"
 
 
+# append editor (func_append.go: missing target -> fresh slice,
+# scalar target -> [old, new], values= kwarg)
+APPEND_CASES = [
+    (['append(attributes["tags"], "a")', 'append(attributes["tags"], "b")'],
+     lambda r: r["attributes"]["tags"] == '["a","b"]'),
+    ('append(attributes["tags"], values=["x","y"])',
+     lambda r: r["attributes"]["tags"] == '["x","y"]'),
+    ('append(attributes["flags"], "D")',
+     lambda r: r["attributes"]["flags"] == '["A|B|C","D"]'),
+]
+
+
+def test_append_editor(record):
+    for stmt, check in APPEND_CASES:
+        got = run(stmt, record)
+        assert check(got), f"failed: {stmt}\n got {got}"
+
+
 # nested reads over the JSON-encoded cells (e2e cases
 # attributes["foo"]["bar"], attributes["things"][i]["name"]; the
 # reference fixture pre-seeds foo/things — here statement 1 seeds them)
