@@ -203,11 +203,32 @@ class Path:
             return self.accessors[0][1]
         return None
 
+    def nested_write(self) -> tuple[str, list] | None:
+        """(first_key, deeper_segments) when the path is a NESTED write
+        into a JSON-encoded cell: column["k"]["a"][0]… with every
+        segment static (dynamic deep segments stay unsupported)."""
+        acc = self.accessors
+        if (
+            self.column in _MAP_ROOTS
+            and len(acc) >= 2
+            and acc[0][0] == "key"
+            and isinstance(acc[0][1], str)
+            # bracketed segments only — OTTL nested maps index with
+            # ["k"]; a dotted .field on a map value stays a loud error
+            and all(k == "key"
+                    and isinstance(v, (str, int))
+                    and not isinstance(v, bool)
+                    for k, v in acc[1:])
+        ):
+            return acc[0][1], [v for _k, v in acc[1:]]
+        return None
+
     def require_settable(self, editor: str) -> None:
-        if self.accessors and self.map_key is None:
+        if self.accessors and self.map_key is None and self.nested_write() is None:
             raise OTTLSyntaxError(
                 f"{editor}() target {self.column}.{self.accessors} is not a "
-                "settable location (supported: column, column[\"key\"])"
+                "settable location (supported: column, column[\"key\"], "
+                "column[\"k\"] nested static segments)"
             )
 
 
@@ -870,6 +891,19 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
             return stmt(path.column, _map_literal_to_map_col(args[1]))
         value = _as_col(args[1])
         path.require_settable(name)
+        nested = path.nested_write()
+        if nested is not None:
+            from .jsonpath import json_set
+
+            first_key, segs = nested
+            cell = F.element_at(F.col(path.column), first_key)
+            new_cell = json_set(cell, segs, value)
+            edited = F.when(
+                value.isNull(), F.col(path.column)
+            ).otherwise(
+                TR.map_set(F.col(path.column), first_key, new_cell)
+            )
+            return stmt(path.column, edited)
         # a NULL-valued getter (missing attribute, errored
         # sub-expression) performs NO edit — func_set.go nil gate,
         # evaluated per row: the key is not created, the old value kept
@@ -947,6 +981,17 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
         if not vals:
             raise OTTLSyntaxError("append requires value or values")
         new_items = F.array(*[_as_col(v).cast("string") for v in vals])
+        nested = path.nested_write()
+        if nested is not None:
+            from .jsonpath import json_set
+
+            first_key, segs = nested
+            cell = F.element_at(F.col(path.column), first_key)
+            for v in vals:
+                cell = json_set(cell, segs, _as_col(v), append=True)
+            return stmt(
+                path.column, TR.map_set(F.col(path.column), first_key, cell)
+            )
         cur = path.get()
         cur_arr = (
             F.when(cur.isNull(), F.array().cast("array<string>"))

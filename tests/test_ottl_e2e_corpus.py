@@ -520,6 +520,37 @@ def test_append_editor(record):
         assert check(got), f"failed: {stmt}\n got {got}"
 
 
+# nested WRITES into JSON-encoded cells (e2e_test.go:360-388 shapes:
+# set(attributes["foo"]["test"], "pass"), append to nested slices;
+# fixture nested values seeded by a first statement)
+NESTED_WRITE_CASES = [
+    (['set(attributes["foo"], {"bar":"x"})',
+      'set(attributes["foo"]["test"], "pass")'],
+     lambda r: r["attributes"]["foo"] == '{"bar":"x","test":"pass"}'),
+    ('set(attributes["foo"]["test"], "pass")',  # cell created from nothing
+     lambda r: r["attributes"]["foo"] == '{"test":"pass"}'),
+    (['set(attributes["foo"], {"slice":["val"]})',
+      'append(attributes["foo"]["slice"], "sample_value")'],
+     lambda r: r["attributes"]["foo"] == '{"slice":["val","sample_value"]}'),
+    ('append(attributes["foo"]["new_slice"], values=["5","6"])',
+     lambda r: r["attributes"]["foo"] == '{"new_slice":["5","6"]}'),
+    # nil value -> nested set is a no-op (func_set.go gate)
+    (['set(attributes["foo"], {"bar":"x"})',
+      'set(attributes["foo"]["test"], attributes["nothere"])'],
+     lambda r: r["attributes"]["foo"] == '{"bar":"x"}'),
+    # int-indexed write inside a JSON array cell
+    (['set(attributes["things"], [{"name":"a"},{"name":"b"}])',
+      'set(attributes["things"][1]["name"], "B")'],
+     lambda r: r["attributes"]["things"] == '[{"name":"a"},{"name":"B"}]'),
+]
+
+
+def test_nested_writes(record):
+    for stmt, check in NESTED_WRITE_CASES:
+        got = run(stmt, record)
+        assert check(got), f"failed: {stmt}\n got {got}"
+
+
 # nested reads over the JSON-encoded cells (e2e cases
 # attributes["foo"]["bar"], attributes["things"][i]["name"]; the
 # reference fixture pre-seeds foo/things — here statement 1 seeds them)
