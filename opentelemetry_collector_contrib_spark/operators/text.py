@@ -123,24 +123,19 @@ def ngram_jaccard_pairs(
         )
     )
     if max_bucket is not None:
-        # over-cap shingles are FEW (stopword shingles): aggregate them
-        # with map-side combine (exchange carries distinct shingles,
-        # not every row) and apply the small blocklist as a literal
-        # filter — replaces the r1 window-over-shingle, which shuffled
-        # every shingle ROW and strung hot shingles onto one task
-        # (VERDICT plan-audit note). Collected eagerly (bounded by
-        # construction) so nothing stays pinned in executor storage,
-        # unlike a persist() the caller could never release.
-        overcap = [
-            r[0]
-            for r in sh.groupBy("shingle")
+        # frequency cap via a count equi-join, NOT a window: the agg is
+        # map-side combined (exchange carries distinct shingles), and
+        # joining counts back on shingle co-partitions sh by shingle
+        # for the pair join that follows — no window means no hot
+        # shingle serialized onto a single task (VERDICT plan-audit
+        # note), and no persist/collect side effects.
+        counts = (
+            sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") > max_bucket)
+            .filter(F.col("__c") <= max_bucket)
             .select("shingle")
-            .collect()
-        ]
-        if overcap:
-            sh = sh.filter(~F.col("shingle").isin(overcap))
+        )
+        sh = sh.join(counts, on="shingle")
     a = sh.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"), "shingle")
     b = sh.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"), "shingle")
     pairs = (
