@@ -120,25 +120,41 @@ def recombine(
     df: DataFrame,
     source_cols: list[str],
     order_col: str,
-    is_first_entry: Column,
+    is_first_entry: Column | None = None,
     combine_col: str = "text",
     combine_with: str = "\n",
     max_batch_size: int | None = None,
+    is_last_entry: Column | None = None,
+    overwrite_with: str = "oldest",
 ) -> DataFrame:
     """Group consecutive rows per source into one combined row.
 
-    Batch form of the stanza recombine operator: within each source
-    (default log.file.path; for transcripts: conv_id), ordered by
-    ``order_col``, a running sum over ``is_first_entry`` assigns the
-    group id; then groupBy(group) concatenates ``combine_col`` with
-    ``combine_with`` in order and keeps the first row's metadata.
+    Batch form of the stanza recombine operator
+    (pkg/stanza/operator/transformer/recombine/config.go): within each
+    source (default log.file.path; for transcripts: conv_id), ordered
+    by ``order_col``, either ``is_first_entry`` STARTS a group or
+    ``is_last_entry`` ENDS one (exactly one must be given); groupBy
+    then concatenates ``combine_col`` with ``combine_with`` in order.
+    ``overwrite_with`` picks whose metadata the combined row keeps:
+    'oldest' (first row, the default) or 'newest' (last row).
 
     The window + groupBy share the same partitioning key, so Catalyst
     plans ONE shuffle for both.
     """
+    if (is_first_entry is None) == (is_last_entry is None):
+        raise ValueError("recombine needs exactly one of is_first_entry/is_last_entry")
     w = W.partitionBy(*source_cols).orderBy(order_col)
-    first_int = F.when(is_first_entry, 1).otherwise(0)
-    grouped = df.withColumn("__grp", F.sum(first_int).over(w))
+    if is_first_entry is not None:
+        first_int = F.when(is_first_entry, 1).otherwise(0)
+        grouped = df.withColumn("__grp", F.sum(first_int).over(w))
+    else:
+        # a matching LAST row closes its group: the group id counts
+        # matches strictly BEFORE the current row
+        last_int = F.when(is_last_entry, 1).otherwise(0)
+        wprev = w.rowsBetween(W.unboundedPreceding, -1)
+        grouped = df.withColumn(
+            "__grp", F.coalesce(F.sum(last_int).over(wprev), F.lit(0))
+        )
     if max_batch_size:
         # flush groups larger than max_batch_size (config max_batch_size=1000):
         # sub-split the group every max_batch_size rows
@@ -160,7 +176,8 @@ def recombine(
                 F.transform(F.array_sort(F.collect_list(ordered_pair)), lambda s: s["v"]),
                 combine_with,
             ).alias(combine_col),
-            F.min(meta_pair).alias("__meta"),
+            (F.min(meta_pair) if overwrite_with == "oldest"
+             else F.max(meta_pair)).alias("__meta"),
             F.count(F.lit(1)).alias("recombined_count"),
         )
     )

@@ -224,3 +224,48 @@ def test_group_by_attrs_promotes_into_resource(spark):
     out = group_by_attrs(df, ["pod"]).collect()[0]
     assert out["resource"]["pod"] == "podA" and out["resource"]["host"] == "h1"
     assert "pod" not in [c for c in group_by_attrs(df, ["pod"]).columns if c != "resource"]
+
+
+def test_recombine_is_last_entry(spark):
+    """stanza recombine with is_last_entry: a matching row CLOSES its
+    group (transformer_test.go TwoEntriesLast / EntriesNonMatching)."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import recombine
+
+    df = spark.createDataFrame(
+        [
+            ("f1", 1, "part1"),
+            ("f1", 2, "part2 end"),   # closes group 0
+            ("f1", 3, "part3"),
+            ("f1", 4, "part4 end"),   # closes group 1
+            ("f1", 5, "tail"),        # unterminated group 2
+        ],
+        "path string, seq int, text string",
+    )
+    out = recombine(
+        df, ["path"], "seq",
+        is_last_entry=F.col("text").endswith("end"),
+        combine_col="text",
+    ).orderBy("seq").collect()
+    texts = [r["text"] for r in out]
+    assert texts == ["part1\npart2 end", "part3\npart4 end", "tail"]
+
+
+def test_recombine_overwrite_with_newest(spark):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import recombine
+
+    df = spark.createDataFrame(
+        [("f1", 1, "a", "m1"), ("f1", 2, "b", "m2")],
+        "path string, seq int, text string, meta string",
+    )
+    newest = recombine(
+        df, ["path"], "seq",
+        is_first_entry=F.col("seq") == 1,
+        combine_col="text", overwrite_with="newest",
+    ).first()
+    assert newest["text"] == "a\nb" and newest["meta"] == "m2"
+    oldest = recombine(
+        df, ["path"], "seq",
+        is_first_entry=F.col("seq") == 1,
+        combine_col="text", overwrite_with="oldest",
+    ).first()
+    assert oldest["meta"] == "m1"
