@@ -244,8 +244,43 @@ def severity_parser(
     parse_to_number: str = "severity_number",
     parse_to_text: str = "severity_text",
     default: int = 0,
+    mapping: dict[str, list] | None = None,
 ) -> DataFrame:
-    num = severity_number(_col(parse_from), default=default)
+    """Severity parse with optional custom ``mapping`` overlay
+    (pkg/stanza/operator/helper/severity_builder.go:95-235): each
+    severity name maps to literal values, HTTP range aliases
+    ("2xx".."5xx"), or {"min":a,"max":b} ranges. The reference expands
+    ranges into per-value map entries; here they compile to range
+    PREDICATES — same semantics, no 100-entry lookup."""
+    src = _col(parse_from)
+    num = severity_number(src, default=default)
+    if mapping:
+        from ..model import SEVERITY_NUMBER
+
+        as_int = src.try_cast("int")  # ANSI-safe: non-numeric -> NULL
+        chain = None
+        for sev_name, values in mapping.items():
+            sev_val = SEVERITY_NUMBER[sev_name.lower()]
+            cond = F.lit(False)
+            for v in values:
+                if isinstance(v, str) and _re.fullmatch(r"[2-5]xx", v):
+                    lo = int(v[0]) * 100
+                    cond = cond | ((as_int >= lo) & (as_int <= lo + 99))
+                elif isinstance(v, dict):
+                    cond = cond | (
+                        (as_int >= int(v["min"])) & (as_int <= int(v["max"]))
+                    )
+                elif isinstance(v, int):
+                    # reference stores ints as strings and compares
+                    # stringly (parseableValues)
+                    cond = cond | (src.cast("string") == str(v))
+                else:
+                    cond = cond | (F.lower(src) == str(v).lower())
+            chain = (
+                F.when(cond, F.lit(sev_val)) if chain is None
+                else chain.when(cond, F.lit(sev_val))
+            )
+        num = chain.otherwise(num)
     return df.withColumn(parse_to_number, num.cast("int")).withColumn(
         parse_to_text, severity_band_text(F.col(parse_to_number))
     )

@@ -269,3 +269,28 @@ def test_recombine_overwrite_with_newest(spark):
         combine_col="text", overwrite_with="oldest",
     ).first()
     assert oldest["meta"] == "m1"
+
+
+def test_severity_parser_http_range_mapping(spark):
+    """severity_builder.go HTTP2xx..5xx aliases + int/string/range
+    custom mapping overlay."""
+    from opentelemetry_collector_contrib_spark.operators.parse import severity_parser
+
+    df = spark.createDataFrame(
+        [("200",), ("404",), ("503",), ("250",), ("oops",), ("7",)],
+        "status string",
+    )
+    out = severity_parser(
+        df, "status",
+        mapping={
+            "info": ["2xx"],
+            "warn": ["4xx", {"min": 300, "max": 399}],
+            "error": ["5xx", "oops"],
+            "fatal": [7],
+        },
+    ).collect()
+    got = {r["status"]: r["severity_text"] for r in out}
+    assert got == {
+        "200": "INFO", "250": "INFO", "404": "WARN",
+        "503": "ERROR", "oops": "ERROR", "7": "FATAL",
+    }
