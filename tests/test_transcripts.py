@@ -58,3 +58,15 @@ def test_text_mix_and_roles(spark):
     # some log lines exist
     assert df.filter(F.col("text").rlike(r"^\d{4}-\d{2}-\d{2}T")).count() > 0
     df.unpersist()
+
+
+def test_with_file_metadata(spark):
+    from opentelemetry_collector_contrib_spark.plans.base import (
+        load,
+        with_file_metadata,
+    )
+
+    df = with_file_metadata(load(spark, "/root/testdata/sf0.001", "events"))
+    r = df.select("log_file_name", "log_file_path").first()
+    assert r["log_file_name"] == "events.parquet"
+    assert r["log_file_path"].endswith("/events.parquet")
