@@ -225,10 +225,18 @@ def time_parser(
     elif layout_type == "spark":
         col = F.to_timestamp(src, layout)
     elif layout_type == "epoch":
-        unit = layout  # s|ms|us|ns
-        v = src.cast("long")
-        div = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]
-        col = F.timestamp_micros((v * 1_000_000 // div).cast("long"))
+        unit = layout  # s|ms|us|ns|s.ms|s.us|s.ns (helper/time.go:94)
+        if unit in ("s.ms", "s.us", "s.ns"):
+            # fractional-seconds forms: "1136214245.123" — decimal
+            # parse keeps sub-second digits exactly (µs floor; the
+            # documented ns->µs loss)
+            col = F.timestamp_micros(
+                (src.try_cast("decimal(24,9)") * 1_000_000).cast("long")
+            )
+        else:
+            v = src.try_cast("long")
+            div = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]
+            col = F.timestamp_micros((v * 1_000_000 // div).cast("long"))
     else:
         raise ValueError(f"unknown layout_type {layout_type}")
     return df.withColumn(parse_to, col)

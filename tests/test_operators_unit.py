@@ -294,3 +294,19 @@ def test_severity_parser_http_range_mapping(spark):
         "200": "INFO", "250": "INFO", "404": "WARN",
         "503": "ERROR", "oops": "ERROR", "7": "FATAL",
     }
+
+
+def test_time_parser_fractional_epoch(spark):
+    """helper/time.go s.ms / s.us / s.ns fractional epoch layouts."""
+    from opentelemetry_collector_contrib_spark.operators.parse import time_parser
+
+    df = spark.createDataFrame(
+        [("1136214245.123",)], "e string"
+    )
+    out = time_parser(df, "e", "s.ms", layout_type="epoch").first()["ts"]
+    assert out.strftime("%Y-%m-%d %H:%M:%S.%f") == "2006-01-02 22:04:05.123000"  # UTC
+    whole = time_parser(
+        spark.createDataFrame([("1136214245",)], "e string"),
+        "e", "s", layout_type="epoch",
+    ).first()["ts"]
+    assert whole.strftime("%H:%M:%S") == "22:04:05"  # UTC
