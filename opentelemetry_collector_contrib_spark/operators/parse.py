@@ -235,8 +235,20 @@ def time_parser(
             )
         else:
             v = src.try_cast("long")
-            div = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]
-            col = F.timestamp_micros((v * 1_000_000 // div).cast("long"))
+            if unit == "s":
+                col = F.timestamp_seconds(v)
+            elif unit == "ms":
+                col = F.timestamp_millis(v)
+            elif unit == "us":
+                col = F.timestamp_micros(v)
+            elif unit == "ns":
+                # decimal floor-div keeps full int64-ns precision
+                # (a double round-trip would wobble above 2^53)
+                col = F.timestamp_micros(
+                    (v.cast("decimal(28,0)") / 1000).cast("long")
+                )
+            else:
+                raise ValueError(f"unknown epoch layout {unit!r}")
     else:
         raise ValueError(f"unknown layout_type {layout_type}")
     return df.withColumn(parse_to, col)

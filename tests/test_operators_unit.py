@@ -303,10 +303,41 @@ def test_time_parser_fractional_epoch(spark):
     df = spark.createDataFrame(
         [("1136214245.123",)], "e string"
     )
-    out = time_parser(df, "e", "s.ms", layout_type="epoch").first()["ts"]
-    assert out.strftime("%Y-%m-%d %H:%M:%S.%f") == "2006-01-02 22:04:05.123000"  # UTC
-    whole = time_parser(
-        spark.createDataFrame([("1136214245",)], "e string"),
-        "e", "s", layout_type="epoch",
-    ).first()["ts"]
-    assert whole.strftime("%H:%M:%S") == "22:04:05"  # UTC
+    # tz-robust: read the epoch micros back server-side
+    out = (
+        time_parser(df, "e", "s.ms", layout_type="epoch")
+        .select(F.unix_micros("ts").alias("us"))
+        .first()["us"]
+    )
+    assert out == 1136214245123000
+    whole = (
+        time_parser(
+            spark.createDataFrame([("1136214245",)], "e string"),
+            "e", "s", layout_type="epoch",
+        )
+        .select(F.unix_micros("ts").alias("us"))
+        .first()["us"]
+    )
+    assert whole == 1136214245000000
+
+
+def test_time_parser_epoch_units(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import time_parser
+
+    base = 1136214245
+    cases = [
+        ("s", str(base)),
+        ("ms", str(base * 1000 + 123)),
+        ("us", str(base * 1_000_000 + 123456)),
+        ("ns", str(base * 1_000_000_000 + 123456789)),
+    ]
+    for unit, raw in cases:
+        us = (
+            time_parser(
+                spark.createDataFrame([(raw,)], "e string"),
+                "e", unit, layout_type="epoch",
+            )
+            .select(F.unix_micros("ts").alias("us"))
+            .first()["us"]
+        )
+        assert us // 1_000_000 == base, (unit, us)
