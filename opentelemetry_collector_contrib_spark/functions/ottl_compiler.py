@@ -889,7 +889,16 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
             # the flat MAP<STRING,STRING> as Go-string/JSON forms;
             # column expressions evaluate per row
             return stmt(path.column, _map_literal_to_map_col(args[1]))
-        value = _as_col(args[1])
+        if isinstance(args[1], (list, tuple)):
+            # slice values store as compact JSON — pcommon's own slice
+            # encoding, and what flatten/nested reads decode
+            value = (
+                _literal_col_json(args[1])
+                if _has_col(args[1])
+                else F.lit(_json_literal(args[1]))
+            )
+        else:
+            value = _as_col(args[1])
         path.require_settable(name)
         nested = path.nested_write()
         if nested is not None:
@@ -1039,20 +1048,56 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
         )
         return stmt(path.column, edited)
     if name == "flatten":
-        # func_flatten.go folds nested maps into dotted keys. The flat
-        # log model's maps are MAP<STRING,STRING> (depth 1 already), so
-        # flatten(attributes) is identity and flatten(attributes, p)
-        # prefixes every key with "p." — the observable semantics of
-        # the reference on depth-1 input.
+        # func_flatten.go folds nested maps into dotted keys. In the
+        # flat model nested maps are JSON-object cells, so flatten
+        # expands ONE level of those into "key.inner" entries (matches
+        # the reference's default depth handling for the depth the
+        # model can hold); scalar cells pass through; an optional
+        # prefix prepends "p." to every key.
         prefix = args[1] if len(args) > 1 else kwargs.get("prefix")
-        if prefix:
-            entries = F.map_entries(m)
-            edited = F.map_from_arrays(
-                F.transform(entries, lambda e: F.concat(F.lit(prefix + "."), e["key"])),
-                F.transform(entries, lambda e: e["value"]),
+        entries = F.map_entries(m)
+
+        def expand(e):
+            inner = F.from_json(e["value"], "map<string,string>")
+            inner_arr = F.from_json(e["value"], "array<string>")
+            return (
+                F.when(
+                    F.trim(e["value"]).rlike(r"^\{") & inner.isNotNull(),
+                    F.transform(
+                        F.map_entries(inner),
+                        lambda ie: F.struct(
+                            F.concat(e["key"], F.lit("."), ie["key"]).alias("key"),
+                            ie["value"].alias("value"),
+                        ),
+                    ),
+                )
+                .when(
+                    # JSON-array cells become key.0, key.1 …
+                    # (func_flatten.go moves slice items to indexed keys)
+                    F.trim(e["value"]).rlike(r"^\[") & inner_arr.isNotNull(),
+                    F.transform(
+                        inner_arr,
+                        lambda v, i: F.struct(
+                            F.concat(e["key"], F.lit("."), i.cast("string")).alias("key"),
+                            v.alias("value"),
+                        ),
+                    ),
+                )
+                .otherwise(
+                    F.array(F.struct(e["key"].alias("key"), e["value"].alias("value")))
+                )
             )
-            return stmt(path.column, edited)
-        return stmt(path.column, m)
+
+        flat_entries = F.flatten(F.transform(entries, expand))
+        if prefix:
+            flat_entries = F.transform(
+                flat_entries,
+                lambda e: F.struct(
+                    F.concat(F.lit(prefix + "."), e["key"]).alias("key"),
+                    e["value"].alias("value"),
+                ),
+            )
+        return stmt(path.column, F.map_from_entries(flat_entries))
     if name == "merge_maps":
         src = args[1]
         if isinstance(src, Path) and src.accessors and src.column in _MAP_ROOTS:

@@ -354,9 +354,9 @@ ROUND2_CASES = [
     ('set(attributes["test"], Sort(Split(attributes["flags"], "|"), "desc"))',
      lambda r: r["attributes"]["test"] == "[C, B, A]"),
     ('set(attributes["test"], Sort([3, 6, 9], "desc"))',
-     lambda r: r["attributes"]["test"] == "[9, 6, 3]"),
+     lambda r: r["attributes"]["test"] == "[9,6,3]"),
     ('set(attributes["test"], Sort([true, false, false]))',
-     lambda r: r["attributes"]["test"] == "[false, false, true]"),
+     lambda r: r["attributes"]["test"] == "[false,false,true]"),
     ('set(attributes["test"], Split(attributes["flags"], "|"))',
      lambda r: r["attributes"]["test"] == "[A, B, C]"),
     (r'set(attributes["test"], ExtractPatterns("aa123bb", "(?P<numbers>\\d+)"))',
@@ -482,17 +482,17 @@ MAPLIT_CASES = [
     ('set(attributes["test"], Len([{"list":[{"foo":"bar"}]}, {"bar":"baz"}]))',
      lambda r: r["attributes"]["test"] == "2"),
     ('set(attributes["list"], Sort(Keys({"foo": "bar", "baz": "foo"})))',
-     lambda r: r["attributes"]["list"] == "[baz, foo]"),
+     lambda r: r["attributes"]["list"] == '["baz","foo"]'),
     ('set(attributes["test"], Sort(Values({"key1": true, "key2": "value", "key3": 1})))',
-     lambda r: r["attributes"]["test"] == "[1, true, value]"),
-    # int+float slice promotes to doubles in the flat model (Spark
-    # array literal); the sort ORDER is the asserted semantics
+     lambda r: r["attributes"]["test"] == '[1,true,"value"]'),
+    # compact-JSON slice encoding keeps native types (11 stays int,
+    # matching the reference's SetInt)
     ('set(attributes["test"], Sort([Int(11), Double(2.2), Double(-1)]))',
-     lambda r: r["attributes"]["test"] == "[-1.0, 2.2, 11.0]"),
+     lambda r: r["attributes"]["test"] == "[-1.0,2.2,11]"),
     ('set(attributes["test"], Sort([false, Int(11), Double(2.2), "three"]))',
-     lambda r: r["attributes"]["test"] == "[11, 2.2, false, three]"),
+     lambda r: r["attributes"]["test"] == '[11,2.2,false,"three"]'),
     ('set(attributes["test"], Sort([Double(1.5), Double(10.2), Double(2.3), Double(0.5)]))',
-     lambda r: r["attributes"]["test"] == "[0.5, 1.5, 2.3, 10.2]"),
+     lambda r: r["attributes"]["test"] == "[0.5,1.5,2.3,10.2]"),
 ]
 
 
