@@ -8,10 +8,12 @@ body "operationA", the standard http.* attribute set, resource
 attributes {host.name: localhost, os.type: linux}, scope "scope",
 TestTime 2020-02-11T20:26:12Z.
 
-Cases whose semantics depend on nested pcommon maps/slices inside
-``attributes`` are out of model (our maps are MAP<STRING,STRING>;
-the flatten/merge nested variants) and are replaced by their flat
-observable equivalents where one exists.
+Nested pcommon maps/slices live in the flat MAP<STRING,STRING>
+model as compact-JSON cells: reads walk them with get_json_object,
+writes go through functions/jsonpath.json_set, and flatten/merge_maps/
+append decode them — so the nested e2e cases run verbatim with the
+JSON encodings as the observable values. Reference fixture values that
+the flat record does not carry are seeded by a leading statement.
 """
 
 from __future__ import annotations
