@@ -110,6 +110,17 @@ _PATH_ROOTS = {"body", "attributes", "resource", "severity_number", "severity_te
 # columns whose values are MAP<STRING,STRING> in the flat log model
 _MAP_ROOTS = {"attributes", "resource", "cache"}
 
+# flat-model scalar column types: edits whose value cannot cast to the
+# target's type are STATEMENT ERRORS in the reference (ignored under
+# error_mode=ignore) — writes go through try_cast + keep-original so a
+# bad statement never crashes the job (ANSI casts throw otherwise)
+_ROOT_TYPES = {
+    "body": "string", "severity_text": "string", "scope": "string",
+    "trace_id": "string", "span_id": "string", "event_name": "string",
+    "severity_number": "long", "flags": "long", "time_unix_nano": "long",
+    "time": "timestamp", "observed_ts": "timestamp", "ts": "timestamp",
+}
+
 # OTTL context prefixes (contexts/ottllog registers log + resource +
 # scope + instrumentation_scope path parsers; log.go:182-212). The
 # flat-DataFrame resolution of each prefix:
@@ -853,13 +864,34 @@ def _snake(name: str) -> str:
 # editor dispatch
 # ---------------------------------------------------------------------------
 
+def _write_scalar(column: str, edited: Column) -> Column:
+    """Typed-column write gate: a value that cannot cast to the
+    target's model type is a statement error -> keep the original
+    (error_mode=ignore); ANSI casts would otherwise throw mid-job."""
+    t = _ROOT_TYPES.get(column)
+    if t is None:
+        return edited
+    return F.coalesce(edited.cast("string").try_cast(t), F.col(column))
+
+
 def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFrame) -> DataFrame:
     def stmt(target: str, edit: Column) -> DataFrame:
         return TR.apply_statement(df, target, edit, where=where)
 
     def edit_value_path(tgt: Path, edited: Column) -> DataFrame:
-        """Write `edited` back to a settable path (column or map key)."""
+        """Write `edited` back to a settable path (column, map key, or
+        nested JSON-cell segments)."""
         tgt.require_settable(name)
+        nested = tgt.nested_write()
+        if nested is not None:
+            from .jsonpath import json_set
+
+            first_key, segs = nested
+            cell = F.element_at(F.col(tgt.column), first_key)
+            new_cell = json_set(cell, segs, edited)
+            return stmt(
+                tgt.column, TR.map_set(F.col(tgt.column), first_key, new_cell)
+            )
         if tgt.map_key is not None:
             new_map = TR.map_set(F.col(tgt.column), tgt.map_key, edited)
             if isinstance(tgt.map_key, Column):
@@ -870,7 +902,7 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
                     tgt.map_key.isNull(), F.col(tgt.column)
                 ).otherwise(new_map)
             return stmt(tgt.column, new_map)
-        return stmt(tgt.column, edited)
+        return stmt(tgt.column, _write_scalar(tgt.column, edited))
 
     if name == "set":
         path = args[0]
@@ -926,6 +958,11 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
                 no_edit, F.col(path.column)
             ).otherwise(TR.map_set(F.col(path.column), path.map_key, value))
             return stmt(path.column, edited)
+        if path.column in _ROOT_TYPES:
+            # typed-column write: uncastable value = statement error =
+            # keep original (and both CASE branches share one type, so
+            # ANSI coercion can never throw mid-job)
+            return stmt(path.column, _write_scalar(path.column, value))
         return stmt(path.column, F.when(value.isNull(), path.get()).otherwise(value))
 
     if name == "replace_pattern":
@@ -959,7 +996,12 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
             )
             return edit_value_path(tgt, edited)
         repl = conv(_as_col(template)) if conv is not None else _as_col(template)
-        return edit_value_path(tgt, F.regexp_replace(cur, F.lit(pat), repl))
+        # string-view edit: regexp_replace needs strings, and a typed
+        # target is restored (or kept) by edit_value_path's write gate
+        return edit_value_path(
+            tgt,
+            F.regexp_replace(cur.cast("string"), F.lit(pat), repl.cast("string")),
+        )
 
     if name == "replace_match":
         # glob full-match -> replace whole value (func_replace_match.go)
@@ -967,8 +1009,12 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
         if not isinstance(tgt, Path):
             raise OTTLSyntaxError("replace_match() target must be a path")
         rx = glob_to_regex(args[1])
-        cur = tgt.get()
-        edited = F.when(cur.rlike(rx), _as_col(args[2])).otherwise(cur)
+        cur = tgt.get().cast("string")
+        # both CASE branches as strings — mixed types would make ANSI
+        # coercion throw on rows the condition doesn't even select
+        edited = F.when(
+            cur.rlike(rx), _as_col(args[2]).cast("string")
+        ).otherwise(cur)
         return edit_value_path(tgt, edited)
 
     if name == "append":
@@ -1001,7 +1047,7 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
             return stmt(
                 path.column, TR.map_set(F.col(path.column), first_key, cell)
             )
-        cur = path.get()
+        cur = path.get().cast("string")
         cur_arr = (
             F.when(cur.isNull(), F.array().cast("array<string>"))
             .when(
@@ -1012,11 +1058,15 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
         )
         encoded = F.to_json(F.concat(cur_arr, new_items))
         if path.map_key is not None:
-            return stmt(
-                path.column,
-                TR.map_set(F.col(path.column), path.map_key, encoded),
-            )
-        return stmt(path.column, encoded)
+            new_map = TR.map_set(F.col(path.column), path.map_key, encoded)
+            if isinstance(path.map_key, Column):
+                # nil dynamic key -> statement error -> no edit
+                # (NULL_MAP_KEY guard, same as set/replace_*)
+                new_map = F.when(
+                    path.map_key.isNull(), F.col(path.column)
+                ).otherwise(new_map)
+            return stmt(path.column, new_map)
+        return stmt(path.column, _write_scalar(path.column, encoded))
 
     # remaining editors operate on a map path
     path = args[0]

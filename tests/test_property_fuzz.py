@@ -144,3 +144,63 @@ def test_xpath_compile_never_crashes(xp):
         _compile_xpath(xp)
     except OTTLXPathError:
         pass
+
+
+def test_statement_execution_fuzz(spark):
+    """Grammar-directed EXECUTION fuzz: generated statements (chained,
+    so editors see each other's effects) must run end-to-end — any
+    type mismatch or nil path is a statement-level no-op, never a
+    Spark runtime crash (the NULL_MAP_KEY / ANSI-cast class)."""
+    import random
+
+    from datetime import datetime
+
+    from opentelemetry_collector_contrib_spark.functions.ottl_compiler import (
+        compile_statement,
+    )
+
+    random.seed(7)
+    df = spark.createDataFrame(
+        [(
+            "operationA", 1, "TRACE",
+            {"flags": "A|B|C", "k": "v", "n": "5"},
+            {"host.name": "l"}, "scope", "t", "s",
+            datetime(2020, 2, 11, 20, 26, 12), {},
+        )],
+        "body string, severity_number int, severity_text string, "
+        "attributes map<string,string>, resource map<string,string>, "
+        "scope string, trace_id string, span_id string, time timestamp, "
+        "cache map<string,string>",
+    )
+    paths = ['body', 'attributes["k"]', 'attributes["missing"]',
+             'attributes[attributes["flags"]]', 'attributes["foo"]["bar"]',
+             'cache["c"]', 'severity_number', 'time']
+    vals = ['"x"', 'nil', '1', '2.5', 'true', 'body',
+            'attributes["missing"]', 'Len(attributes)', '[1,2]',
+            'SHA256(body)', 'Now()', 'Split(attributes["flags"], "|")']
+    conds = ['', ' where attributes["missing"] != nil',
+             ' where severity_number / 0 == 1', ' where Len(attributes) > 1']
+    editors = ['set({p}, {v})', 'append({p}, {v})',
+               'replace_pattern({p}, "a", "b")',
+               'replace_match({p}, "*", {v})', 'flatten(attributes)',
+               'keep_keys(attributes, ["k"])', 'truncate_all(attributes, 2)']
+    # chained in chunks of 10 — deep single chains make Catalyst
+    # analysis cost explode (map edits nest expressions); 10 per plan
+    # keeps the crash-surface coverage with bounded compile time
+    ran = 0
+    for chunk in range(6):
+        out = df
+        applied = 0
+        while applied < 10:
+            stmt = random.choice(editors).format(
+                p=random.choice(paths), v=random.choice(vals)
+            ) + random.choice(conds)
+            try:
+                fn = compile_statement(stmt)
+            except OTTLSyntaxError:
+                continue
+            out = fn(out)
+            applied += 1
+        out.collect()  # must not raise
+        ran += applied
+    assert ran == 60
