@@ -1147,6 +1147,20 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
                     e["value"].alias("value"),
                 ),
             )
+        # last-wins dedup before map_from_entries: an expanded nested
+        # key can collide with an existing flat key (attributes holds
+        # both 'a.b' and a={"b":...}); func_flatten.go upserts
+        # (PutEmpty overwrites), while Spark's default
+        # mapKeyDedupPolicy=EXCEPTION would kill the job.  Keep an
+        # entry only if no LATER entry carries the same key (maps are
+        # small; the quadratic scan is per-row over tens of entries).
+        flat_entries = F.filter(
+            flat_entries,
+            lambda e, i: ~F.exists(
+                F.slice(flat_entries, i + F.lit(2), F.size(flat_entries)),
+                lambda x: x["key"] == e["key"],
+            ),
+        )
         return stmt(path.column, F.map_from_entries(flat_entries))
     if name == "merge_maps":
         src = args[1]

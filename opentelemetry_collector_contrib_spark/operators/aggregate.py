@@ -460,6 +460,54 @@ def explicit_histogram(
     )
 
 
+def k_smallest_exemplars(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int = 2,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """K smallest ``id_col`` values per group in O(K) state per task —
+    the exemplar-accumulation analog of ``connector/
+    spanmetricsconnector/internal/metrics/metrics.go`` (which keeps a
+    bounded exemplar slice per histogram bucket, never the full set).
+
+    Scale shape: a ``collect_list`` per group would materialize every
+    id of a hot bucket (billions of rows at 100 TB) in one aggregation
+    buffer -> executor OOM.  Instead:
+
+    1. salt the group key (``xxhash64(id) % salt_buckets``) and take
+       ``row_number() <= k`` per (group, salt) — the sort runs per
+       *salt group*, so a hot bucket fans out across ``salt_buckets``
+       tasks instead of serializing in one, and row_number streams in
+       O(1) state over Spark's external (spill-safe) sort;
+    2. re-rank the <= salt_buckets*k survivors per group — a tiny
+       second window;
+    3. collect the final <= k ids (bounded by construction).
+
+    The K smallest of a set equal the K smallest of the union of each
+    salt-partition's K smallest, so the result is exact.
+    """
+    from pyspark.sql import Window
+
+    ids = df.select(*group_cols, F.col(id_col).alias("__ex_id")).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("__ex_id")), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy("__ex_id")
+    cand = (
+        ids.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("__ex_id")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("__ex_id")).alias("exemplar_ids"))
+    )
+
+
 def exponential_histogram(
     df: DataFrame,
     value_col: str,

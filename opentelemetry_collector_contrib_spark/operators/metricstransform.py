@@ -64,7 +64,11 @@ def _match(tf: Transform) -> Column:
     )
     for k, v in tf.match_labels.items():
         cond = cond & (F.element_at(F.col("labels"), F.lit(k)) == v)
-    return cond
+    # NULL (missing label key, NULL name) means "does not match", not
+    # "drop": both df.filter(cond) and df.filter(~cond) exclude NULL,
+    # so without this coalesce non-matching metrics would vanish from
+    # update/combine output; the reference leaves them untouched.
+    return F.coalesce(cond, F.lit(False))
 
 
 def _expand_name(tf: Transform) -> Column:
@@ -148,10 +152,17 @@ def _op_exprs(op: Operation) -> dict[str, Column]:
     """Column rewrites of a row-local operation (no aggregation)."""
     labels, value = F.col("labels"), F.col("value")
     if op.action == "add_label":
+        # insert only when absent (operation_add_label.go:15); an
+        # unconditional map_concat throws DUPLICATED_MAP_KEY under the
+        # default mapKeyDedupPolicy=EXCEPTION when the key exists
         return {
-            "labels": F.map_concat(
-                labels, F.create_map(F.lit(op.new_label), F.lit(op.new_value))
-            )
+            "labels": F.when(
+                F.element_at(labels, F.lit(op.new_label)).isNull(),
+                F.map_concat(
+                    labels,
+                    F.create_map(F.lit(op.new_label), F.lit(op.new_value)),
+                ),
+            ).otherwise(labels)
         }
     if op.action == "update_label":
         return {

@@ -92,16 +92,38 @@ def compose_renames(
 def translate_keys(col: Column, renames: dict[str, str]) -> Column:
     """Apply a composed rename dict to a MAP<STRING,STRING> column in
     one JVM-side expression (migrate/attributes.go does a per-record
-    Range loop; Catalyst constant-folds the lookup map here)."""
+    Range loop; Catalyst constant-folds the lookup map here).
+
+    Collision-safe: when a record carries BOTH the old and the new key
+    (e.g. ``net.peer.ip`` and ``net.sock.peer.addr``, or two sources
+    that map to the same target like the ``db.*.keyspace`` pair), a
+    bare ``transform_keys`` yields a duplicate key and Spark's default
+    ``mapKeyDedupPolicy=EXCEPTION`` fails the job at runtime — where
+    the reference's sequential per-record loop just overwrites.  Here
+    the renamed entries are rebuilt via ``map_from_entries`` with
+    explicit last-wins dedup (deterministic: the entry latest in map
+    insertion order keeps the key)."""
     if not renames:
         return col
     pairs = []
     for k, v in renames.items():
         pairs.extend([F.lit(k), F.lit(v)])
     lookup = F.create_map(*pairs)
-    return F.transform_keys(
-        col, lambda k, _v: F.coalesce(F.element_at(lookup, k), k)
+    renamed = F.transform(
+        F.map_entries(col),
+        lambda e: F.struct(
+            F.coalesce(F.element_at(lookup, e["key"]), e["key"]).alias("key"),
+            e["value"].alias("value"),
+        ),
     )
+    deduped = F.filter(
+        renamed,
+        lambda e, i: ~F.exists(
+            F.slice(renamed, i + F.lit(2), F.size(renamed)),
+            lambda x: x["key"] == e["key"],
+        ),
+    )
+    return F.map_from_entries(deduped)
 
 
 def schema_translate(

@@ -28,6 +28,47 @@ from pyspark.sql import functions as F
 _NAMED_GROUP_RE = re.compile(r"\(\?P?<([A-Za-z][A-Za-z0-9_]*)>")
 
 
+def _group_indices(pattern: str) -> list[tuple[str, int]]:
+    """(name, java_group_number) for every named group, numbering ALL
+    capturing groups: an unnamed parenthesized group nested inside or
+    between named groups (e.g. ``(?P<a>x|(y))(?P<b>\\d+)``) shifts
+    Java's numbering, so counting named groups alone would silently
+    extract the wrong value into later attributes."""
+    out: list[tuple[str, int]] = []
+    idx = 0
+    i = 0
+    in_class = False
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            i += 1
+            continue
+        if ch == "(":
+            m = _NAMED_GROUP_RE.match(pattern, i)
+            if m:
+                idx += 1
+                out.append((m.group(1), idx))
+                i = m.end()
+                continue
+            if i + 1 < len(pattern) and pattern[i + 1] == "?":
+                i += 1  # (?: (?= (?! (?<= (?<! (?i) … — non-capturing
+                continue
+            idx += 1  # bare capturing group
+            i += 1
+            continue
+        i += 1
+    return out
+
+
 def span_name_from_attributes(
     df: DataFrame,
     from_attributes: list[str],
@@ -99,7 +140,8 @@ def span_to_attributes(
     (tracked per row in a flag column, no driver-side branching)."""
     df = df.withColumn("__rule_done", F.lit(False))
     for pattern in rules:
-        groups = _NAMED_GROUP_RE.findall(pattern)
+        named = _group_indices(pattern)
+        groups = [g for g, _ in named]
         if not groups:
             raise ValueError(f"rule {pattern!r} has no named groups")
         java_pat = re.sub(r"\(\?P<", "(?<", pattern)
@@ -109,7 +151,7 @@ def span_to_attributes(
         name = F.col(name_col)
         matched = name.rlike(java_pat) & ~F.col("__rule_done")
         pairs = []
-        for idx, g in enumerate(groups, start=1):
+        for g, idx in named:
             pairs.extend([F.lit(g), F.regexp_extract(name, java_pat, idx)])
         extracted = F.create_map(*pairs)
         df = df.withColumn(

@@ -450,21 +450,28 @@ SELECT event_id, ts, event_type FROM (
 # ---------------------------------------------------------------------------
 
 def q_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket counts + K=2 smallest event ids per bucket.  The
+    exemplar ids come from :func:`k_smallest_exemplars` (salted
+    two-level row_number, O(K) state) — NOT a collect_list over the
+    bucket, which would buffer a hot bucket's entire id set in one
+    aggregation buffer at 100 TB.  Counts stay a separate map-side-
+    combined aggregate; both sides of the final join are
+    |event_types| x |buckets| rows."""
+    from ..operators.aggregate import bucket_index, k_smallest_exemplars
+
     ev = load(spark, sf_dir, "events")
     buckets = [10.0, 50.0, 100.0, 200.0]
-    v = F.col("value")
-    idx = F.lit(len(buckets))
-    for i in range(len(buckets) - 1, -1, -1):
-        idx = F.when(v <= F.lit(buckets[i]), F.lit(i)).otherwise(idx)
+    bucketed = ev.withColumn(
+        "bucket_idx", bucket_index(F.col("value"), buckets)
+    )
+    counts = bucketed.groupBy("event_type", "bucket_idx").agg(
+        F.count(F.lit(1)).alias("bucket_count")
+    )
+    exemplars = k_smallest_exemplars(
+        bucketed, ["event_type", "bucket_idx"], "event_id", k=2
+    )
     return (
-        ev.withColumn("bucket_idx", idx)
-        .groupBy("event_type", "bucket_idx")
-        .agg(
-            F.count(F.lit(1)).alias("bucket_count"),
-            F.slice(F.sort_array(F.collect_list("event_id")), 1, 2).alias(
-                "exemplar_ids"
-            ),
-        )
+        counts.join(exemplars, ["event_type", "bucket_idx"], "left")
         .select(
             "event_type", "bucket_idx", "bucket_count",
             F.col("exemplar_ids").cast("array<string>").alias("exemplar_ids"),

@@ -31,8 +31,20 @@ from pyspark.sql import functions as F
 
 _PARAM_RE = re.compile(r"\$1|\?")
 
+_NUMERIC_DTYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
 
-def _quote_literal(v: str) -> str:
+
+def _quote_literal(v: str, dtype: str | None = None) -> str:
+    """Quote the tracking value for SQL substitution.  When the
+    tracking column's dtype is known (recorded at the previous poll)
+    quoting follows the dtype; the regex heuristic only covers the
+    first poll, before any result schema has been seen."""
+    if dtype is not None:
+        if dtype in _NUMERIC_DTYPES or dtype.startswith("decimal"):
+            return v
+        return "'" + v.replace("'", "''") + "'"
     if re.fullmatch(r"-?\d+(\.\d+)?", v):
         return v
     return "'" + v.replace("'", "''") + "'"
@@ -57,6 +69,7 @@ class SQLQueryReceiver:
     backend: object = field(default=None, repr=False)
 
     def __post_init__(self):
+        self._tracking_dtype: str | None = None
         self._tracking = self._load_tracking()
 
     # -- tracking persistence (logs_receiver.go:261-325) ---------------
@@ -64,13 +77,21 @@ class SQLQueryReceiver:
     def _load_tracking(self) -> str:
         if self.storage_path and os.path.exists(self.storage_path):
             with open(self.storage_path) as fh:
-                return json.load(fh)["tracking_value"]
+                state = json.load(fh)
+                self._tracking_dtype = state.get("tracking_dtype")
+                return state["tracking_value"]
         return self.tracking_start_value
 
     def _store_tracking(self) -> None:
         if self.storage_path:
             with open(self.storage_path, "w") as fh:
-                json.dump({"tracking_value": self._tracking}, fh)
+                json.dump(
+                    {
+                        "tracking_value": self._tracking,
+                        "tracking_dtype": self._tracking_dtype,
+                    },
+                    fh,
+                )
 
     @property
     def tracking_value(self) -> str:
@@ -80,21 +101,30 @@ class SQLQueryReceiver:
 
     def _bound_sql(self) -> str:
         if self.tracking_column:
-            return _PARAM_RE.sub(_quote_literal(self._tracking), self.sql)
+            lit = _quote_literal(self._tracking, self._tracking_dtype)
+            return _PARAM_RE.sub(lambda _m: lit, self.sql)
         return self.sql
 
     def poll(self, spark: SparkSession) -> DataFrame:
         """Run one collection cycle; returns the raw result rows and
         advances the tracking value (collect() on one aggregate row —
-        bounded, not a data collect)."""
+        bounded, not a data collect).
+
+        The max is computed on the NATIVE column type and stringified
+        afterwards — casting before aggregating would make the max
+        lexicographic ('999' > '1000'), stalling the watermark every
+        time a numeric id crosses a digit boundary and re-ingesting
+        rows on the next poll (logs_receiver.go:261-325 advances with
+        the row's native-typed value)."""
         backend = self.backend or spark_sql_backend
         rows = backend(spark, self._bound_sql())
         if self.tracking_column:
-            new_max = rows.agg(
-                F.max(F.col(self.tracking_column).cast("string"))
-            ).first()[0]
+            self._tracking_dtype = dict(rows.dtypes).get(
+                self.tracking_column, self._tracking_dtype
+            )
+            new_max = rows.agg(F.max(F.col(self.tracking_column))).first()[0]
             if new_max is not None:
-                self._tracking = new_max
+                self._tracking = str(new_max)
                 self._store_tracking()
         return rows
 
