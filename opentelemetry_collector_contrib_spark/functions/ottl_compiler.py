@@ -102,6 +102,13 @@ class OTTLSyntaxError(ValueError):
 # ---------------------------------------------------------------------------
 
 ENUMS = {f"SEVERITY_NUMBER_{k.upper()}": v for k, v in SEVERITY_NUMBER.items()}
+# span-context symbol table (ctxspan/symbols.go:12-22)
+ENUMS.update({
+    "SPAN_KIND_UNSPECIFIED": 0, "SPAN_KIND_INTERNAL": 1,
+    "SPAN_KIND_SERVER": 2, "SPAN_KIND_CLIENT": 3,
+    "SPAN_KIND_PRODUCER": 4, "SPAN_KIND_CONSUMER": 5,
+    "STATUS_CODE_UNSET": 0, "STATUS_CODE_OK": 1, "STATUS_CODE_ERROR": 2,
+})
 
 _PATH_ROOTS = {"body", "attributes", "resource", "severity_number", "severity_text",
                "trace_id", "span_id", "ts", "observed_ts", "scope", "flags",
@@ -119,7 +126,51 @@ _ROOT_TYPES = {
     "trace_id": "string", "span_id": "string", "event_name": "string",
     "severity_number": "long", "flags": "long", "time_unix_nano": "long",
     "time": "timestamp", "observed_ts": "timestamp", "ts": "timestamp",
+    # span-context columns (flat span model, ctxspan/span.go registry)
+    "name": "string", "kind": "long", "status_code": "long",
+    "status_message": "string", "parent_span_id": "string",
+    "trace_state": "string", "start_ts": "timestamp",
+    "end_ts": "timestamp", "dropped_attributes_count": "long",
+    # metric/datapoint-context columns (ctxmetric/ctxdatapoint)
+    "metric_name": "string", "description": "string", "unit": "string",
+    "metric_type": "long", "is_monotonic": "boolean", "value": "double",
+    "count": "long", "sum": "double",
 }
+
+# span context path registry -> flat span column
+# (pkg/ottl/contexts/internal/ctxspan/span.go:24-115; the flat model
+# stores ids as hex strings, status as status_code/status_message
+# columns, times as start_ts/end_ts timestamps)
+_SPAN_PATHS = {
+    "name": "name", "kind": "kind", "trace_id": "trace_id",
+    "span_id": "span_id", "parent_span_id": "parent_span_id",
+    "trace_state": "trace_state", "start_time": "start_ts",
+    "end_time": "end_ts", "attributes": "attributes",
+    "dropped_attributes_count": "dropped_attributes_count",
+}
+
+# metric context (ctxmetric/metric.go:21-35)
+_METRIC_PATHS = {
+    "name": "metric_name", "description": "description", "unit": "unit",
+    "type": "metric_type", "is_monotonic": "is_monotonic",
+}
+
+# datapoint context (ctxdatapoint/datapoint.go:23-56); value_int reads
+# the same flat `value` column as value_double (one numeric slot)
+_DATAPOINT_PATHS = {
+    "attributes": "attributes", "value_double": "value",
+    "value_int": "value", "time": "ts", "start_time": "start_ts",
+    "flags": "flags", "count": "count", "sum": "sum",
+}
+
+# ptrace.SpanKind.String() / traceutil.SpanKindStr values, indexed by
+# the numeric kind (ctxspan/span.go:298-345)
+_SPAN_KIND_STR = ["Unspecified", "Internal", "Server", "Client",
+                  "Producer", "Consumer"]
+_SPAN_KIND_DEPRECATED_STR = [
+    "SPAN_KIND_UNSPECIFIED", "SPAN_KIND_INTERNAL", "SPAN_KIND_SERVER",
+    "SPAN_KIND_CLIENT", "SPAN_KIND_PRODUCER", "SPAN_KIND_CONSUMER",
+]
 
 # OTTL context prefixes (contexts/ottllog registers log + resource +
 # scope + instrumentation_scope path parsers; log.go:182-212). The
@@ -608,11 +659,25 @@ class Parser:
             raise OTTLSyntaxError(f"unknown path root {root!r}")
         return self._parse_accessors(Path(column=root))
 
-    def _parse_context_path(self, ctx: str) -> Path:
+    def _parse_context_path(self, ctx: str) -> Path | Column:
         """Resolve ``log.body`` / ``resource.attributes["k"]`` /
-        ``scope.name`` to flat columns (contexts/ottllog/log.go
-        path parser table)."""
-        if ctx in ("datapoint", "metric", "span", "spanevent", "profile"):
+        ``scope.name`` / ``span.name`` / ``span.status.code`` /
+        ``metric.name`` / ``datapoint.value_double`` to flat columns
+        (contexts/ottllog/log.go, internal/ctxspan/span.go,
+        ctxmetric/metric.go, ctxdatapoint/datapoint.go registries)."""
+        if ctx == "span":
+            return self._parse_span_path()
+        if ctx in ("metric", "datapoint"):
+            table = _METRIC_PATHS if ctx == "metric" else _DATAPOINT_PATHS
+            self.expect(".")
+            fld = self.next()
+            if fld.kind != "ident" or fld.text not in table:
+                raise OTTLSyntaxError(
+                    f"unknown {ctx} field {fld.text!r} "
+                    f"(ctx{ctx} path registry)"
+                )
+            return self._parse_accessors(Path(column=table[fld.text]))
+        if ctx in ("spanevent", "profile"):
             raise OTTLSyntaxError(
                 f"context {ctx!r} is not available in the log pipeline"
             )
@@ -643,6 +708,56 @@ class Parser:
                     "scope.name only)"
                 )
         return Path(column="scope")
+
+    def _parse_span_path(self) -> Path | Column:
+        """``span.<field>`` resolution against the flat span model
+        (ctxspan/span.go:24-115).  ``status.code``/``status.message``
+        map to the status_code/status_message columns; ``.string`` on
+        ids is the identity (the flat model stores hex strings);
+        ``kind.string`` / ``kind.deprecated_string`` are read-only
+        conversions of the numeric kind column."""
+        self.expect(".")
+        fld = self.next()
+        if fld.text == "status":
+            self.expect(".")
+            sub = self.next()
+            if sub.text == "code":
+                return self._parse_accessors(Path(column="status_code"))
+            if sub.text == "message":
+                return self._parse_accessors(Path(column="status_message"))
+            raise OTTLSyntaxError(f"unknown span.status field {sub.text!r}")
+        if fld.kind != "ident" or fld.text not in _SPAN_PATHS:
+            raise OTTLSyntaxError(
+                f"unknown span field {fld.text!r} (ctxspan path registry)"
+            )
+        col = _SPAN_PATHS[fld.text]
+        if fld.text in ("trace_id", "span_id", "parent_span_id"):
+            if self.peek().text == ".":
+                self.next()
+                sub = self.next()
+                if sub.text != "string":
+                    raise OTTLSyntaxError(
+                        f"unknown span.{fld.text} field {sub.text!r}"
+                    )
+            # hex string IS the flat encoding — .string is the identity
+            return Path(column=col)
+        if fld.text == "kind" and self.peek().text == ".":
+            self.next()
+            sub = self.next()
+            if sub.text == "string":
+                names = _SPAN_KIND_STR
+            elif sub.text == "deprecated_string":
+                names = _SPAN_KIND_DEPRECATED_STR
+            else:
+                raise OTTLSyntaxError(
+                    f"unknown span.kind field {sub.text!r}"
+                )
+            kind = F.col("kind")
+            expr: Column = F.lit(names[0])
+            for i, n in enumerate(names[1:], start=1):
+                expr = F.when(kind == i, F.lit(n)).otherwise(expr)
+            return expr  # read-only conversion
+        return self._parse_accessors(Path(column=col))
 
     def _parse_accessors(self, path: Path) -> Path:
         while True:

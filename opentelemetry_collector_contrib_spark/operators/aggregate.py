@@ -126,17 +126,35 @@ def recombine(
     max_batch_size: int | None = None,
     is_last_entry: Column | None = None,
     overwrite_with: str = "oldest",
+    max_log_size: int | None = None,
+    force_flush_timeout: str | None = None,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Group consecutive rows per source into one combined row.
 
     Batch form of the stanza recombine operator
-    (pkg/stanza/operator/transformer/recombine/config.go): within each
-    source (default log.file.path; for transcripts: conv_id), ordered
-    by ``order_col``, either ``is_first_entry`` STARTS a group or
-    ``is_last_entry`` ENDS one (exactly one must be given); groupBy
+    (pkg/stanza/operator/transformer/recombine/config.go:40-58): within
+    each source (default log.file.path; for transcripts: conv_id),
+    ordered by ``order_col``, either ``is_first_entry`` STARTS a group
+    or ``is_last_entry`` ENDS one (exactly one must be given); groupBy
     then concatenates ``combine_col`` with ``combine_with`` in order.
     ``overwrite_with`` picks whose metadata the combined row keeps:
     'oldest' (first row, the default) or 'newest' (last row).
+
+    Caps (transformer.go:188-195 flush conditions):
+
+    - ``max_batch_size``: flush every N entries.
+    - ``max_log_size``: flush once the combined text (separators
+      included) EXCEEDS the byte cap — the entry that crosses the cap
+      is still included, matching ``recombined.Len() > maxLogSize``
+      checked after the append.  Greedy reset-on-threshold is
+      sequential, so this path folds each group's sorted rows with one
+      ``F.aggregate`` (the group is already materialized for the
+      concat; the fold adds no extra shuffle or Python).
+    - ``force_flush_timeout``: the reference's idle timer flushes a
+      batch when no entry arrives within the period; the batch analog
+      splits a group wherever consecutive entries (by ``ts_col``) are
+      further apart than the period.
 
     The window + groupBy share the same partitioning key, so Catalyst
     plans ONE shuffle for both.
@@ -155,18 +173,41 @@ def recombine(
         grouped = df.withColumn(
             "__grp", F.coalesce(F.sum(last_int).over(wprev), F.lit(0))
         )
+    group_keys = source_cols + ["__grp"]
+    if force_flush_timeout:
+        if not ts_col:
+            raise ValueError("force_flush_timeout requires ts_col")
+        gap_sec = _interval_seconds(force_flush_timeout)
+        prev_ts = F.lag(F.col(ts_col)).over(w)
+        brk = (
+            F.col(ts_col).cast("timestamp").cast("long")
+            - prev_ts.cast("timestamp").cast("long")
+            > gap_sec
+        ).cast("int")
+        grouped = grouped.withColumn(
+            "__tgrp",
+            F.coalesce(F.sum(F.coalesce(brk, F.lit(0))).over(w), F.lit(0)),
+        )
+        group_keys = group_keys + ["__tgrp"]
+
+    other = [c for c in df.columns if c not in source_cols and c != combine_col]
+
+    if max_log_size:
+        return _recombine_size_capped(
+            grouped, source_cols, group_keys, order_col, combine_col,
+            combine_with, other, overwrite_with, max_log_size,
+            max_batch_size,
+        )
+
     if max_batch_size:
         # flush groups larger than max_batch_size (config max_batch_size=1000):
         # sub-split the group every max_batch_size rows
-        wg = W.partitionBy(*source_cols, "__grp").orderBy(order_col)
+        wg = W.partitionBy(*group_keys).orderBy(order_col)
         grouped = grouped.withColumn(
             "__grp_part", ((F.row_number().over(wg) - 1) / max_batch_size).cast("long")
         )
-        group_keys = source_cols + ["__grp", "__grp_part"]
-    else:
-        group_keys = source_cols + ["__grp"]
+        group_keys = group_keys + ["__grp_part"]
 
-    other = [c for c in df.columns if c not in source_cols and c != combine_col]
     ordered_pair = F.struct(F.col(order_col).alias("__o"), F.col(combine_col).alias("v"))
     meta_pair = F.struct(F.col(order_col).alias("__o"), F.struct(*[F.col(c) for c in other]).alias("row"))
     agg = (
@@ -187,6 +228,102 @@ def recombine(
         + [F.col(combine_col), F.col("recombined_count")]
     )
     return agg.select(*sel)
+
+
+def _recombine_size_capped(
+    grouped: DataFrame,
+    source_cols: list[str],
+    group_keys: list[str],
+    order_col: str,
+    combine_col: str,
+    combine_with: str,
+    other: list[str],
+    overwrite_with: str,
+    max_log_size: int,
+    max_batch_size: int | None,
+) -> DataFrame:
+    """Greedy size-capped recombine: fold each group's sorted rows into
+    sub-batches, flushing when the combined text exceeds max_log_size
+    (or hits max_batch_size entries) — the exact sequential semantics
+    of transformer.go addToBatch, expressed as one ``F.aggregate`` per
+    group (no UDF, no extra shuffle)."""
+    from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
+
+    rowstruct = F.struct(
+        F.col(order_col).alias("__o"),
+        F.col(combine_col).cast("string").alias("__v"),
+        F.struct(*[F.col(c) for c in other]).alias("row"),
+    )
+    tmp = grouped.select(rowstruct.alias("__r"))
+    r_dt = tmp.schema["__r"].dataType
+    meta_dt = next(f.dataType for f in r_dt.fields if f.name == "row")
+    batch_dt = StructType([
+        StructField("text", StringType()),
+        StructField("meta", meta_dt),
+        StructField("cnt", IntegerType()),
+    ])
+    batches_dt = ArrayType(batch_dt)
+
+    agg_rows = grouped.groupBy(*group_keys).agg(
+        F.array_sort(F.collect_list(rowstruct)).alias("__rows")
+    )
+
+    initial = F.struct(
+        F.array().cast(batches_dt).alias("batches"),
+        F.lit("").alias("cur_text"),
+        F.lit(None).cast(meta_dt).alias("cur_meta"),
+        F.lit(0).alias("cur_cnt"),
+    )
+    newest = overwrite_with == "newest"
+
+    def merge(acc, r):
+        started = acc["cur_cnt"] > 0
+        new_text = F.when(
+            started, F.concat(acc["cur_text"], F.lit(combine_with), r["__v"])
+        ).otherwise(r["__v"])
+        meta = (
+            r["row"] if newest
+            else F.when(started, acc["cur_meta"]).otherwise(r["row"])
+        )
+        cnt = acc["cur_cnt"] + 1
+        # byte length, not chars: recombined.Len() is a byte count
+        flush = F.octet_length(new_text) > max_log_size
+        if max_batch_size:
+            flush = flush | (cnt >= max_batch_size)
+        done = F.struct(
+            new_text.alias("text"), meta.alias("meta"), cnt.alias("cnt")
+        )
+        return F.struct(
+            F.when(flush, F.concat(acc["batches"], F.array(done)))
+            .otherwise(acc["batches"]).alias("batches"),
+            F.when(flush, F.lit("")).otherwise(new_text).alias("cur_text"),
+            F.when(flush, F.lit(None).cast(meta_dt))
+            .otherwise(meta).alias("cur_meta"),
+            F.when(flush, F.lit(0)).otherwise(cnt).alias("cur_cnt"),
+        )
+
+    def finish(acc):
+        tail = F.struct(
+            acc["cur_text"].alias("text"),
+            acc["cur_meta"].alias("meta"),
+            acc["cur_cnt"].alias("cnt"),
+        )
+        return F.when(
+            acc["cur_cnt"] > 0, F.concat(acc["batches"], F.array(tail))
+        ).otherwise(acc["batches"])
+
+    folded = agg_rows.select(
+        *source_cols,
+        F.explode(F.aggregate(F.col("__rows"), initial, merge, finish)).alias(
+            "__b"
+        ),
+    )
+    return folded.select(
+        *source_cols,
+        *[F.col(f"__b.meta.{c}").alias(c) for c in other],
+        F.col("__b.text").alias(combine_col),
+        F.col("__b.cnt").alias("recombined_count"),
+    )
 
 
 def sessionize(

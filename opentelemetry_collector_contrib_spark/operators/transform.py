@@ -63,6 +63,45 @@ def regex_replace_field(df: DataFrame, name: str, pattern: str, replacement: str
     return df.withColumn(name, F.regexp_replace(F.col(name), pattern, replacement))
 
 
+def assign_keys(
+    df: DataFrame,
+    field: str,
+    keys: list[str],
+    on_error: str = "send",
+    out_col: str | None = None,
+) -> DataFrame:
+    """stanza assign_keys transformer
+    (``pkg/stanza/operator/transformer/assignkeys/transformer.go:24-62``):
+    a list-valued field becomes a map, each value assigned the
+    configured key at the same position.  The reference errors when the
+    list length differs from ``len(keys)``; per stanza on_error
+    semantics 'send' passes the entry through unchanged (the original
+    list is kept, out_col stays NULL) and 'drop' removes it.
+
+    The field may be a native ARRAY column or a compact-JSON array cell
+    (the flat model's encoding for nested slices); both decode JVM-side.
+    Output: ``out_col`` (default ``field``, replacing the list) as
+    MAP<STRING,STRING> — pure expressions, no shuffle.
+    """
+    if not keys:
+        raise ValueError("assign_keys missing required field keys")
+    out_col = out_col or field
+    src = F.col(field)
+    dtype = dict(df.dtypes)[field]
+    arr = src if dtype.startswith("array") else F.from_json(src, "array<string>")
+    ok = arr.isNotNull() & (F.size(arr) == len(keys))
+    assigned = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in keys]),
+        F.transform(arr, lambda v: v.cast("string")),
+    )
+    if on_error == "drop":
+        return df.filter(ok).withColumn(out_col, assigned)
+    # 'send': mismatched rows pass through with a NULL map (the typed
+    # out column can't hold the original list; callers that need it
+    # keep the source column by passing out_col != field)
+    return df.withColumn(out_col, F.when(ok, assigned))
+
+
 # ---------------------------------------------------------------------------
 # attribute-map editors (MAP<STRING,STRING> column)
 # ---------------------------------------------------------------------------

@@ -279,8 +279,13 @@ def stream_signal_to_metrics(
     """signaltometrics in streaming form: the same MetricInfo config
     (OTTL conditions/value, attributes) aggregated per tumbling window
     with a watermark — the reference aggregates per Consume* call;
-    a stream's natural batch is the window. sum and histogram types
-    (gauge's 'last' needs per-window ordering, offered in batch only).
+    a stream's natural batch is the window.
+
+    All four MetricInfo types: sum, histogram, gauge (last value per
+    window, 'last' resolved by ``cfg.order_col`` via ``max_by`` — an
+    O(1)-state streaming aggregate, no per-window sort), and
+    exponential_histogram (the same base-2 bucket expression batch
+    uses, ``operators.aggregate.exponential_histogram``).
     """
     from ..operators.signaltometrics import _prepared
 
@@ -297,10 +302,25 @@ def stream_signal_to_metrics(
             .groupBy(win, *keys, F.col("bucket_idx"))
             .agg(F.count(F.lit(1)).alias("bucket_count"))
         )
+    elif cfg.metric_type == "gauge":
+        out = wm.groupBy(win, *keys).agg(
+            F.max_by(F.col("__value"), F.col(cfg.order_col)).alias(cfg.name)
+        )
+    elif cfg.metric_type == "exponential_histogram":
+        v = F.col("__value")
+        idx = (
+            F.ceil(F.round(F.log(2.0, v) * F.lit(float(2 ** cfg.scale)), 9))
+            - 1
+        )
+        out = (
+            wm.filter(v > 0)
+            .withColumn("bucket_idx", idx.cast("int"))
+            .groupBy(win, *keys, F.col("bucket_idx"))
+            .agg(F.count(F.lit(1)).alias("bucket_count"))
+        )
     else:
         raise ValueError(
-            f"streaming signaltometrics supports sum/histogram, "
-            f"not {cfg.metric_type!r}"
+            f"unknown streaming signaltometrics type {cfg.metric_type!r}"
         )
     from ..operators.signaltometrics import _renamed
 
