@@ -163,6 +163,14 @@ _DATAPOINT_PATHS = {
     "flags": "flags", "count": "count", "sum": "sum",
 }
 
+# spanevent context (ctxspanevent/span_events.go:22-33); the flat model
+# keeps the event name in event_name (span name stays `name`)
+_SPANEVENT_PATHS = {
+    "name": "event_name", "attributes": "attributes", "time": "ts",
+    "time_unix_nano": "time_unix_nano",
+    "dropped_attributes_count": "dropped_attributes_count",
+}
+
 # ptrace.SpanKind.String() / traceutil.SpanKindStr values, indexed by
 # the numeric kind (ctxspan/span.go:298-345)
 _SPAN_KIND_STR = ["Unspecified", "Internal", "Server", "Client",
@@ -667,8 +675,12 @@ class Parser:
         ctxmetric/metric.go, ctxdatapoint/datapoint.go registries)."""
         if ctx == "span":
             return self._parse_span_path()
-        if ctx in ("metric", "datapoint"):
-            table = _METRIC_PATHS if ctx == "metric" else _DATAPOINT_PATHS
+        if ctx in ("metric", "datapoint", "spanevent"):
+            table = {
+                "metric": _METRIC_PATHS,
+                "datapoint": _DATAPOINT_PATHS,
+                "spanevent": _SPANEVENT_PATHS,
+            }[ctx]
             self.expect(".")
             fld = self.next()
             if fld.kind != "ident" or fld.text not in table:
@@ -677,7 +689,7 @@ class Parser:
                     f"(ctx{ctx} path registry)"
                 )
             return self._parse_accessors(Path(column=table[fld.text]))
-        if ctx in ("spanevent", "profile"):
+        if ctx == "profile":
             raise OTTLSyntaxError(
                 f"context {ctx!r} is not available in the log pipeline"
             )
@@ -1266,15 +1278,14 @@ def _edit(name: str, args: list, kwargs: dict, where: Column | None, df: DataFra
         # key can collide with an existing flat key (attributes holds
         # both 'a.b' and a={"b":...}); func_flatten.go upserts
         # (PutEmpty overwrites), while Spark's default
-        # mapKeyDedupPolicy=EXCEPTION would kill the job.  Keep an
-        # entry only if no LATER entry carries the same key (maps are
-        # small; the quadratic scan is per-row over tens of entries).
+        # mapKeyDedupPolicy=EXCEPTION would kill the job.  Last-wins =
+        # first occurrence in the reversed list: one shared keys array
+        # + array_position per entry, no per-element slice allocation.
+        rev = F.reverse(flat_entries)
+        rev_keys = F.transform(rev, lambda e: e["key"])
         flat_entries = F.filter(
-            flat_entries,
-            lambda e, i: ~F.exists(
-                F.slice(flat_entries, i + F.lit(2), F.size(flat_entries)),
-                lambda x: x["key"] == e["key"],
-            ),
+            rev,
+            lambda e, i: F.array_position(rev_keys, e["key"]) == i + F.lit(1),
         )
         return stmt(path.column, F.map_from_entries(flat_entries))
     if name == "merge_maps":

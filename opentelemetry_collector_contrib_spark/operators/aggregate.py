@@ -129,6 +129,7 @@ def recombine(
     max_log_size: int | None = None,
     force_flush_timeout: str | None = None,
     ts_col: str | None = None,
+    max_unmatched_batch_size: int | None = None,
 ) -> DataFrame:
     """Group consecutive rows per source into one combined row.
 
@@ -155,6 +156,11 @@ def recombine(
       batch when no entry arrives within the period; the batch analog
       splits a group wherever consecutive entries (by ``ts_col``) are
       further apart than the period.
+    - ``max_unmatched_batch_size``: flush every N entries for batches
+      with NO match (``!batch.matchDetected`` in transformer.go:190 —
+      in the batch form these are the rows before the first
+      ``is_first_entry`` match / after the last ``is_last_entry``
+      match, detected as groups whose match-count is zero).
 
     The window + groupBy share the same partitioning key, so Catalyst
     plans ONE shuffle for both.
@@ -163,17 +169,19 @@ def recombine(
         raise ValueError("recombine needs exactly one of is_first_entry/is_last_entry")
     w = W.partitionBy(*source_cols).orderBy(order_col)
     if is_first_entry is not None:
-        first_int = F.when(is_first_entry, 1).otherwise(0)
-        grouped = df.withColumn("__grp", F.sum(first_int).over(w))
+        match_int = F.when(is_first_entry, 1).otherwise(0)
+        grouped = df.withColumn("__grp", F.sum(match_int).over(w))
     else:
         # a matching LAST row closes its group: the group id counts
         # matches strictly BEFORE the current row
-        last_int = F.when(is_last_entry, 1).otherwise(0)
+        match_int = F.when(is_last_entry, 1).otherwise(0)
         wprev = w.rowsBetween(W.unboundedPreceding, -1)
         grouped = df.withColumn(
-            "__grp", F.coalesce(F.sum(last_int).over(wprev), F.lit(0))
+            "__grp", F.coalesce(F.sum(match_int).over(wprev), F.lit(0))
         )
     group_keys = source_cols + ["__grp"]
+    if max_unmatched_batch_size:
+        grouped = grouped.withColumn("__match", match_int)
     if force_flush_timeout:
         if not ts_col:
             raise ValueError("force_flush_timeout requires ts_col")
@@ -196,15 +204,28 @@ def recombine(
         return _recombine_size_capped(
             grouped, source_cols, group_keys, order_col, combine_col,
             combine_with, other, overwrite_with, max_log_size,
-            max_batch_size,
+            max_batch_size, max_unmatched_batch_size,
         )
 
-    if max_batch_size:
-        # flush groups larger than max_batch_size (config max_batch_size=1000):
-        # sub-split the group every max_batch_size rows
+    if max_batch_size or max_unmatched_batch_size:
+        # flush groups larger than their cap: max_batch_size for
+        # matched batches (config default 1000), the tighter
+        # max_unmatched_batch_size (default 100) for groups where the
+        # predicate never matched — sub-split every cap rows
+        big = 1 << 62
+        cap_m = max_batch_size or big
+        cap_u = min(cap_m, max_unmatched_batch_size or big)
         wg = W.partitionBy(*group_keys).orderBy(order_col)
+        if max_unmatched_batch_size:
+            matched = F.max("__match").over(
+                W.partitionBy(*group_keys)
+            ) == 1
+            cap = F.when(matched, F.lit(cap_m)).otherwise(F.lit(cap_u))
+        else:
+            cap = F.lit(cap_m)
         grouped = grouped.withColumn(
-            "__grp_part", ((F.row_number().over(wg) - 1) / max_batch_size).cast("long")
+            "__grp_part",
+            F.floor((F.row_number().over(wg) - 1) / cap).cast("long"),
         )
         group_keys = group_keys + ["__grp_part"]
 
@@ -241,17 +262,21 @@ def _recombine_size_capped(
     overwrite_with: str,
     max_log_size: int,
     max_batch_size: int | None,
+    max_unmatched_batch_size: int | None = None,
 ) -> DataFrame:
     """Greedy size-capped recombine: fold each group's sorted rows into
     sub-batches, flushing when the combined text exceeds max_log_size
-    (or hits max_batch_size entries) — the exact sequential semantics
-    of transformer.go addToBatch, expressed as one ``F.aggregate`` per
-    group (no UDF, no extra shuffle)."""
+    (or hits max_batch_size entries; or max_unmatched_batch_size
+    entries while no row has matched the predicate) — the exact
+    sequential semantics of transformer.go addToBatch, expressed as
+    one ``F.aggregate`` per group (no UDF, no extra shuffle)."""
     from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
 
+    has_match_col = "__match" in grouped.columns
     rowstruct = F.struct(
         F.col(order_col).alias("__o"),
         F.col(combine_col).cast("string").alias("__v"),
+        (F.col("__match") if has_match_col else F.lit(1)).alias("__m"),
         F.struct(*[F.col(c) for c in other]).alias("row"),
     )
     tmp = grouped.select(rowstruct.alias("__r"))
@@ -273,6 +298,7 @@ def _recombine_size_capped(
         F.lit("").alias("cur_text"),
         F.lit(None).cast(meta_dt).alias("cur_meta"),
         F.lit(0).alias("cur_cnt"),
+        F.lit(False).alias("cur_matched"),
     )
     newest = overwrite_with == "newest"
 
@@ -286,10 +312,13 @@ def _recombine_size_capped(
             else F.when(started, acc["cur_meta"]).otherwise(r["row"])
         )
         cnt = acc["cur_cnt"] + 1
+        matched = acc["cur_matched"] | (r["__m"] == 1)
         # byte length, not chars: recombined.Len() is a byte count
         flush = F.octet_length(new_text) > max_log_size
         if max_batch_size:
             flush = flush | (cnt >= max_batch_size)
+        if max_unmatched_batch_size:
+            flush = flush | (~matched & (cnt >= max_unmatched_batch_size))
         done = F.struct(
             new_text.alias("text"), meta.alias("meta"), cnt.alias("cnt")
         )
@@ -300,6 +329,7 @@ def _recombine_size_capped(
             F.when(flush, F.lit(None).cast(meta_dt))
             .otherwise(meta).alias("cur_meta"),
             F.when(flush, F.lit(0)).otherwise(cnt).alias("cur_cnt"),
+            F.when(flush, F.lit(False)).otherwise(matched).alias("cur_matched"),
         )
 
     def finish(acc):

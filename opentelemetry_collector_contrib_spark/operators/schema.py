@@ -109,6 +109,35 @@ def translate_keys(col: Column, renames: dict[str, str]) -> Column:
     for k, v in renames.items():
         pairs.extend([F.lit(k), F.lit(v)])
     lookup = F.create_map(*pairs)
+
+    # Collision candidates are STATIC (the rename dict): a duplicate
+    # key can only arise when a record carries a source key together
+    # with its target, or two sources of the same target.  Enumerate
+    # those pairs as cheap map_contains_key checks and keep the
+    # collision-free fast path (the original single transform_keys —
+    # one codegen'd expression, no entry-array rebuild) for the ~100%
+    # of records with no collision; only colliding rows pay the
+    # rebuild-with-dedup branch.
+    checks = []
+    by_target: dict[str, list[str]] = {}
+    for s, d in renames.items():
+        checks.append(F.map_contains_key(col, s) & F.map_contains_key(col, d))
+        by_target.setdefault(d, []).append(s)
+    for srcs in by_target.values():
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                checks.append(
+                    F.map_contains_key(col, srcs[i])
+                    & F.map_contains_key(col, srcs[j])
+                )
+    collision = checks[0]
+    for c in checks[1:]:
+        collision = collision | c
+
+    fast = F.transform_keys(
+        col, lambda k, _v: F.coalesce(F.element_at(lookup, k), k)
+    )
+
     renamed = F.transform(
         F.map_entries(col),
         lambda e: F.struct(
@@ -116,14 +145,14 @@ def translate_keys(col: Column, renames: dict[str, str]) -> Column:
             e["value"].alias("value"),
         ),
     )
+    # last-wins = first occurrence in the REVERSED entry list; keep an
+    # entry iff the first position of its key is its own
+    rev = F.reverse(renamed)
+    keys = F.transform(rev, lambda e: e["key"])
     deduped = F.filter(
-        renamed,
-        lambda e, i: ~F.exists(
-            F.slice(renamed, i + F.lit(2), F.size(renamed)),
-            lambda x: x["key"] == e["key"],
-        ),
+        rev, lambda e, i: F.array_position(keys, e["key"]) == i + F.lit(1)
     )
-    return F.map_from_entries(deduped)
+    return F.when(collision, F.map_from_entries(deduped)).otherwise(fast)
 
 
 def schema_translate(

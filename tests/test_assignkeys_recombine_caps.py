@@ -156,6 +156,39 @@ def test_recombine_force_flush_timeout_splits_on_gap(spark):
     assert [r["body"] for r in out] == ["a\nb", "c\nd"]
 
 
+def test_recombine_max_unmatched_batch_size(spark):
+    # TestMaxUnmatchedBatchSizeForFirstEntry (cap 2): leading rows that
+    # never matched is_first split every 2; matched batches use the
+    # (absent here -> unlimited) max_batch_size
+    bodies = ["test2", "test3", "test4", "test5", "test6",
+              "test1", "test7", "test8", "test1", "test9", "test10"]
+    df = _logs(spark, bodies)
+    out = recombine(
+        df, ["path"], "seq",
+        is_first_entry=F.col("body") == "test1",
+        combine_col="body", max_unmatched_batch_size=2,
+    ).orderBy("seq").collect()
+    assert [r["body"] for r in out] == [
+        "test2\ntest3", "test4\ntest5", "test6",
+        "test1\ntest7\ntest8", "test1\ntest9\ntest10",
+    ]
+
+
+def test_recombine_max_unmatched_in_size_capped_fold(spark):
+    # same cap exercised through the max_log_size fold path
+    bodies = ["test2", "test3", "test4", "test1", "test7"]
+    df = _logs(spark, bodies)
+    out = recombine(
+        df, ["path"], "seq",
+        is_first_entry=F.col("body") == "test1",
+        combine_col="body", max_log_size=10_000,
+        max_unmatched_batch_size=2,
+    ).orderBy("seq").collect()
+    assert [r["body"] for r in out] == [
+        "test2\ntest3", "test4", "test1\ntest7",
+    ]
+
+
 def test_recombine_timeout_requires_ts_col(spark):
     df = _logs(spark, ["a"])
     with pytest.raises(ValueError):

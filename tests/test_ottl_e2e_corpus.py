@@ -722,12 +722,12 @@ def test_unsupported_context_rejected(record):
         OTTLSyntaxError, compile_statement,
     )
 
-    # span/metric/datapoint became real contexts in round 3
-    # (tests/test_ottl_span_context.py); spanevent/profile remain out
-    with pytest.raises(OTTLSyntaxError):
-        compile_statement('set(spanevent.attributes["a"], 1)')
+    # span/metric/datapoint/spanevent became real contexts in round 3
+    # (tests/test_ottl_span_context.py); profile remains out
     with pytest.raises(OTTLSyntaxError):
         compile_statement('set(profile.original_payload_format, "x")')
+    with pytest.raises(OTTLSyntaxError):
+        compile_statement('set(spanevent.bogus_field, 1)')
 
 
 def test_multisegment_path_rejected_for_set():

@@ -118,3 +118,32 @@ def test_metric_context_inferred():
     assert infer_context(
         ['set(datapoint.attributes["a"], 1)', 'set(metric.name, "x")']
     ) == "datapoint"
+
+
+@pytest.fixture(scope="module")
+def spanevent(spark):
+    return spark.createDataFrame(
+        [("exception", {"exception.type": "IOError"})],
+        "event_name string, attributes map<string,string>",
+    )
+
+
+SPANEVENT_CASES = [
+    ('set(spanevent.name, "renamed")',
+     lambda r: r["event_name"] == "renamed"),
+    ('set(spanevent.attributes["t"], spanevent.name)',
+     lambda r: r["attributes"]["t"] == "exception"),
+    ('delete_key(spanevent.attributes, "exception.type") where spanevent.name == "exception"',
+     lambda r: r["attributes"] == {}),
+]
+
+
+@pytest.mark.parametrize("stmt,check", SPANEVENT_CASES)
+def test_spanevent_context_cases(spark, spanevent, stmt, check):
+    assert check(run(stmt, spanevent)), stmt
+
+
+def test_spanevent_context_inferred():
+    assert infer_context(
+        ['set(spanevent.attributes["a"], 1)', 'set(span.name, "x")']
+    ) == "spanevent"
