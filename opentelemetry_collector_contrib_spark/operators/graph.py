@@ -1,0 +1,103 @@
+"""Connected components over a pair graph — transitive near-duplicate
+clustering.
+
+Near-dup DEDUP needs one representative per duplicate *cluster*, not
+per pair: if A~B and B~C but A!~C, pairwise min-id representatives
+would keep {A} for B and {B} for C — C's kept representative is itself
+a duplicate.  The reference's dedup processors operate per-batch and
+never face this; a 100 TB corpus dedup does (this is the standard
+MinHash -> pairs -> components -> keep-min pipeline from the web-scale
+dedup literature, e.g. the CCF/large-star-small-star family).
+
+Algorithm: iterative min-label propagation.  Each round every vertex
+takes the min label among itself and its neighbors; converges in
+O(component diameter) rounds — near-dup clusters are shallow (dozens
+of hops at most), and ``max_iter`` bounds the loop.  Each round is one
+shuffle (join on vertex) + one map-side-combined min aggregate; the
+driver-side loop holds only an iteration counter and a convergence
+flag (one scalar count per round, not data).
+
+GraphFrames/Pregel would be the library route; this stays dependency-
+free with the identical plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(vertex, component) for every vertex in ``pairs``; the component
+    id is the minimum vertex id in the connected component.
+
+    Scale shape per round: one equi-join (vertex -> neighbor labels) +
+    one groupBy-min (map-side combined).  Labels shrink monotonically,
+    so the change count is a cheap convergence test; checkpointing via
+    ``localCheckpoint`` every few rounds truncates the lineage so the
+    plan does not grow exponentially with iterations (the classic
+    iterative-Spark pitfall).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+    )
+    for i in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["vertex"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["vertex"] == neighbor_min["u"], "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # lineage truncation: without it each round's plan embeds all
+        # previous rounds and analysis time explodes
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("vertex"), F.col("label").alias("component"))
+
+
+def dedup_keep_representative(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Corpus dedup: keep exactly one doc (the min id) per duplicate
+    cluster.  Docs in no pair keep themselves; duplicates are removed
+    transitively (A~B~C keeps only min(A,B,C), unlike pairwise
+    neighbor-min which can keep a duplicate)."""
+    comp = connected_components(pairs, src, dst, max_iter)
+    drop = comp.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

@@ -239,12 +239,105 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# transitive near-dup clustering: MinHash pairs -> connected components
+# (web-scale dedup keeps one doc per duplicate CLUSTER; pairwise
+#  neighbor-min representatives can keep a transitive duplicate)
+# ---------------------------------------------------------------------------
+
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+    from .queries_corpus import _MH_BANDS, _MH_K, _MH_N, _MH_T
+    from ..operators import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = TX.minhash_lsh_dedup(
+        docs, "doc_id", "text",
+        num_hashes=_MH_K, bands=_MH_BANDS, shingle_n=_MH_N,
+        verify_threshold=_MH_T,
+    )
+    return connected_components(pairs, "id_a", "id_b").select(
+        "vertex", "component"
+    )
+
+
+def _o_neardup_components() -> str:
+    """Wrap the EXACT minhash pair pipeline (O_MINHASH_LSH's CTE chain)
+    with a recursive reachability closure: component(v) = min id that
+    reaches v.  Composing from the shared constant keeps the two
+    oracles' candidate generation byte-identical."""
+    from .queries_corpus import O_MINHASH_LSH
+
+    body = O_MINHASH_LSH.strip()
+    ctes, final = body.split("SELECT id_a, id_b, jaccard FROM", 1)
+    ctes = ctes.strip()
+    assert ctes.startswith("WITH ")
+    ctes = ctes[len("WITH "):].rstrip().rstrip(",")
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS (SELECT id_a, id_b FROM{final}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(vertex, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.vertex
+)
+SELECT vertex, min(r) AS component FROM reach GROUP BY vertex
+"""
+
+
+# ---------------------------------------------------------------------------
+# sqlquery receiver: multi-poll metrics conversion
+# (receiver/sqlqueryreceiver logs_receiver.go rowToMetric + tracking
+#  advance across polls — the digit-boundary watermark regression test
+#  as a graded query: start value 99, ids cross 100/1000/10000, a
+#  lexicographic max would re-ingest thousands of rows and fail the
+#  row-count match)
+# ---------------------------------------------------------------------------
+
+def q_sqlquery_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.sqlquery import SQLQueryReceiver
+
+    ev = load(spark, sf_dir, "events")
+    # first "arrival": only ids <= 5000 visible
+    ev.filter(F.col("event_id") <= 5000).createOrReplaceTempView("ev_feed")
+    rx = SQLQueryReceiver(
+        sql="SELECT event_id, event_type, value FROM ev_feed WHERE event_id > $1",
+        tracking_column="event_id",
+        tracking_start_value="99",
+        metric_name="event.value",
+        value_column="value",
+        attribute_columns=("event_type",),
+    )
+    first = rx.to_metrics(rx.poll(spark))
+    # feed grows; second poll must resume at the watermark, not re-read
+    ev.createOrReplaceTempView("ev_feed")
+    second = rx.to_metrics(rx.poll(spark))
+    return first.unionByName(second).select(
+        "metric_name", F.round("value", 2).alias("value"), "event_type"
+    )
+
+
+O_SQLQUERY_METRICS = """
+SELECT 'event.value' AS metric_name, round(value, 2) AS value, event_type
+FROM events WHERE event_id > 99
+"""
+
+
+O_NEARDUP_COMPONENTS = _o_neardup_components()
+
+
 EXT5_QUERIES: dict[str, QueryFn] = {
+    "neardup_components": q_neardup_components,
     "ottl_span_context": q_ottl_span_context,
     "assign_keys": q_assign_keys,
     "stream_s2m_gauge": q_stream_s2m_gauge,
     "stream_s2m_exphist": q_stream_s2m_exphist,
     "stream_alert_dedup": q_stream_alert_dedup,
+    "sqlquery_metrics": q_sqlquery_metrics,
 }
 
 EXT5_ORACLES: dict[str, str] = {
@@ -253,4 +346,6 @@ EXT5_ORACLES: dict[str, str] = {
     "stream_s2m_gauge": O_STREAM_S2M_GAUGE,
     "stream_s2m_exphist": O_STREAM_S2M_EXPHIST,
     "stream_alert_dedup": O_STREAM_ALERT_DEDUP,
+    "sqlquery_metrics": O_SQLQUERY_METRICS,
+    "neardup_components": O_NEARDUP_COMPONENTS,
 }
