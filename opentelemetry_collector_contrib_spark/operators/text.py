@@ -460,3 +460,193 @@ def doc_fingerprint(
     return F.substring(
         F.array_min(F.transform(sh, lambda s: F.md5(s))), 1, out_bits
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality filter
+# ---------------------------------------------------------------------------
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """NON-distinct word n-grams (multiplicity preserved — repetition
+    metrics need it; ``shingles_from_tokens`` is the distinct variant).
+    Pass a materialized token-array column (same O(len^2) caveat)."""
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_rules(
+    text: Column,
+    *,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.80,
+    min_stopwords: int = 2,
+) -> dict[str, Column]:
+    """Gopher corpus-filter rule set (Rae et al. 2021, arXiv:2112.11446
+    Appendix A1.1 — public) as pure Column expressions: word-count
+    bounds, mean-word-length window, symbol-to-word ratio ('#'/'...'),
+    fraction of words containing an alphabetic character, and a
+    minimum stopword count. Per-rule booleans plus the features they
+    derive from, so a pipeline can both filter and audit why."""
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    word_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    avg_len = F.when(n_words > 0, word_chars / n_words).otherwise(0.0)
+    n_symbols = F.coalesce(F.regexp_count(text, F.lit(r"#|\.\.\.")), F.lit(0))
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(0.0)
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words > 0, n_alpha_words / n_words).otherwise(0.0)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    return {
+        "n_words": n_words.cast("bigint"),
+        "avg_word_len": F.round(avg_len, 6),
+        "symbol_word_ratio": F.round(symbol_ratio, 6),
+        "alpha_word_ratio": F.round(alpha_ratio, 6),
+        "stopword_hits": n_stop.cast("bigint"),
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_avg_word_len": (avg_len >= min_avg_word_len) & (avg_len <= max_avg_word_len),
+        "rule_symbol_ratio": symbol_ratio <= max_symbol_word_ratio,
+        "rule_alpha_words": alpha_ratio >= min_alpha_word_ratio,
+        "rule_stopwords": n_stop >= min_stopwords,
+    }
+
+
+def gopher_filter(
+    df: DataFrame, id_col: str, text_col: str, **bounds: float
+) -> DataFrame:
+    """documents -> (id, features, per-rule flags, keep). Narrow (zero
+    shuffles, whole-stage codegen): filtering 100 TB is a pure scan."""
+    rules = gopher_rules(F.col(text_col), **bounds)
+    keep = None
+    for name, col in rules.items():
+        if name.startswith("rule_"):
+            keep = col if keep is None else (keep & col)
+    return df.select(
+        F.col(id_col),
+        *[col.alias(name) for name, col in rules.items()],
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition metrics
+# ---------------------------------------------------------------------------
+
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 2
+) -> DataFrame:
+    """Per-document repetition features (the Gopher A1.1 duplicate
+    n-gram family adapted to single-line docs): for n in {2,3} the
+    duplicate-n-gram fraction ``1 - distinct/total``, plus the
+    top-``top_n``-gram fraction (occurrences of the most frequent
+    n-gram / total n-grams).
+
+    Scale shape: the dup fractions are array-native per row (no
+    shuffle); the top fraction explodes n-grams and aggregates twice —
+    both groupBys are map-side combined and keyed by (doc, gram) then
+    doc, so the shuffle carries O(total n-grams), never pairs."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    g2, g3 = word_ngrams(F.col("__toks"), 2), word_ngrams(F.col("__toks"), 3)
+    narrow = base.select(
+        F.col(id_col),
+        F.col("__toks"),
+        *[
+            F.round(
+                F.when(
+                    F.size(g) > 0,
+                    1.0 - F.size(F.array_distinct(g)) / F.size(g),
+                ).otherwise(0.0),
+                6,
+            ).alias(f"dup_{n}gram_frac")
+            for n, g in ((2, g2), (3, g3))
+        ],
+    )
+    top = (
+        base.select(F.col(id_col), F.explode(word_ngrams(F.col("__toks"), top_n)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.max("cnt").alias("__top"),
+            F.sum("cnt").alias("__total"),
+        )
+        .select(
+            F.col(id_col),
+            F.round(F.col("__top") / F.col("__total"), 6).alias(
+                f"top_{top_n}gram_frac"
+            ),
+        )
+    )
+    return (
+        narrow.drop("__toks")
+        .join(top, id_col, "left")
+        .withColumn(
+            f"top_{top_n}gram_frac",
+            F.coalesce(F.col(f"top_{top_n}gram_frac"), F.lit(0.0)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def decontam_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    min_overlap: int = 1,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Train-set decontamination (the GPT-3/PaLM n-gram collision rule,
+    public): flag every corpus doc sharing >= ``min_overlap`` distinct
+    word ``shingle_n``-grams with ANY benchmark doc.
+
+    Scale shape: benchmark shingle sets are small (eval suites are
+    MBs, not TBs) -> distinct once and broadcast; the corpus side is
+    one shingle explosion + a broadcast semi-join + one map-side
+    combined groupBy(doc). No shuffle keyed by benchmark. If the
+    benchmark ever outgrows broadcast, pass ``broadcast_bench=False``
+    and the same plan degrades to a shuffle equi-join on the shingle —
+    still O(corpus shingles), never a cross join."""
+    bench_sh = (
+        bench.select(
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+        )
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    corpus_sh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    hits = (
+        corpus_sh.join(bench_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("overlap_ngrams", F.lit(0)).alias("overlap_ngrams"),
+            (F.coalesce("overlap_ngrams", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
