@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "schema_semconv",
     "signaltometrics_hist",
     "metricstransform",
+    # round-3 corpus-curation stage
+    "gopher_filter",
+    "decontam_overlap",
+    "neardup_keep",
 ]
 
 PIPELINE_CONVS = 30_000  # ~600k turns; comparable to sf0.1 lineitem

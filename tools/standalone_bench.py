@@ -90,6 +90,33 @@ print(json.dumps({{"executors": n_exec, "sink": sink, "sec": round(best, 2),
 """
 
 
+def _burn(_: int) -> float:
+    t0 = time.time()
+    x = 0
+    for i in range(30_000_000):
+        x += i * i
+    return time.time() - t0
+
+
+def probe_ceiling(cores_n: int, cores_4n: int) -> dict:
+    """Measure the BOX's own N->4N scaling ceiling at this moment with
+    a pure-Python busy loop (no Spark, no I/O). The box's effective
+    core count fluctuates (shared host); an engine efficiency can
+    never exceed the same-moment hardware ceiling, so every report
+    pins the ceiling measured minutes-apart from the runs it frames."""
+    import multiprocessing as mp
+
+    out = {}
+    for w in (cores_n, cores_4n):
+        t0 = time.time()
+        with mp.Pool(w) as p:
+            p.map(_burn, range(w))
+        out[w] = w / (time.time() - t0)
+    eff = (out[cores_4n] / out[cores_n]) / (cores_4n / cores_n)
+    return {"throughput": {k: round(v, 2) for k, v in out.items()},
+            "machine_ceiling": round(eff, 3)}
+
+
 def start_cluster(local_dir: str | None = None) -> list[subprocess.Popen]:
     env = dict(os.environ, SPARK_HOME=SPARK_HOME)
     if local_dir:
@@ -156,6 +183,8 @@ print("rows:", spark.read.parquet({input_dir!r}).count())
 
     if args.sink_dir:
         os.makedirs(args.sink_dir, exist_ok=True)
+    ceiling_pre = probe_ceiling(2 * n, 2 * n4)
+    print(json.dumps({"probe": "pre", **ceiling_pre}))
     procs = start_cluster(args.local_dir)
     try:
         res = {}
@@ -166,6 +195,9 @@ print("rows:", spark.read.parquet({input_dir!r}).count())
     finally:
         for p in procs:
             p.send_signal(signal.SIGTERM)
+    ceiling_post = probe_ceiling(2 * n, 2 * n4)
+    print(json.dumps({"probe": "post", **ceiling_post}))
+    ceiling = min(ceiling_pre["machine_ceiling"], ceiling_post["machine_ceiling"])
 
     full_n, full_n4 = res[(n, "parquet")], res[(n4, "parquet")]
     noop_n, noop_n4 = res[(n, "noop")], res[(n4, "noop")]
@@ -180,6 +212,10 @@ print("rows:", spark.read.parquet({input_dir!r}).count())
         "compute_tps": {n: noop_n["tps"], n4: noop_n4["tps"]},
         "scaling_efficiency_full": round(eff, 3),
         "scaling_efficiency_compute": round(ceff, 3),
+        "machine_ceiling_pre": ceiling_pre,
+        "machine_ceiling_post": ceiling_post,
+        "efficiency_vs_ceiling_full": round(eff / ceiling, 3) if ceiling else None,
+        "efficiency_vs_ceiling_compute": round(ceff / ceiling, 3) if ceiling else None,
         "passes_north_rule": max(eff, ceff) >= 0.8,
     }
     print(json.dumps(summary))
@@ -200,6 +236,10 @@ size carved with `spark.cores.max`. Identical job, identical
 
 - **Full job efficiency (N→4N): {eff:.3f}**
 - **Compute-path efficiency (N→4N): {ceff:.3f}**
+- Machine ceiling at run time (pure busy-loop {2 * n}→{2 * n4} cores,
+  pre/post run): {ceiling_pre["machine_ceiling"]:.3f} / {ceiling_post["machine_ceiling"]:.3f}
+  — the box's own scaling limit this moment; engine efficiency vs
+  ceiling: full {eff / ceiling:.3f}, compute {ceff / ceiling:.3f}
 - north_rule ≥ 0.8: {"PASS" if max(eff, ceff) >= 0.8 else "FAIL"}
 
 The compute path (pipeline executed fully, sink I/O removed) is the
