@@ -47,6 +47,11 @@ def connected_components(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        # materialize ONCE: edges are re-joined every round, and without
+        # this each round re-executes the whole upstream candidate
+        # pipeline (measured 2x wall on the minhash-fed query). Edge
+        # count is O(dup pairs) — far smaller than the corpus.
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("u").alias("vertex"))
