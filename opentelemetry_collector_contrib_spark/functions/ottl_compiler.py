@@ -135,6 +135,9 @@ _ROOT_TYPES = {
     "metric_name": "string", "description": "string", "unit": "string",
     "metric_type": "long", "is_monotonic": "boolean", "value": "double",
     "count": "long", "sum": "double",
+    # profile-context columns (ottlprofile flat model)
+    "profile_id": "string", "duration_unix_nano": "long",
+    "period": "long", "original_payload_format": "string",
 }
 
 # span context path registry -> flat span column
@@ -168,6 +171,21 @@ _DATAPOINT_PATHS = {
 _SPANEVENT_PATHS = {
     "name": "event_name", "attributes": "attributes", "time": "ts",
     "time_unix_nano": "time_unix_nano",
+    "dropped_attributes_count": "dropped_attributes_count",
+}
+
+# profile context (pkg/ottl/contexts/ottlprofile/README.md path table;
+# profile.go registry). Flat-model scalars only: the pprofile slice
+# graph (sample, sample_type, location_indices, attribute_indices) has
+# no flat-column encoding and compiles to an explicit error, like every
+# other unsupported path. profile_id is a hex string (as span ids are),
+# so `.string` is the identity.
+_PROFILE_PATHS = {
+    "attributes": "attributes", "profile_id": "profile_id",
+    "time": "ts", "time_unix_nano": "time_unix_nano",
+    "duration_unix_nano": "duration_unix_nano",
+    "period": "period",
+    "original_payload_format": "original_payload_format",
     "dropped_attributes_count": "dropped_attributes_count",
 }
 
@@ -675,11 +693,12 @@ class Parser:
         ctxmetric/metric.go, ctxdatapoint/datapoint.go registries)."""
         if ctx == "span":
             return self._parse_span_path()
-        if ctx in ("metric", "datapoint", "spanevent"):
+        if ctx in ("metric", "datapoint", "spanevent", "profile"):
             table = {
                 "metric": _METRIC_PATHS,
                 "datapoint": _DATAPOINT_PATHS,
                 "spanevent": _SPANEVENT_PATHS,
+                "profile": _PROFILE_PATHS,
             }[ctx]
             self.expect(".")
             fld = self.next()
@@ -688,11 +707,19 @@ class Parser:
                     f"unknown {ctx} field {fld.text!r} "
                     f"(ctx{ctx} path registry)"
                 )
+            if ctx == "profile" and fld.text == "profile_id":
+                # hex string IS the flat encoding — `.string` identity,
+                # matching span.trace_id.string (README: profile_id /
+                # profile_id.string rows)
+                if self.peek().text == ".":
+                    self.next()
+                    sub = self.next()
+                    if sub.text != "string":
+                        raise OTTLSyntaxError(
+                            f"unknown profile.profile_id field {sub.text!r}"
+                        )
+                return Path(column=table[fld.text])
             return self._parse_accessors(Path(column=table[fld.text]))
-        if ctx == "profile":
-            raise OTTLSyntaxError(
-                f"context {ctx!r} is not available in the log pipeline"
-            )
         if ctx == "log":
             self.expect(".")
             nxt = self.next()
@@ -943,8 +970,10 @@ def _as_col(v) -> Column:
     return F.lit(v)
 
 
-# integer-typed columns of the flat log model (int division dispatch)
-_INT_COLS = {"severity_number", "flags", "time_unix_nano"}
+# integer-typed root columns across all flat models (int division
+# dispatch) — derived from the registry so span/metric/profile longs
+# (kind, count, period, duration_unix_nano, ...) divide as Go int64s
+_INT_COLS = {c for c, t in _ROOT_TYPES.items() if t == "long"}
 
 
 def _is_ts_expr(v) -> bool:

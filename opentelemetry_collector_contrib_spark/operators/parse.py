@@ -430,3 +430,69 @@ def container_parser(
             .withColumn("k8s_restart_count", F.regexp_extract(p, _K8S_PATH, 5).cast("int"))
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# input encoding (pkg/stanza/fileconsumer/config.go:37,83,114 `encoding`;
+# internal/coreinternal/textutils/encoding.go:16-49 LookupEncoding)
+# ---------------------------------------------------------------------------
+
+# stanza encoding name -> JVM charset for the built-in `decode`
+# expression (the whole-stage-codegen path). The override table mirrors
+# the reference's encodingOverrides: ascii/us-ascii decode as UTF-8,
+# bare "utf-16" means little-endian ignore-BOM.
+_JVM_CHARSETS = {
+    "": "UTF-8", "utf-8": "UTF-8", "utf8": "UTF-8",
+    "utf-8-raw": "UTF-8", "utf8-raw": "UTF-8",
+    "ascii": "UTF-8", "us-ascii": "UTF-8",
+    "utf-16": "UTF-16LE", "utf16": "UTF-16LE",
+    "utf-16le": "UTF-16LE", "utf-16be": "UTF-16BE",
+    "latin1": "ISO-8859-1", "iso-8859-1": "ISO-8859-1",
+}
+
+
+def decode_input(
+    df: DataFrame,
+    source: str = "raw",
+    target: str = "body",
+    encoding: str = "utf-8",
+    drop_source: bool = True,
+) -> DataFrame:
+    """Decode a binary input column into the string body the parser
+    chain reads — the filelog receiver's ``encoding`` config.
+
+    The JVM charsets resolve to the built-in ``decode`` expression and
+    stay inside codegen; every other IANA name the reference accepts
+    through ``ianaindex.IANA.Encoding`` (big5, gbk, shift_jis, euc-kr,
+    iso-8859-15, ...) decodes through one Arrow-batched pandas UDF over
+    Python's codec registry with U+FFFD replacement — the same
+    substitution ``x/text`` decoders apply. ``nop`` keeps the raw bytes
+    byte-for-byte by mapping each byte to its Latin-1 codepoint (the
+    flat model's body is a string column; Latin-1 is the only
+    byte-lossless string view of it). Unknown names raise at plan time
+    like LookupEncoding's "unsupported encoding" error.
+    """
+    enc = encoding.lower()
+    if enc in _JVM_CHARSETS:
+        decoded = F.decode(F.col(source), _JVM_CHARSETS[enc])
+    elif enc == "nop":
+        decoded = F.decode(F.col(source), "ISO-8859-1")
+    else:
+        import codecs
+
+        try:
+            codec = codecs.lookup(enc).name
+        except LookupError:
+            raise ValueError(f"unsupported encoding '{encoding}'") from None
+
+        import pandas as pd  # noqa: F401 (typing for the UDF signature)
+
+        @F.pandas_udf("string")
+        def _codec_decode(s):
+            return s.str.decode(codec, errors="replace")
+
+        decoded = _codec_decode(F.col(source))
+    out = df.withColumn(target, decoded)
+    if drop_source and source != target:
+        out = out.drop(source)
+    return out

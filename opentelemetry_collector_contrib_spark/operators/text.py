@@ -650,3 +650,40 @@ def decontam_overlap(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-corpus redaction; the redaction processor's
+# blocked_values idea — processor/redactionprocessor/config.go — applied
+# corpus-wide with the standard public PII pattern set)
+# ---------------------------------------------------------------------------
+
+# Ordered (pattern, token) rules. Deliberately restricted to the regex
+# subset Java and RE2 agree on (\b, \d, classes, bounded repeats — no
+# lookaround, no backrefs) so the DuckDB oracle runs the byte-identical
+# patterns. Order matters: emails before IPs (an email's host must not
+# half-match), card numbers before phones (both are digit runs).
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b", "<CC>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: tuple[tuple[str, str], ...] = PII_RULES,
+) -> DataFrame:
+    """Mask PII spans in a text column with type tokens.
+
+    A fold of built-in ``regexp_replace`` expressions — one codegen'd
+    projection, zero shuffles, trivially 100 TB-safe (scales as a pure
+    map over whatever partitioning the scan chose).
+    """
+    c = F.col(text_col)
+    for pat, token in rules:
+        c = F.regexp_replace(c, pat, token)
+    return df.withColumn(text_col, c)

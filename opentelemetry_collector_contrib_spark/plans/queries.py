@@ -619,3 +619,8 @@ from .queries_ext6 import EXT6_ORACLES, EXT6_QUERIES  # noqa: E402
 
 QUERIES.update(EXT6_QUERIES)
 ORACLES.update(EXT6_ORACLES)
+
+from .queries_ext7 import EXT7_ORACLES, EXT7_QUERIES  # noqa: E402
+
+QUERIES.update(EXT7_QUERIES)
+ORACLES.update(EXT7_ORACLES)

@@ -1,0 +1,215 @@
+"""Round-3 batch B queries: the OTTL profile context, input-encoding
+decode (filelog `encoding` config), the stateful streaming recombine
+as a graded query, and corpus-wide PII scrubbing.
+
+Each has a DuckDB oracle; `stream_recombine` runs REAL Structured
+Streaming (applyInPandasWithState + availableNow + memory sink) and
+its batch SQL oracle reconstructs the same session segmentation with
+window functions.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import QueryFn, load
+from .queries_streaming import _run_stream
+
+
+# ---------------------------------------------------------------------------
+# OTTL profile context (pkg/ottl/contexts/ottlprofile/profile.go path
+# registry; README path table). Flat profile model: profile_id hex
+# string, time_unix_nano/duration_unix_nano longs, period long,
+# original_payload_format string, attributes map.
+# ---------------------------------------------------------------------------
+
+def q_ottl_profile_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile.* statements through the statement compiler: the
+    profile_id.string identity read, a duration-gated format stamp,
+    OTTL integer division on period, and an attributes-keyed where —
+    the shapes a transformprocessor profiles config uses."""
+    from ..functions.ottl_compiler import compile_statements, infer_context
+
+    ev = load(spark, sf_dir, "events")
+    profiles = ev.select(
+        "event_id",
+        F.md5(F.col("event_id").cast("string")).alias("profile_id"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("duration_unix_nano"),
+        F.lit(1_000_000_000).cast("long").alias("period"),
+        F.lit("").alias("original_payload_format"),
+        F.create_map(F.lit("etype"), F.col("event_type")).alias("attributes"),
+    )
+    stmts = [
+        'set(profile.attributes["pid"], profile.profile_id.string)',
+        'set(profile.original_payload_format, "pprof") '
+        "where profile.duration_unix_nano > 50000000",
+        "set(profile.period, profile.period / 2) "
+        'where profile.attributes["etype"] == "click"',
+    ]
+    assert infer_context(stmts) == "profile"
+    out = compile_statements(stmts)(profiles)
+    return out.select(
+        "event_id",
+        F.element_at("attributes", F.lit("pid")).alias("pid"),
+        "original_payload_format",
+        "period",
+        "duration_unix_nano",
+    )
+
+
+O_OTTL_PROFILE_CONTEXT = """
+SELECT event_id,
+       md5(CAST(event_id AS VARCHAR)) AS pid,
+       CASE WHEN CAST(floor(value * 1e6) AS BIGINT) > 50000000
+            THEN 'pprof' ELSE '' END AS original_payload_format,
+       CASE WHEN event_type = 'click' THEN 500000000
+            ELSE 1000000000 END AS period,
+       CAST(floor(value * 1e6) AS BIGINT) AS duration_unix_nano
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# input encoding decode (fileconsumer/config.go `encoding`,
+# textutils/encoding.go LookupEncoding): UTF-16LE through the JVM
+# codegen path, an IANA codec (Big5) through the Arrow pandas path.
+# The query round-trips event_type through encode->decode so the
+# oracle is exact equality with the original strings.
+# ---------------------------------------------------------------------------
+
+def q_decode_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.parse import decode_input
+
+    ev = load(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id",
+        F.encode(F.col("event_type"), "UTF-16LE").alias("raw16"),
+        # Big5 is ASCII-transparent, so UTF-8 bytes of ASCII text ARE
+        # valid Big5 bytes — exercises the codec path losslessly
+        F.encode(F.col("event_type"), "UTF-8").alias("rawb5"),
+    )
+    out = decode_input(raw, source="raw16", target="body_utf16",
+                       encoding="utf-16le")
+    out = decode_input(out, source="rawb5", target="body_big5",
+                       encoding="big5")
+    return out.select("event_id", "body_utf16", "body_big5")
+
+
+O_DECODE_INPUT = """
+SELECT event_id, event_type AS body_utf16, event_type AS body_big5
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming recombine as a graded query
+# (pkg/stanza/operator/transformer/recombine/transformer.go state
+# machine; force_flush_timeout set beyond the run so only CLOSED
+# sessions emit — the deterministic contract a batch oracle can check)
+# ---------------------------------------------------------------------------
+
+def q_stream_recombine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import stream_recombine
+
+    ev = load(spark, sf_dir, "events")
+    turns = ev.select(
+        (F.col("user_id") % 50).cast("string").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("event_type").alias("text"),
+        (F.col("event_id") % 7 == 0).alias("is_first"),
+    )
+    feed = tempfile.mkdtemp(prefix="recombine-feed-")
+    turns.write.mode("overwrite").parquet(feed)
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx bigint, text string, is_first boolean"
+    ).parquet(feed)
+    out = stream_recombine(stream, timeout_ms=3_600_000)
+    _run_stream(out, "srec")
+    return (
+        spark.table("srec")
+        .filter(F.col("closed"))
+        .select("conv_id", "session_start", "text", "n_turns")
+    )
+
+
+O_STREAM_RECOMBINE = """
+WITH t AS (
+  SELECT CAST(user_id % 50 AS VARCHAR) AS conv_id,
+         event_id AS turn_idx, event_type AS text,
+         CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS isf
+  FROM events
+), s AS (
+  SELECT *, sum(isf) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS sid
+  FROM t
+), g AS (
+  SELECT conv_id, sid,
+         min(turn_idx) AS session_start,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+         CAST(count(*) AS INT) AS n_turns
+  FROM s GROUP BY conv_id, sid
+)
+SELECT conv_id, session_start, text, n_turns
+FROM (SELECT *, max(sid) OVER (PARTITION BY conv_id) AS mx FROM g)
+WHERE sid < mx
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus PII scrubbing (redactionprocessor blocked_values corpus-wide;
+# deterministic PII seeded into the synthetic docs so the masking is
+# observable)
+# ---------------------------------------------------------------------------
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pii_scrub
+
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 tel 555-867-5309"
+                  " card 4111 1111 1111 1111"),
+        ).alias("text"),
+    )
+    return pii_scrub(seeded, "text").select("doc_id", "text")
+
+
+O_PII_SCRUB = """
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com ip 10.2.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.7 ssn 123-45-6789 tel 555-867-5309 card 4111 1111 1111 1111',
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b', '<CC>', 'g'),
+        '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+      '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS text
+FROM documents
+"""
+
+
+EXT7_QUERIES: dict[str, QueryFn] = {
+    "ottl_profile_context": q_ottl_profile_context,
+    "decode_input": q_decode_input,
+    "stream_recombine": q_stream_recombine,
+    "pii_scrub": q_pii_scrub,
+}
+
+EXT7_ORACLES: dict[str, str] = {
+    "ottl_profile_context": O_OTTL_PROFILE_CONTEXT,
+    "decode_input": O_DECODE_INPUT,
+    "stream_recombine": O_STREAM_RECOMBINE,
+    "pii_scrub": O_PII_SCRUB,
+}

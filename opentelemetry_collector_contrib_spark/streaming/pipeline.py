@@ -159,7 +159,10 @@ RECOMBINE_STATE_SCHEMA = "start long, parts array<string>, n int"
 
 
 def _recombine_fn(
-    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+    timeout_ms: int = 30_000,
 ) -> Iterator[pd.DataFrame]:
     """Per-conv state machine: accumulate turn texts; a row with
     is_first=true closes the open session and starts a new one; a
@@ -217,22 +220,29 @@ def _recombine_fn(
         n += 1
 
     state.update((start if start is not None else 0, parts, n))
-    state.setTimeoutDuration(30_000)
+    state.setTimeoutDuration(timeout_ms)
     if out_rows:
         yield pd.DataFrame(out_rows)
 
 
-def stream_recombine(stream: DataFrame) -> DataFrame:
+def stream_recombine(stream: DataFrame, timeout_ms: int = 30_000) -> DataFrame:
     """Stateful multiline/session reassembly over a transcript stream.
 
     Input needs (conv_id, turn_idx, text, is_first). Emits one row per
     closed session; open sessions flush on processing-time timeout
-    (closed=false) — force_flush_timeout semantics.
+    (closed=false) — ``timeout_ms`` is the force_flush_timeout config
+    knob (recombine config.go:40-58; large values mean "only emit
+    closed sessions", the deterministic contract a batch oracle can
+    check).
     """
+
+    def fn(key, pdf_iter, state):
+        yield from _recombine_fn(key, pdf_iter, state, timeout_ms=timeout_ms)
+
     return (
         stream.groupBy("conv_id")
         .applyInPandasWithState(
-            _recombine_fn,
+            fn,
             outputStructType=RECOMBINE_OUTPUT_SCHEMA,
             stateStructType=RECOMBINE_STATE_SCHEMA,
             outputMode="append",

@@ -722,10 +722,10 @@ def test_unsupported_context_rejected(record):
         OTTLSyntaxError, compile_statement,
     )
 
-    # span/metric/datapoint/spanevent became real contexts in round 3
-    # (tests/test_ottl_span_context.py); profile remains out
+    # span/metric/datapoint/spanevent/profile are all real contexts in
+    # round 3; unknown fields must still be loud plan-time errors
     with pytest.raises(OTTLSyntaxError):
-        compile_statement('set(profile.original_payload_format, "x")')
+        compile_statement('set(profile.sample, "x")')  # slice graph: no flat encoding
     with pytest.raises(OTTLSyntaxError):
         compile_statement('set(spanevent.bogus_field, 1)')
 
