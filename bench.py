@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "gopher_filter",
     "decontam_overlap",
     "neardup_keep",
+    "tf_idf",
+    "pack_sequences",
+    "pii_scrub",
 ]
 
 PIPELINE_CONVS = 30_000  # ~600k turns; comparable to sf0.1 lineitem

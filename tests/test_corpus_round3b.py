@@ -1,0 +1,128 @@
+"""Round-3 batch-B corpus/pipeline ops: TF-IDF top-k, stratified
+sampling, sequence packing, PII scrub ordering, input-encoding decode.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.parse import decode_input
+from opentelemetry_collector_contrib_spark.operators.text import (
+    pack_sequences,
+    pii_scrub,
+    stratified_sample,
+    tf_idf_topk,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "apple apple banana", "en"),
+        (1, "banana cherry", "en"),
+        (2, "cherry cherry cherry date", "de"),
+        (3, "apple", "zh"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_tf_idf_ranks_rare_terms_over_common(docs):
+    out = tf_idf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 2: 'cherry' tf=3 df=2 -> 6.0; 'date' tf=1 df=1 -> 4.0
+    d2 = {r.term: r for r in by_doc[2]}
+    assert d2["cherry"].rank == 1 and d2["cherry"].tfidf == pytest.approx(6.0)
+    assert d2["date"].rank == 2 and d2["date"].tfidf == pytest.approx(4.0)
+    # per-doc cap respected, ranks contiguous from 1
+    for doc, rows in by_doc.items():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+        assert len(rows) <= 2
+
+
+def test_tf_idf_tie_breaks_on_term(spark):
+    df = spark.createDataFrame([(0, "b a")], ["doc_id", "text"])
+    out = tf_idf_topk(df, k=2).orderBy("rank").collect()
+    # identical scores -> lexicographic term order decides ranks
+    assert [r.term for r in out] == ["a", "b"]
+
+
+def test_stratified_rate_extremes(docs):
+    # rate 1.0 keeps everything in the stratum, 0.0 drops it
+    kept = stratified_sample(docs, "lang", {"en": 1.0, "de": 0.0},
+                             default_rate=0.0)
+    rows = kept.select("doc_id", "lang").collect()
+    assert {r.lang for r in rows} == {"en"}
+    assert {r.doc_id for r in rows} == {0, 1}
+
+
+def test_stratified_empty_rates_uses_default(docs):
+    assert stratified_sample(docs, "lang", {}, default_rate=1.0).count() == 4
+    assert stratified_sample(docs, "lang", {}, default_rate=0.0).count() == 0
+
+
+def test_stratified_is_deterministic(docs):
+    a = {r.doc_id for r in
+         stratified_sample(docs, "lang", {"en": 0.5}, default_rate=0.5).collect()}
+    b = {r.doc_id for r in
+         stratified_sample(docs, "lang", {"en": 0.5}, default_rate=0.5).collect()}
+    assert a == b
+
+
+def test_pack_sequences_cuts_at_budget(spark):
+    # one shard; docs of 3 tokens each, budget 6 -> bins of 2 docs
+    rows = [(i, "a b c") for i in range(0, 12, 2)]  # even ids, shard 0 of 2
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(df, budget=6, shards=2).orderBy("bin").collect()
+    assert all(r.shard == 0 for r in out)
+    assert [r.n_docs for r in out] == [2, 2, 2]
+    assert [r.bin_tokens for r in out] == [6, 6, 6]
+    # bins partition the shard's docs in id order
+    assert out[0].last_doc < out[1].first_doc < out[2].first_doc
+
+
+def test_pack_sequences_oversized_doc_owns_its_start_bin(spark):
+    big = " ".join(["w"] * 100)  # 100 tokens >> budget 10
+    df = spark.createDataFrame(
+        [(0, "a b"), (2, big), (4, "c d")], ["doc_id", "text"])
+    out = {r.first_doc: r for r in pack_sequences(df, budget=10, shards=1).collect()}
+    # doc 2 starts at offset 2 -> bin 0 (with doc 0); doc 4 at offset
+    # 102 -> bin 10: the oversized doc pushes followers far ahead,
+    # concat-and-chunk semantics
+    assert out[0].n_docs == 2
+    assert out[4].bin == 10
+
+
+def test_pii_scrub_order_email_before_ip(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@10.0.0.1.example.com from 10.0.0.1 ssn 123-45-6789 "
+             "tel 555.123.4567 card 4111-1111-1111-1111")],
+        ["doc_id", "text"])
+    txt = pii_scrub(df).first().text
+    assert "<EMAIL>" in txt and "bob@" not in txt
+    assert "<IP>" in txt and "10.0.0.1" not in txt
+    assert "<SSN>" in txt and "<PHONE>" in txt and "<CC>" in txt
+
+
+def test_decode_input_nop_is_byte_lossless(spark):
+    payload = bytes(range(256))
+    df = spark.createDataFrame([(1, payload)], ["id", "raw"])
+    body = decode_input(df, source="raw", encoding="nop").first().body
+    assert body.encode("latin-1") == payload
+
+
+def test_decode_input_unknown_encoding_raises(spark):
+    df = spark.createDataFrame([(1, b"x")], ["id", "raw"])
+    with pytest.raises(ValueError, match="unsupported encoding"):
+        decode_input(df, source="raw", encoding="klingon-8")
+
+
+def test_decode_input_iana_codec_path(spark):
+    # gb18030 is absent from the JVM fast-path table, so this exercises
+    # the Arrow codec UDF with real non-ASCII multibyte input
+    s = "café 中文"
+    df = spark.createDataFrame([(1, s.encode("gb18030"))], ["id", "raw"])
+    out = decode_input(df, source="raw", encoding="gb18030")
+    assert out.first().body == s
