@@ -836,3 +836,81 @@ def pack_sequences(
             F.max(id_col).alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line filtering (public heuristics from the C4 corpus paper:
+# keep lines that look like prose, drop boilerplate/code/nav junk;
+# doc survives if enough prose lines remain)
+# ---------------------------------------------------------------------------
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """Line-level C4 cleaning: split on newline, keep a line iff it
+    ends in terminal punctuation, has >= ``min_words`` whitespace
+    words, and contains no curly brace, no "javascript", and no
+    "lorem ipsum" (case-insensitive). Emits the cleaned text, the
+    kept/total line counts, and ``c4_keep`` (doc retains >=
+    ``min_kept_lines`` prose lines).
+
+    Pure higher-order array expressions over one scan — zero
+    shuffles, trivially scan-bound at 100 TB like gopher_filter.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def is_prose(l: Column) -> Column:
+        low = F.lower(l)
+        words = F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda t: t != ""))
+        return (
+            l.rlike(r'[.!?"]\s*$')
+            & (words >= min_words)
+            & ~low.contains("{")
+            & ~low.contains("}")
+            & ~low.contains("javascript")
+            & ~low.contains("lorem ipsum")
+        )
+
+    kept = F.filter(lines, is_prose)
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("n_kept_lines", F.size(kept))
+        .withColumn("clean_text", F.array_join(kept, "\n"))
+        .withColumn("c4_keep", F.col("n_kept_lines") >= min_kept_lines)
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle (training-order assignment: every epoch
+# pipeline ends by shuffling docs into shard files in a random-but-
+# reproducible order; seeded hash ordering = same shuffle on any
+# engine, any cluster size)
+# ---------------------------------------------------------------------------
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+    shard_prefix_len: int = 1,
+) -> DataFrame:
+    """Assign each doc a shuffle shard and an order rank inside it.
+
+    The sort key is ``md5(seed || id)`` — changing ``seed`` reshuffles
+    (a new epoch), same seed reproduces bit-identically on any engine.
+    The shard is the key's first ``shard_prefix_len`` hex chars (16^len
+    shards, uniform by construction), so the per-shard row_number
+    windows each carry ~16^-len of the data: parallelism = shard
+    count, no global sort. Writing with ``partitionBy(shuffle_shard)``
+    + the rank as in-file order gives the training loader its shuffled
+    sequence.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = W.partitionBy("shuffle_shard").orderBy("shuffle_key", id_col)
+    return (
+        df.withColumn("shuffle_key", h)
+        .withColumn("shuffle_shard", F.substring(F.col("shuffle_key"), 1, shard_prefix_len))
+        .withColumn("shuffle_rank", F.row_number().over(w))
+    )

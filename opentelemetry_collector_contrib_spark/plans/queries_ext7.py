@@ -299,6 +299,86 @@ FROM packed GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# C4-style line filtering (Raffel et al. 2020 public heuristics).
+# The synthetic docs are single-line, so the query seeds a
+# deterministic multi-line wrapper: the doc text as a proper sentence,
+# plus known-junk lines (code brace, javascript nav, lorem ipsum,
+# too-short) the filter must strip.
+# ---------------------------------------------------------------------------
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import c4_line_filter
+
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("function() { return 0; }"),
+            F.lit("Enable JavaScript to view this page."),
+            F.lit("Lorem ipsum dolor sit amet, consectetur adipiscing elit."),
+            F.lit("Too short."),
+            F.lit("This closing line is a real sentence with many words."),
+        ).alias("text"),
+    )
+    out = c4_line_filter(seeded, "text", min_words=3, min_kept_lines=2)
+    return out.select("doc_id", "n_lines", "n_kept_lines", "clean_text", "c4_keep")
+
+
+O_C4_LINE_FILTER = """
+WITH seeded AS (
+  SELECT doc_id,
+         [text || '.',
+          'function() { return 0; }',
+          'Enable JavaScript to view this page.',
+          'Lorem ipsum dolor sit amet, consectetur adipiscing elit.',
+          'Too short.',
+          'This closing line is a real sentence with many words.'] AS lines
+  FROM documents
+), f AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         list_filter(lines, l ->
+           regexp_matches(l, '[.!?"]\\s*$')
+           AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+                               t -> t != '')) >= 3
+           AND NOT contains(lower(l), '{')
+           AND NOT contains(lower(l), '}')
+           AND NOT contains(lower(l), 'javascript')
+           AND NOT contains(lower(l), 'lorem ipsum')) AS kept
+  FROM seeded
+)
+SELECT doc_id, n_lines, len(kept) AS n_kept_lines,
+       list_aggregate(kept, 'string_agg', chr(10)) AS clean_text,
+       len(kept) >= 2 AS c4_keep
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle (training-order assignment, seeded
+# md5 sort key, hex-prefix shards)
+# ---------------------------------------------------------------------------
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import corpus_shuffle
+
+    docs = load(spark, sf_dir, "documents")
+    return corpus_shuffle(docs, seed="epoch7").select(
+        "doc_id", "shuffle_shard", "shuffle_rank"
+    )
+
+
+O_CORPUS_SHUFFLE = """
+SELECT doc_id, substring(k, 1, 1) AS shuffle_shard,
+       CAST(row_number() OVER (PARTITION BY substring(k, 1, 1)
+                               ORDER BY k, doc_id) AS INT) AS shuffle_rank
+FROM (SELECT doc_id, md5('epoch7' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents)
+"""
+
+
 EXT7_QUERIES: dict[str, QueryFn] = {
     "ottl_profile_context": q_ottl_profile_context,
     "decode_input": q_decode_input,
@@ -307,6 +387,8 @@ EXT7_QUERIES: dict[str, QueryFn] = {
     "tf_idf": q_tf_idf,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
+    "c4_line_filter": q_c4_line_filter,
+    "corpus_shuffle": q_corpus_shuffle,
 }
 
 EXT7_ORACLES: dict[str, str] = {
@@ -317,4 +399,6 @@ EXT7_ORACLES: dict[str, str] = {
     "tf_idf": O_TF_IDF,
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "pack_sequences": O_PACK_SEQUENCES,
+    "c4_line_filter": O_C4_LINE_FILTER,
+    "corpus_shuffle": O_CORPUS_SHUFFLE,
 }

@@ -126,3 +126,46 @@ def test_decode_input_iana_codec_path(spark):
     df = spark.createDataFrame([(1, s.encode("gb18030"))], ["id", "raw"])
     out = decode_input(df, source="raw", encoding="gb18030")
     assert out.first().body == s
+
+
+def test_c4_line_filter_strips_junk(spark):
+    from opentelemetry_collector_contrib_spark.operators.text import c4_line_filter
+    txt = "\n".join([
+        "A perfectly normal sentence with words.",
+        "if (x) { y(); }",
+        "Please enable JavaScript to continue browsing.",
+        "lorem ipsum dolor sit amet today.",
+        "No punct ending here",
+        "ok.",  # < 3 words
+        'He said "stop".',
+    ])
+    df = spark.createDataFrame([(1, txt)], ["doc_id", "text"])
+    r = c4_line_filter(df, min_words=3, min_kept_lines=2).first()
+    assert r.n_lines == 7
+    kept = r.clean_text.split("\n")
+    assert kept == ["A perfectly normal sentence with words.", 'He said "stop".']
+    assert r.n_kept_lines == 2 and r.c4_keep is True
+
+
+def test_c4_keep_threshold(spark):
+    from opentelemetry_collector_contrib_spark.operators.text import c4_line_filter
+    df = spark.createDataFrame([(1, "One good sentence here.")], ["doc_id", "text"])
+    assert c4_line_filter(df, min_kept_lines=2).first().c4_keep is False
+    assert c4_line_filter(df, min_kept_lines=1).first().c4_keep is True
+
+
+def test_corpus_shuffle_seed_and_determinism(spark):
+    from opentelemetry_collector_contrib_spark.operators.text import corpus_shuffle
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = corpus_shuffle(df, seed="e0").select("doc_id", "shuffle_shard", "shuffle_rank")
+    b = corpus_shuffle(df, seed="e0").select("doc_id", "shuffle_shard", "shuffle_rank")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    c = corpus_shuffle(df, seed="e1").select("doc_id", "shuffle_shard", "shuffle_rank")
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+    # ranks are contiguous 1..n within every shard
+    rows = a.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shuffle_shard, []).append(r.shuffle_rank)
+    for ranks in by_shard.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
