@@ -1,0 +1,250 @@
+"""spark-submit entry point: the training-data curation pipeline.
+
+Usage:
+    spark-submit --py-files <zip> jobs/curation.py \
+        --input /root/testdata/sf0.01/documents.parquet \
+        --out /tmp/curation-out [--budget 2048] [--shards 16] \
+        [--neardup components|pairs|off] [--sample en=0.5,de=1.0] \
+        [--sink parquet|noop]
+
+Composes the corpus operators into the end-to-end curation funnel a
+training-data pipeline runs corpus-wide:
+
+    scan -> PII scrub -> C4 line filter -> Gopher quality rules
+         -> exact dedup -> MinHash-LSH near-dup dedup
+         -> annotate (quality score, token count)
+         -> stratified sample (per-lang mixing rates)
+         -> sequence packing + deterministic shuffle
+         -> per-shard partitioned parquet + lineage + funnel metrics
+
+Every stage is pure DataFrame ops (the individual operators are each
+oracle-verified in the registry); this job is the composition proof +
+the throughput surface. Prints one JSON line with the per-stage funnel
+counts and docs/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.graph import (
+    dedup_keep_representative,
+)
+from opentelemetry_collector_contrib_spark.operators.text import (
+    c4_line_filter,
+    corpus_shuffle,
+    exact_dedup,
+    gopher_filter,
+    minhash_lsh_dedup,
+    pack_sequences,
+    pii_scrub,
+    quality_score,
+    stratified_sample,
+    token_count,
+)
+from opentelemetry_collector_contrib_spark.runtime.lineage import LineageLog
+from opentelemetry_collector_contrib_spark.session import get_spark
+
+
+def synth_documents(spark, n_docs: int):
+    """Deterministic synthetic documents (no external data).
+
+    Each word is ``vocab[(base*131 + i*17) % 21] || (base*7 + i*3) % 997``
+    — ~21k distinct tokens, so unrelated docs share almost no 3-gram
+    shingles (a naive 21-token vocabulary makes EVERY doc a near-dup of
+    every other: the LSH buckets degenerate to one giant component and
+    the pair join goes quadratic — measured 106 s for 3k docs before
+    this fix). Seeded work for each funnel stage:
+      - every 13th doc repeats its predecessor's text (exact dup),
+      - every 11th doc repeats its predecessor + one extra sentence
+        (near-dup: high Jaccard, different hash),
+      - every 29th gets a PII tail, every 7th a junk line.
+    """
+    vocab = ("data spark table join filter scan value key row batch "
+             "window agg column hash part order line small fast slow the").split()
+    varr = F.array(*[F.lit(w) for w in vocab])
+    df = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+
+    stops = F.array(F.lit("the"), F.lit("is"), F.lit("of"), F.lit("and"), F.lit("to"))
+
+    def words_for(base):
+        # every 5th word is a bare stopword (Gopher's stopword rule
+        # needs real ones); the rest carry a numeric suffix for vocab
+        # width
+        return F.transform(
+            F.sequence(F.lit(1), (F.pmod(base * 37, F.lit(120)) + 20).cast("int")),
+            lambda i: F.when(
+                i % 5 == 0,
+                F.element_at(stops, (F.pmod(base + i, F.lit(5)) + 1).cast("int")),
+            ).otherwise(
+                F.concat(
+                    F.element_at(
+                        varr, (F.pmod(base * 131 + i * 17, F.lit(len(vocab))) + 1).cast("int")
+                    ),
+                    F.pmod(base * 7 + i * 3, F.lit(997)).cast("string"),
+                )
+            ),
+        )
+
+    me = F.col("doc_id")
+    prev = F.col("doc_id") - 1
+    text = F.concat(F.array_join(words_for(me), " "), F.lit("."))
+    prev_text = F.concat(F.array_join(words_for(prev), " "), F.lit("."))
+    text = F.when(
+        (F.pmod(me, F.lit(13)) == 0) & (me > 0), prev_text
+    ).when(
+        (F.pmod(me, F.lit(11)) == 0) & (me > 0),
+        F.concat(prev_text, F.lit(" one extra trailing sentence here.")),
+    ).otherwise(text)
+    text = F.when(
+        F.pmod(me, F.lit(29)) == 0,
+        F.concat(text, F.lit(" contact admin@example.com now.")),
+    ).otherwise(text)
+    text = F.when(
+        F.pmod(me, F.lit(7)) == 0,
+        F.concat(text, F.lit("\nEnable JavaScript to continue {nav}")),
+    ).otherwise(text)
+    langs = F.array(F.lit("en"), F.lit("de"), F.lit("zh"), F.lit("fr"), F.lit("es"))
+    return df.select(
+        "doc_id",
+        text.alias("text"),
+        F.element_at(langs, (F.pmod(me, F.lit(5)) + 1).cast("int")).alias("lang"),
+        F.lit("synth").alias("source"),
+    )
+
+
+def parse_rates(spec: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        if part:
+            k, v = part.split("=")
+            out[k.strip()] = float(v)
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="documents parquet; default: synthesize")
+    ap.add_argument("--docs", type=int, default=20_000, help="synthetic doc count")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--budget", type=int, default=2048)
+    ap.add_argument("--shards", type=int, default=16)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--seed", default="epoch0")
+    ap.add_argument(
+        "--neardup", choices=["components", "pairs", "off"], default="components",
+        help="components: transitive min-id representative (exact); "
+        "pairs: greedy drop-larger-id (cheaper, non-transitive); off: skip",
+    )
+    ap.add_argument("--sample", default="", help="lang=rate[,lang=rate...]; empty = keep all")
+    ap.add_argument("--sink", choices=["parquet", "noop"], default="parquet")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="corpus-curation", master=args.master)
+    lineage = LineageLog(args.out, run_id=args.run_id)
+    t0 = time.time()
+
+    docs = (
+        spark.read.parquet(args.input)
+        if args.input
+        else synth_documents(spark, args.docs)
+    )
+    funnel: dict[str, int] = {"docs_in": docs.count()}
+    lineage.record("scan", "all", funnel["docs_in"])
+
+    # 1. PII scrub (transform, not filter) + C4 line cleaning
+    docs = pii_scrub(docs, "text")
+    docs = (
+        c4_line_filter(docs, "text", min_words=3, min_kept_lines=1)
+        .filter(F.col("c4_keep"))
+        .drop("text", "n_lines", "n_kept_lines", "c4_keep")
+        .withColumnRenamed("clean_text", "text")
+    )
+    # 2. Gopher quality rules on the cleaned text
+    keep_ids = gopher_filter(docs, "doc_id", "text").filter(F.col("keep")).select("doc_id")
+    docs = docs.join(keep_ids, "doc_id", "left_semi")
+    # Materialize the filtered corpus once: three downstream consumers
+    # (exact dedup, near-dup shingles, the final annotate) would each
+    # re-run the scan+scrub+filter chain otherwise.
+    cleaned = docs.persist()
+    docs = cleaned
+    funnel["after_clean"] = docs.count()
+    lineage.record("clean", "all", funnel["after_clean"])
+
+    # 3. exact dedup: keep the min-id representative per content hash
+    reps = exact_dedup(docs, "doc_id", "text").select("doc_id")
+    docs = docs.join(reps, "doc_id", "left_semi")
+    funnel["after_exact_dedup"] = docs.count()
+    lineage.record("exact_dedup", "all", funnel["after_exact_dedup"])
+
+    # 4. near-dup dedup (MinHash->LSH->verify; candidate generation is
+    # bucketed equi-joins — O(shingles), never O(pairs))
+    if args.neardup != "off":
+        pairs = minhash_lsh_dedup(docs, "doc_id", "text", verify_threshold=0.8)
+        if args.neardup == "components":
+            docs = dedup_keep_representative(docs, pairs)
+        else:
+            losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+            docs = docs.join(losers, "doc_id", "left_anti")
+        # materialize: the iterative component labels would otherwise
+        # recompute for every downstream action (count, both writes,
+        # the read-back)
+        docs = docs.persist()
+        funnel["after_neardup"] = docs.count()
+        lineage.record("neardup", "all", funnel["after_neardup"])
+
+    # 5. annotate + stratified mixing sample
+    docs = docs.withColumn("quality", quality_score(F.col("text"))).withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    if args.sample:
+        docs = stratified_sample(docs, "lang", parse_rates(args.sample),
+                                 id_col="doc_id", default_rate=1.0)
+        funnel["after_sample"] = docs.count()
+        lineage.record("sample", "all", funnel["after_sample"])
+
+    # 6. pack + shuffle + write
+    docs = corpus_shuffle(docs, seed=args.seed, shard_prefix_len=1)
+    bins = pack_sequences(docs, budget=args.budget, shards=args.shards)
+    funnel["bins"] = bins.count()
+    t_plan = time.time()
+
+    if args.sink == "parquet":
+        (docs.write.mode("overwrite")
+         .partitionBy("shuffle_shard")
+         .parquet(os.path.join(args.out, "sink=curated")))
+        bins.write.mode("overwrite").parquet(os.path.join(args.out, "sink=bins"))
+        shard_counts = lineage.record_counts(
+            "curated", spark.read.parquet(os.path.join(args.out, "sink=curated")),
+            "shuffle_shard",
+        )
+        funnel["written"] = sum(shard_counts.values())
+    else:
+        docs.write.format("noop").mode("overwrite").save()
+        funnel["written"] = funnel.get(
+            "after_sample", funnel.get("after_neardup", funnel["after_exact_dedup"])
+        )
+    cleaned.unpersist()
+    elapsed = time.time() - t0
+
+    print(json.dumps({
+        "funnel": funnel,
+        "sec": round(elapsed, 2),
+        "docs_per_sec": round(funnel["docs_in"] / elapsed, 1),
+        "phases": {"plan": round(t_plan - t0, 2), "write": round(elapsed - (t_plan - t0), 2)},
+        "out": args.out,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

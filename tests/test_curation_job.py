@@ -1,0 +1,54 @@
+"""End-to-end corpus-curation job (jobs/curation.py): funnel
+invariants, determinism, lineage."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+
+import curation
+
+
+def _run(spark, out_dir, extra=()):
+    argv = ["--docs", "600", "--out", str(out_dir), "--budget", "256",
+            "--shards", "4", *extra]
+    assert curation.main(argv) == 0
+
+
+def test_curation_funnel_and_idempotence(spark, tmp_path, capsys):
+    _run(spark, tmp_path / "a")
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    f = out1["funnel"]
+    # every seeded stage did work, in the right direction
+    assert f["docs_in"] == 600
+    assert 0 < f["after_clean"] <= f["docs_in"]
+    assert f["after_exact_dedup"] < f["after_clean"]      # %13 exact dups
+    assert f["after_neardup"] < f["after_exact_dedup"]    # %11 near dups
+    assert f["written"] == f["after_neardup"]
+    assert f["bins"] >= 1
+    # deterministic: same args -> byte-identical funnel
+    _run(spark, tmp_path / "b")
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["funnel"] == f
+    # lineage has one completed row per stage
+    stages = set()
+    with open(tmp_path / "a" / "_lineage.jsonl") as fh:
+        for line in fh:
+            stages.add(json.loads(line)["stage"])
+    assert {"scan", "clean", "exact_dedup", "neardup", "curated"} <= stages
+    # the sink is readable and row-count-consistent
+    back = spark.read.parquet(str(tmp_path / "a" / "sink=curated"))
+    assert back.count() == f["written"]
+    assert set(back.columns) >= {"doc_id", "text", "lang", "quality",
+                                 "n_tokens", "shuffle_rank"}
+
+
+def test_curation_sample_and_pairs_mode(spark, tmp_path, capsys):
+    _run(spark, tmp_path / "c",
+         extra=("--neardup", "pairs", "--sample", "en=0.0,de=1.0", "--sink", "noop"))
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    f = out["funnel"]
+    assert f["after_sample"] < f["after_neardup"]  # en stratum dropped
