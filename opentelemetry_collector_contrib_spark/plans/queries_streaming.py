@@ -80,12 +80,51 @@ FROM events
 """
 
 
+def q_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship routing connector in streaming mode: first-match-
+    wins route assignment on a live stream, per-sink counts via a
+    complete-mode aggregate — the testbed's sent==received invariant
+    value-checked per route (connector/routingconnector/logs.go route
+    table; MoveRecordsWithContextIf first-match semantics)."""
+    from ..operators.route import Route, apply_routes
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(_as_dir(f"{sf_dir}/events.parquet"))
+    routes = [
+        Route("errors", F.col("event_type") == "error"),
+        Route("hot", F.col("value") > 400),
+        Route("signups", F.col("event_type") == "signup"),
+    ]
+    routed = apply_routes(stream, routes, default="catchall")
+    counts = routed.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("value_sum"),
+    )
+    _run_stream(counts, "srt_agg")
+    return spark.table("srt_agg").select(
+        "route", "n", F.round(F.col("value_sum"), 2).alias("value_sum")
+    )
+
+
+O_STREAM_ROUTE = """
+SELECT route, count(*) AS n, round(sum(value), 2) AS value_sum
+FROM (
+  SELECT CASE WHEN event_type = 'error' THEN 'errors'
+              WHEN value > 400 THEN 'hot'
+              WHEN event_type = 'signup' THEN 'signups'
+              ELSE 'catchall' END AS route, value
+  FROM events
+) GROUP BY route
+"""
+
+
 STREAMING_QUERIES: dict[str, QueryFn] = {
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_dedup": q_stream_dedup,
+    "stream_route_counts": q_stream_route_counts,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
     "stream_windowed_counts": O_STREAM_COUNTS,
     "stream_dedup": O_STREAM_DEDUP,
+    "stream_route_counts": O_STREAM_ROUTE,
 }
