@@ -355,3 +355,78 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# in-engine IVF codebook training: Lloyd k-means over the embedding
+# column (spherical / cosine). Completes the similarity scale path —
+# ivf_assign/ivf_topk above assume a codebook; this trains one without
+# leaving the engine.
+# ---------------------------------------------------------------------------
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 6,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_dp: int = 12,
+    centroid_dp: int = 9,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic spherical k-means: ``iters`` assignment passes
+    with a mean-update between consecutive passes.
+
+    - Seeds are the ``k`` smallest-id vectors (deterministic, and —
+      because every seed is a real corpus vector — each seed cell
+      starts non-empty: the seed's own vector has cosine 1 with it).
+    - Assignment is ONE projection, zero shuffles: the centroids are
+      literal arrays, so the argmax over k cosines is an
+      ``array_max`` over (sim, -cell) structs. No window, no join.
+    - Update is one map-side-combined shuffle (posexplode ->
+      groupBy(cell, dim).avg) followed by a bounded k x dim driver
+      collect (exactly what MLlib's Lloyd does per round).
+    - Cross-engine portability: sims round to ``sim_dp``, updated
+      centroid components to ``centroid_dp``, so a SQL oracle running
+      the same recursion stays bit-identical.
+
+    Returns (assignments DataFrame with ``cell`` added, final
+    centroids as Python lists).
+    """
+    seed_rows = (
+        corpus.orderBy(id_col).limit(k)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    centroids = [list(r[0]) for r in seed_rows]
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        vec = F.col(vec_col)
+        scored = [
+            F.struct(
+                F.round(
+                    cosine(vec, F.array(*[F.lit(x) for x in c])), sim_dp
+                ).alias("s"),
+                F.lit(-j).alias("nc"),
+            )
+            for j, c in enumerate(cents)
+        ]
+        best = F.array_max(F.array(*scored))
+        return corpus.withColumn("cell", (-best["nc"]).cast("int"))
+
+    assigned = assign(centroids)
+    for _ in range(iters - 1):
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), centroid_dp).alias("m"))
+            .collect()
+        )
+        upd: dict[int, dict[int, float]] = {}
+        for r in means:
+            upd.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [upd[j][p] for p in sorted(upd[j])] if j in upd else centroids[j]
+            for j in range(k)
+        ]
+        assigned = assign(centroids)
+    return assigned, centroids

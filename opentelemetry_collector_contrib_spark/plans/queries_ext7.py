@@ -379,6 +379,60 @@ FROM (SELECT doc_id, md5('epoch7' || CAST(doc_id AS VARCHAR)) AS k
 """
 
 
+# ---------------------------------------------------------------------------
+# in-engine IVF codebook training: 2 Lloyd iterations of spherical
+# k-means (k=6) over the embeddings table; the oracle replays the
+# identical recursion in SQL (seed cells -> assign -> mean-update ->
+# re-assign), with sims rounded 12dp and centroid components 9dp so
+# both engines walk the same lattice.
+# ---------------------------------------------------------------------------
+
+def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_lloyd(emb, k=6, iters=2)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )
+
+
+_DUCK_KM_COS = (
+    "round(list_dot_product(e.v, s.c) / "
+    "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.c, s.c))), 12)"
+)
+
+O_KMEANS_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e WHERE vec_id < 6),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DUCK_KM_COS} DESC, s.cell) AS rn
+    FROM e CROSS JOIN seeds s) WHERE rn = 1
+),
+upd AS (
+  SELECT cell, list(m ORDER BY i) AS c FROM (
+    SELECT a1.cell, t.i, round(avg(e.v[CAST(t.i AS INT) + 1]), 9) AS m
+    FROM a1 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
+    GROUP BY 1, 2)
+  GROUP BY cell
+),
+a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DUCK_KM_COS} DESC, s.cell) AS rn
+    FROM e CROSS JOIN upd s) WHERE rn = 1
+)
+SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec, max(vec_id) AS max_vec
+FROM a2 GROUP BY cell
+"""
+
+
 EXT7_QUERIES: dict[str, QueryFn] = {
     "ottl_profile_context": q_ottl_profile_context,
     "decode_input": q_decode_input,
@@ -389,6 +443,7 @@ EXT7_QUERIES: dict[str, QueryFn] = {
     "pack_sequences": q_pack_sequences,
     "c4_line_filter": q_c4_line_filter,
     "corpus_shuffle": q_corpus_shuffle,
+    "kmeans_ivf": q_kmeans_ivf,
 }
 
 EXT7_ORACLES: dict[str, str] = {
@@ -401,4 +456,5 @@ EXT7_ORACLES: dict[str, str] = {
     "pack_sequences": O_PACK_SEQUENCES,
     "c4_line_filter": O_C4_LINE_FILTER,
     "corpus_shuffle": O_CORPUS_SHUFFLE,
+    "kmeans_ivf": O_KMEANS_IVF,
 }

@@ -169,3 +169,27 @@ def test_corpus_shuffle_seed_and_determinism(spark):
         by_shard.setdefault(r.shuffle_shard, []).append(r.shuffle_rank)
     for ranks in by_shard.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_kmeans_lloyd_properties(spark):
+    from opentelemetry_collector_contrib_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_lloyd,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, centroids = kmeans_lloyd(emb, k=4, iters=2)
+    rows = assigned.select("vec_id", "cell").collect()
+    # every vector lands in exactly one of the k cells; no cell empty
+    cells = {r.cell for r in rows}
+    assert cells <= set(range(4)) and len(cells) == 4
+    assert len(rows) == emb.count()
+    # determinism
+    again, _ = kmeans_lloyd(emb, k=4, iters=2)
+    assert sorted((r.vec_id, r.cell) for r in again.select("vec_id", "cell").collect()) \
+        == sorted((r.vec_id, r.cell) for r in rows)
+    # centroids have the embedding dimension and feed ivf_topk directly
+    assert len(centroids) == 4 and all(len(c) == 64 for c in centroids)
+    cdf = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(centroids)], ["centroid_id", "centroid"])
+    topk = ivf_topk(emb, cdf, k=1)
+    assert topk.count() > 0
