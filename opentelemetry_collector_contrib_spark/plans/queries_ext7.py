@@ -1,11 +1,17 @@
-"""Round-3 batch B queries: the OTTL profile context, input-encoding
-decode (filelog `encoding` config), the stateful streaming recombine
-as a graded query, and corpus-wide PII scrubbing.
+"""Round-3 batch B queries.
 
-Each has a DuckDB oracle; `stream_recombine` runs REAL Structured
-Streaming (applyInPandasWithState + availableNow + memory sink) and
-its batch SQL oracle reconstructs the same session segmentation with
-window functions.
+Pipeline surface: the OTTL profile context, input-encoding decode
+(filelog `encoding` config), and the stateful streaming recombine as
+a graded query (`stream_recombine` runs REAL Structured Streaming —
+applyInPandasWithState + availableNow + memory sink — and its batch
+SQL oracle reconstructs the same session segmentation with window
+functions).
+
+Training-data surface: corpus-wide PII scrubbing, TF-IDF top-k
+keywords, stratified mixing sample, sequence packing, C4 line
+filtering, deterministic corpus shuffle, and in-engine IVF codebook
+training (Lloyd k-means whose DuckDB oracle replays the identical
+seed->assign->mean->re-assign recursion).
 """
 
 from __future__ import annotations

@@ -193,3 +193,68 @@ def test_kmeans_lloyd_properties(spark):
         [(j, c) for j, c in enumerate(centroids)], ["centroid_id", "centroid"])
     topk = ivf_topk(emb, cdf, k=1)
     assert topk.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# seeded invariant sweeps (one Spark job each, random-but-reproducible
+# corpus; the conservation contracts the ops must never break)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    import random
+    rng = random.Random(1337)
+    words = ["alpha", "beta", "the", "x9", "...", "{code}", "bob@x.io",
+             "10.1.2.3", "word", "emoji☃"]
+    rows = []
+    for i in range(300):
+        n = rng.randint(0, 40)
+        txt = " ".join(rng.choice(words) for _ in range(n))
+        if rng.random() < 0.3:
+            txt += "\n" + " ".join(rng.choice(words) for _ in range(rng.randint(0, 9)))
+        rows.append((i, txt, rng.choice(["en", "de", "zh"])))
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_pack_conserves_docs_and_tokens(messy):
+    from opentelemetry_collector_contrib_spark.operators.text import token_count
+    from pyspark.sql import functions as F
+    exp_docs = messy.count()
+    exp_tokens = messy.select(
+        F.sum(F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")))
+    ).first()[0]
+    got = pack_sequences(messy, budget=37, shards=5).agg(
+        F.sum("n_docs"), F.sum("bin_tokens")).first()
+    assert got[0] == exp_docs and got[1] == exp_tokens
+
+
+def test_stratified_monotone_in_rate(messy):
+    lo = {r.doc_id for r in stratified_sample(messy, "lang", {"en": 0.3},
+                                              default_rate=0.2).collect()}
+    hi = {r.doc_id for r in stratified_sample(messy, "lang", {"en": 0.7},
+                                              default_rate=0.6).collect()}
+    assert lo <= hi  # raising every rate only ever ADDS docs
+
+
+def test_corpus_shuffle_is_permutation(messy):
+    from opentelemetry_collector_contrib_spark.operators.text import corpus_shuffle
+    out = corpus_shuffle(messy).select("doc_id", "shuffle_shard", "shuffle_rank")
+    rows = out.collect()
+    assert len(rows) == messy.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    assert len({(r.shuffle_shard, r.shuffle_rank) for r in rows}) == len(rows)
+
+
+def test_pii_scrub_idempotent(messy):
+    once = pii_scrub(messy).select("doc_id", "text")
+    twice = pii_scrub(once).select("doc_id", "text")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_c4_clean_lines_subset(messy):
+    from opentelemetry_collector_contrib_spark.operators.text import c4_line_filter
+    for r in c4_line_filter(messy).collect():
+        orig = set((r.text or "").split("\n"))
+        kept = [l for l in (r.clean_text or "").split("\n") if l != ""]
+        assert r.n_kept_lines <= r.n_lines
+        assert all(l in orig for l in kept)

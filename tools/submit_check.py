@@ -103,11 +103,18 @@ def main() -> int:
                           "per_sink": pipe["per_sink"], "ok": pipe_ok}))
         udf = submit(udf_driver, zpath, work, "/root/testdata/sf0.001")
         print(json.dumps(udf))
+        cur_driver = os.path.join(work, "curation_job.py")
+        shutil.copy(os.path.join(REPO, "jobs", "curation.py"), cur_driver)
+        cur = submit(cur_driver, zpath, work, "--docs", "2000",
+                     "--out", os.path.join(work, "cur_out"))
+        cur_ok = (cur["funnel"]["written"] == cur["funnel"]["after_neardup"]
+                  and cur["funnel"]["after_neardup"] > 0)
+        print(json.dumps({"leg": "curation", "funnel": cur["funnel"], "ok": cur_ok}))
     finally:
         for p in procs:
             p.send_signal(signal.SIGTERM)
 
-    ok = pipe_ok and udf["ok"]
+    ok = pipe_ok and udf["ok"] and cur_ok
     with open(os.path.join(REPO, "BENCH", "SUBMIT_CHECK.md"), "w") as f:
         f.write(f"""# BENCH/SUBMIT_CHECK — spark-submit --py-files on a real cluster
 
@@ -121,6 +128,7 @@ zip, on the driver and on every executor.
 |---|---|---|
 | flagship pipeline (`jobs/pipeline.py --convs 500`) | full parse→enrich→route→sink job under spark-submit; sent==received ({pipe["turns"]} turns = {pipe["per_sink"]}) | {"PASS" if pipe_ok else "FAIL"} |
 | pandas-UDF query (`multimodal_meta`) | executor-side Python imports the package from the zip (Arrow-batched UDF path) | {"PASS" if udf["ok"] else "FAIL"} ({udf["rows"]} rows) |
+| curation funnel (`jobs/curation.py --docs 2000`) | corpus job (minhash pandas-free path + components) under spark-submit; funnel {cur["funnel"]} | {"PASS" if cur_ok else "FAIL"} |
 
 Overall: {"PASS" if ok else "FAIL"}
 """)
