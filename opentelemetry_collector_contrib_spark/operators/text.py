@@ -914,3 +914,59 @@ def corpus_shuffle(
         .withColumn("shuffle_shard", F.substring(F.col("shuffle_key"), 1, shard_prefix_len))
         .withColumn("shuffle_rank", F.row_number().over(w))
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document line dedup (CCNet-style boilerplate removal: a line
+# that recurs across many documents is chrome/nav/licence text, not
+# content — drop it everywhere, keep doc order otherwise)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+) -> DataFrame:
+    """Remove lines that appear in more than ``max_docs`` distinct
+    documents (after trim; blank lines always drop). Rebuilds each
+    doc's text with surviving lines in original order and reports the
+    kept/total counts.
+
+    Plan: posexplode lines -> line-frequency agg keyed by the line
+    text (map-side combined; exchange carries distinct lines) ->
+    equi-join the frequency back -> groupBy(doc) rebuilding via
+    sort_array(collect_struct). Two shuffles, both O(lines); the
+    collect_list is bounded by a single document's line count (the
+    same bound recombine already carries).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).filter(F.trim(F.col("line")) != "")
+    freq = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
+    )
+    kept = lines.join(freq, "line").filter(F.col("line_df") <= max_docs)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept_lines"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != "")
+        ).alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .withColumn("clean_text", F.coalesce(F.col("clean_text"), F.lit("")))
+        .withColumn("n_kept_lines", F.coalesce(F.col("n_kept_lines"), F.lit(0)))
+    )

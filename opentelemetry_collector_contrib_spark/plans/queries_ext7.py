@@ -439,6 +439,60 @@ FROM a2 GROUP BY cell
 """
 
 
+# ---------------------------------------------------------------------------
+# cross-document line dedup (CCNet-style boilerplate removal). Seeds a
+# shared boilerplate header/footer into every doc plus a per-doc
+# unique line; the op must strip exactly the shared lines everywhere.
+# ---------------------------------------------------------------------------
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import line_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("COPYRIGHT 2026 Example Corp. All rights reserved."),
+            F.col("text"),
+            F.concat(F.lit("unique line for doc "), F.col("doc_id").cast("string")),
+            F.lit("Subscribe to our newsletter!"),
+        ).alias("text"),
+    )
+    return line_dedup(seeded, max_docs=1).select(
+        "doc_id", "n_lines", "n_kept_lines", "clean_text"
+    )
+
+
+O_LINE_DEDUP = """
+WITH seeded AS (
+  SELECT doc_id,
+         ['COPYRIGHT 2026 Example Corp. All rights reserved.',
+          text,
+          'unique line for doc ' || CAST(doc_id AS VARCHAR),
+          'Subscribe to our newsletter!'] AS lines
+  FROM documents
+), lns AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos, lines[CAST(t.i AS INT) + 1] AS line
+  FROM seeded CROSS JOIN range(4) t(i)
+  WHERE trim(lines[CAST(t.i AS INT) + 1]) != ''
+), freq AS (
+  SELECT line, count(DISTINCT doc_id) AS line_df FROM lns GROUP BY line
+), kept AS (
+  SELECT lns.* FROM lns JOIN freq USING (line) WHERE line_df <= 1
+)
+SELECT s.doc_id,
+       (SELECT CAST(count(*) AS INT) FROM lns WHERE lns.doc_id = s.doc_id) AS n_lines,
+       coalesce(k.n_kept_lines, 0) AS n_kept_lines,
+       coalesce(k.clean_text, '') AS clean_text
+FROM seeded s LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         CAST(count(*) AS INT) AS n_kept_lines
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+
 EXT7_QUERIES: dict[str, QueryFn] = {
     "ottl_profile_context": q_ottl_profile_context,
     "decode_input": q_decode_input,
@@ -450,6 +504,7 @@ EXT7_QUERIES: dict[str, QueryFn] = {
     "c4_line_filter": q_c4_line_filter,
     "corpus_shuffle": q_corpus_shuffle,
     "kmeans_ivf": q_kmeans_ivf,
+    "line_dedup": q_line_dedup,
 }
 
 EXT7_ORACLES: dict[str, str] = {
@@ -463,4 +518,5 @@ EXT7_ORACLES: dict[str, str] = {
     "c4_line_filter": O_C4_LINE_FILTER,
     "corpus_shuffle": O_CORPUS_SHUFFLE,
     "kmeans_ivf": O_KMEANS_IVF,
+    "line_dedup": O_LINE_DEDUP,
 }

@@ -258,3 +258,28 @@ def test_c4_clean_lines_subset(messy):
         kept = [l for l in (r.clean_text or "").split("\n") if l != ""]
         assert r.n_kept_lines <= r.n_lines
         assert all(l in orig for l in kept)
+
+
+def test_line_dedup_boilerplate_and_order(spark):
+    from opentelemetry_collector_contrib_spark.operators.text import line_dedup
+    rows = [
+        (1, "FOOTER\nalpha\nbeta\nFOOTER"),
+        (2, "FOOTER\ngamma\n\ndelta"),
+        (3, "FOOTER"),  # all boilerplate -> empty doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in line_dedup(df, max_docs=1).collect()}
+    # shared FOOTER stripped everywhere; per-doc order preserved
+    assert out[1].clean_text == "alpha\nbeta"
+    assert out[2].clean_text == "gamma\ndelta"  # blank line also gone
+    assert out[3].clean_text == "" and out[3].n_kept_lines == 0
+    # counts: blanks excluded from n_lines
+    assert out[2].n_lines == 3 and out[2].n_kept_lines == 2
+
+
+def test_line_dedup_max_docs_threshold(spark):
+    from opentelemetry_collector_contrib_spark.operators.text import line_dedup
+    rows = [(1, "shared\nmine1"), (2, "shared\nmine2")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    loose = {r.doc_id: r.clean_text for r in line_dedup(df, max_docs=2).collect()}
+    assert loose[1] == "shared\nmine1"  # df=2 allowed at max_docs=2
