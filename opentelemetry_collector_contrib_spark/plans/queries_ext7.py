@@ -493,6 +493,53 @@ FROM seeded s LEFT JOIN (
 """
 
 
+# ---------------------------------------------------------------------------
+# turn-context windows + SFT pair extraction (transcript ops: the
+# step between curation and training-data emission). Events stand in
+# for turns: conv = user_id%40, role cycles user/assistant/tool by
+# event_type.
+# ---------------------------------------------------------------------------
+
+def _turns_from_events(ev):
+    return ev.select(
+        (F.col("user_id") % 40).cast("string").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .when(F.col("event_type") == "error", "tool")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("event_type").alias("text"),
+    )
+
+
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.turns import sft_pairs
+
+    ev = load(spark, sf_dir, "events")
+    return sft_pairs(_turns_from_events(ev), n=3)
+
+
+O_SFT_PAIRS = """
+WITH t AS (
+  SELECT CAST(user_id % 40 AS VARCHAR) AS conv_id,
+         event_id AS turn_idx,
+         CASE WHEN event_type IN ('click', 'view') THEN 'user'
+              WHEN event_type = 'error' THEN 'tool'
+              ELSE 'assistant' END AS role,
+         event_type AS text
+  FROM events
+), ctx AS (
+  SELECT conv_id, turn_idx, role, text,
+         coalesce(string_agg(role || ': ' || text, chr(10))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS context
+  FROM t
+)
+SELECT conv_id, turn_idx, context, text AS response
+FROM ctx WHERE role = 'assistant' AND context != ''
+"""
+
+
 EXT7_QUERIES: dict[str, QueryFn] = {
     "ottl_profile_context": q_ottl_profile_context,
     "decode_input": q_decode_input,
@@ -505,6 +552,7 @@ EXT7_QUERIES: dict[str, QueryFn] = {
     "corpus_shuffle": q_corpus_shuffle,
     "kmeans_ivf": q_kmeans_ivf,
     "line_dedup": q_line_dedup,
+    "sft_pairs": q_sft_pairs,
 }
 
 EXT7_ORACLES: dict[str, str] = {
@@ -519,4 +567,5 @@ EXT7_ORACLES: dict[str, str] = {
     "corpus_shuffle": O_CORPUS_SHUFFLE,
     "kmeans_ivf": O_KMEANS_IVF,
     "line_dedup": O_LINE_DEDUP,
+    "sft_pairs": O_SFT_PAIRS,
 }

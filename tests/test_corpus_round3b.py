@@ -283,3 +283,28 @@ def test_line_dedup_max_docs_threshold(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     loose = {r.doc_id: r.clean_text for r in line_dedup(df, max_docs=2).collect()}
     assert loose[1] == "shared\nmine1"  # df=2 allowed at max_docs=2
+
+
+def test_turn_context_and_sft_pairs(spark):
+    from opentelemetry_collector_contrib_spark.operators.turns import (
+        sft_pairs,
+        turn_context,
+    )
+    rows = [
+        ("c1", 1, "user", "hi"),
+        ("c1", 2, "assistant", "hello"),
+        ("c1", 3, "user", "weather?"),
+        ("c1", 4, "tool", "sunny"),
+        ("c1", 5, "assistant", "it is sunny"),
+        ("c2", 1, "assistant", "opener with no prompt"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    ctx = {(r.conv_id, r.turn_idx): r.context
+           for r in turn_context(df, n=3).collect()}
+    assert ctx[("c1", 1)] == ""                       # opener: empty context
+    assert ctx[("c1", 2)] == "user: hi"
+    assert ctx[("c1", 5)] == "assistant: hello\nuser: weather?\ntool: sunny"
+    # n=3 window truncates: turn 1 no longer visible from turn 5
+    pairs = {(r.conv_id, r.turn_idx): r for r in sft_pairs(df, n=3).collect()}
+    assert set(pairs) == {("c1", 2), ("c1", 5)}       # opener pair dropped
+    assert pairs[("c1", 5)].response == "it is sunny"
