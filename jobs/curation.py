@@ -10,7 +10,8 @@ Usage:
 Composes the corpus operators into the end-to-end curation funnel a
 training-data pipeline runs corpus-wide:
 
-    scan -> PII scrub -> C4 line filter -> Gopher quality rules
+    scan -> PII scrub -> boilerplate line dedup -> C4 line filter
+         -> Gopher quality rules
          -> exact dedup -> MinHash-LSH near-dup dedup
          -> annotate (quality score, token count)
          -> stratified sample (per-lang mixing rates)
@@ -43,6 +44,7 @@ from opentelemetry_collector_contrib_spark.operators.text import (
     corpus_shuffle,
     exact_dedup,
     gopher_filter,
+    line_dedup,
     minhash_lsh_dedup,
     pack_sequences,
     pii_scrub,
@@ -64,7 +66,8 @@ def synth_documents(spark, n_docs: int):
     buckets degenerate to one giant component and the pair join goes
     quadratic, measured 106 s for 3k docs. A LINEAR suffix like
     ``(base*7 + i*3) % 997`` leaves congruence pairs — 27k unrelated
-    >0.8-Jaccard pairs at 100k docs, measured via pair-gap histogram.) Seeded work for each funnel stage:
+    >0.8-Jaccard pairs at 100k docs, measured via pair-gap histogram.)
+    Seeded work for each funnel stage:
       - every 13th doc repeats its predecessor's text (exact dup),
       - every 11th doc repeats its predecessor + one extra sentence
         (near-dup: high Jaccard, different hash),
@@ -153,6 +156,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--sample", default="", help="lang=rate[,lang=rate...]; empty = keep all")
     ap.add_argument(
+        "--boilerplate-pct", type=float, default=2.0,
+        help="strip lines appearing in more than this %% of docs "
+        "(CCNet boilerplate removal); 0 disables",
+    )
+    ap.add_argument(
         "--c4", choices=["on", "off"], default="on",
         help="off: skip the C4 line filter (corpora without sentence "
         "punctuation, e.g. keyword/code dumps, fail its prose rules)",
@@ -172,8 +180,17 @@ def main(argv: list[str] | None = None) -> int:
     funnel: dict[str, int] = {"docs_in": docs.count()}
     lineage.record("scan", "all", funnel["docs_in"])
 
-    # 1. PII scrub (transform, not filter) + C4 line cleaning
+    # 1. PII scrub (transform, not filter) + boilerplate line removal
+    # + C4 line cleaning
     docs = pii_scrub(docs, "text")
+    if args.boilerplate_pct > 0:
+        max_docs = max(1, int(funnel["docs_in"] * args.boilerplate_pct / 100))
+        docs = (
+            line_dedup(docs, "doc_id", "text", max_docs=max_docs)
+            .join(docs.drop("text"), "doc_id")
+            .drop("text", "n_lines", "n_kept_lines")
+            .withColumnRenamed("clean_text", "text")
+        )
     if args.c4 == "on":
         docs = (
             c4_line_filter(docs, "text", min_words=3, min_kept_lines=1)
