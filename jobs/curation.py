@@ -227,7 +227,8 @@ def main(argv: list[str] | None = None) -> int:
         # materialize: the iterative component labels would otherwise
         # recompute for every downstream action (count, both writes,
         # the read-back)
-        docs = docs.persist()
+        deduped = docs.persist()
+        docs = deduped
         funnel["after_neardup"] = docs.count()
         lineage.record("neardup", "all", funnel["after_neardup"])
 
@@ -241,9 +242,13 @@ def main(argv: list[str] | None = None) -> int:
         funnel["after_sample"] = docs.count()
         lineage.record("sample", "all", funnel["after_sample"])
 
-    # 6. pack + shuffle + write
+    # 6. pack + shuffle + write (bins use the SAME token definition as
+    # the n_tokens annotation — one tokenizer end-to-end)
     docs = corpus_shuffle(docs, seed=args.seed, shard_prefix_len=1)
-    bins = pack_sequences(docs, budget=args.budget, shards=args.shards)
+    bins = pack_sequences(
+        docs, budget=args.budget, shards=args.shards,
+        tokens_count_col="n_tokens",
+    )
     funnel["bins"] = bins.count()
     t_plan = time.time()
 
@@ -270,6 +275,8 @@ def main(argv: list[str] | None = None) -> int:
             "after_sample", funnel.get("after_neardup", funnel["after_exact_dedup"])
         )
     cleaned.unpersist()
+    if args.neardup != "off":
+        deduped.unpersist()
     elapsed = time.time() - t0
 
     print(json.dumps({

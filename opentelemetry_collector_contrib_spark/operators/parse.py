@@ -474,6 +474,13 @@ def decode_input(
     """
     enc = encoding.lower()
     if enc in _JVM_CHARSETS:
+        # Spark 4's decode() default is fail-fast on malformed bytes
+        # (MALFORMED_CHARACTER_CODING kills the job on one dirty
+        # byte); the reference's decoders always substitute U+FFFD.
+        # get_spark() sets the legacy REPLACE action engine-wide; set
+        # it here too so the operator keeps its contract under a
+        # caller-built session.
+        df.sparkSession.conf.set("spark.sql.legacy.codingErrorAction", "true")
         decoded = F.decode(F.col(source), _JVM_CHARSETS[enc])
     elif enc == "nop":
         decoded = F.decode(F.col(source), "ISO-8859-1")

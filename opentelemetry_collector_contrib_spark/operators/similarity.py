@@ -390,7 +390,10 @@ def kmeans_lloyd(
       the same recursion stays bit-identical.
 
     Returns (assignments DataFrame with ``cell`` added, final
-    centroids as Python lists).
+    centroids as Python lists). A cell that empties mid-run keeps its
+    stale centroid (unreachable with seed-vector init on distinct
+    data: each seed's own vector has cosine 1 with it; a SQL oracle
+    replaying the recursion need not model it).
     """
     seed_rows = (
         corpus.orderBy(id_col).limit(k)
@@ -398,6 +401,9 @@ def kmeans_lloyd(
         .collect()
     )
     centroids = [list(r[0]) for r in seed_rows]
+    # fewer rows than k: every row is its own cluster (range(k) below
+    # would otherwise IndexError on the missing seeds)
+    k = len(centroids)
 
     def assign(cents: list[list[float]]) -> DataFrame:
         vec = F.col(vec_col)

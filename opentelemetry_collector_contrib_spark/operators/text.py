@@ -775,10 +775,8 @@ def stratified_sample(
     h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
     expr = None
     for stratum, rate in sorted(rates.items()):
-        branch = F.when(F.col(strata_col) == stratum, F.lit(thresh(rate)))
-        expr = branch if expr is None else expr.when(
-            F.col(strata_col) == stratum, F.lit(thresh(rate))
-        )
+        when = F.when if expr is None else expr.when
+        expr = when(F.col(strata_col) == stratum, F.lit(thresh(rate)))
     cutoff = (
         expr.otherwise(F.lit(thresh(default_rate)))
         if expr is not None
@@ -799,6 +797,7 @@ def pack_sequences(
     text_col: str = "text",
     budget: int = 2048,
     shards: int = 16,
+    tokens_count_col: str | None = None,
 ) -> DataFrame:
     """Greedy concat-and-chunk packing: shard docs deterministically
     (``id % shards``), order each shard by id, concatenate token
@@ -810,7 +809,14 @@ def pack_sequences(
     shard's window is one sorted task — exactly how production packers
     shard). No global ordering, no driver loop.
     """
-    toks = F.size(tokens_col(F.col(text_col))).alias("n_tokens")
+    # default: whitespace tokens; pass ``tokens_count_col`` to bin by
+    # whatever tokenizer the rest of the pipeline annotates with (one
+    # token definition end-to-end, or bins and annotations disagree)
+    toks = (
+        F.col(tokens_count_col)
+        if tokens_count_col
+        else F.size(tokens_col(F.col(text_col)))
+    ).alias("n_tokens")
     base = df.select(
         F.col(id_col),
         F.pmod(F.col(id_col), F.lit(shards)).alias("shard"),
@@ -944,11 +950,19 @@ def line_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).filter(F.trim(F.col("line")) != "")
+    # frequency keys on the TRIMMED line so boilerplate differing only
+    # in surrounding whitespace still counts as one line; the raw line
+    # is preserved for the rebuild
+    keyed = lines.withColumn("__key", F.trim(F.col("line")))
     freq = (
-        lines.groupBy("line")
+        keyed.groupBy("__key")
         .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
     )
-    kept = lines.join(freq, "line").filter(F.col("line_df") <= max_docs)
+    kept = (
+        keyed.join(freq, "__key")
+        .filter(F.col("line_df") <= max_docs)
+        .drop("__key")
+    )
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

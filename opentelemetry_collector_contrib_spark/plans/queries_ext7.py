@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import QueryFn, load
-from .queries_streaming import _run_stream
+from .queries_streaming import _run_stream, _run_stream_until_drained
 
 
 # ---------------------------------------------------------------------------
@@ -132,8 +132,17 @@ def q_stream_recombine(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(
         "conv_id string, turn_idx bigint, text string, is_first boolean"
     ).parquet(feed)
-    out = stream_recombine(stream, timeout_ms=3_600_000)
-    _run_stream(out, "srec")
+    # force_flush_timeout = 30 s: long enough that no session flushes
+    # open BETWEEN data micro-batches (availableNow drains the feed in
+    # seconds), short enough that the post-data state-cleanup loop
+    # ("no new data but cleaning up state") evicts and terminates
+    # promptly. A far-future timeout makes availableNow spin empty
+    # cleanup batches until it EXPIRES — measured 300+ s of idle
+    # batches with the previous 1-hour setting. Open sessions emit
+    # closed=false and are filtered below, so the graded rows are
+    # identical either way.
+    out = stream_recombine(stream, timeout_ms=30_000)
+    _run_stream_until_drained(out, "srec")
     return (
         spark.table("srec")
         .filter(F.col("closed"))
@@ -477,9 +486,11 @@ WITH seeded AS (
   FROM seeded CROSS JOIN range(4) t(i)
   WHERE trim(lines[CAST(t.i AS INT) + 1]) != ''
 ), freq AS (
-  SELECT line, count(DISTINCT doc_id) AS line_df FROM lns GROUP BY line
+  SELECT trim(line) AS k, count(DISTINCT doc_id) AS line_df
+  FROM lns GROUP BY 1
 ), kept AS (
-  SELECT lns.* FROM lns JOIN freq USING (line) WHERE line_df <= 1
+  SELECT lns.* FROM lns JOIN freq ON trim(lns.line) = freq.k
+  WHERE line_df <= 1
 )
 SELECT s.doc_id,
        (SELECT CAST(count(*) AS INT) FROM lns WHERE lns.doc_id = s.doc_id) AS n_lines,

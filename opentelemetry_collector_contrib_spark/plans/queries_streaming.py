@@ -35,7 +35,7 @@ def _as_dir(path: str) -> str:
     return d
 
 
-def _run_stream(df, name: str) -> None:
+def _run_stream(df, name: str, timeout_sec: int = 600) -> None:
     ck = tempfile.mkdtemp(prefix=f"ck-{name}-")
     q = (
         df.writeStream.format("memory")
@@ -45,7 +45,54 @@ def _run_stream(df, name: str) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returns False on timeout; reading the memory
+    # sink of a still-running query would hand the grader a silently
+    # truncated result — fail loudly instead
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"stream {name} did not drain in {timeout_sec}s")
+
+
+def _run_stream_until_drained(df, name: str, timeout_sec: int = 600) -> None:
+    """Drive a stateful availableNow query that uses PROCESSING-TIME
+    timeouts. Spark's availableNow trigger never self-terminates with
+    pending processing-time state (it spins "no new data but cleaning
+    up state" batches indefinitely — measured: still looping at batch
+    129 with numRowsTotal=0), so poll progress and stop() once a
+    cleanup batch reports zero input rows AND zero state rows: every
+    datum is processed and every session has flushed."""
+    import time as _time
+
+    ck = tempfile.mkdtemp(prefix=f"ck-{name}-")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = _time.time() + timeout_sec
+    drained = 0
+    while _time.time() < deadline:
+        if not q.isActive:
+            return
+        lp = q.lastProgress
+        if lp and lp.get("numInputRows", 0) == 0:
+            ops = lp.get("stateOperators") or [{}]
+            if all(op.get("numRowsTotal", 1) == 0 for op in ops):
+                # two consecutive drained observations: the progress
+                # object lags one batch behind the running one
+                drained += 1
+                if drained >= 2:
+                    q.stop()
+                    q.awaitTermination(60)
+                    return
+            else:
+                drained = 0
+        _time.sleep(1)
+    q.stop()
+    raise TimeoutError(f"stream {name} did not drain in {timeout_sec}s")
 
 
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

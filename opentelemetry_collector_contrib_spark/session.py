@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # filelog-encoding semantics: decode() substitutes U+FFFD on
+        # malformed bytes (the x/text decoder behavior the reference
+        # relies on) instead of Spark 4's new fail-fast default
+        .config("spark.sql.legacy.codingErrorAction", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # cap GC threads: with local[32] on a shared box, G1's

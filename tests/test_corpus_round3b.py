@@ -308,3 +308,28 @@ def test_turn_context_and_sft_pairs(spark):
     pairs = {(r.conv_id, r.turn_idx): r for r in sft_pairs(df, n=3).collect()}
     assert set(pairs) == {("c1", 2), ("c1", 5)}       # opener pair dropped
     assert pairs[("c1", 5)].response == "it is sunny"
+
+
+def test_kmeans_k_exceeds_corpus(spark):
+    from opentelemetry_collector_contrib_spark.operators.similarity import kmeans_lloyd
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(3)
+    assigned, centroids = kmeans_lloyd(emb, k=6, iters=2)
+    # k clamps to the corpus size: every row its own cluster
+    assert len(centroids) == 3
+    assert {r.cell for r in assigned.select("cell").collect()} == {0, 1, 2}
+
+
+def test_line_dedup_trim_keyed_frequency(spark):
+    from opentelemetry_collector_contrib_spark.operators.text import line_dedup
+    rows = [(1, "FOOTER \nmine1"), (2, "FOOTER\nmine2"), (3, " FOOTER\nmine3")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.clean_text for r in line_dedup(df, max_docs=1).collect()}
+    # whitespace variants of the same boilerplate all strip
+    assert out == {1: "mine1", 2: "mine2", 3: "mine3"}
+
+
+def test_decode_input_malformed_bytes_replace(spark):
+    # Spark 4 decode() fail-fast default must not kill the job: the
+    # operator restores the reference's U+FFFD substitution
+    df = spark.createDataFrame([(1, bytes([0x66, 0xFF, 0x67]))], ["id", "raw"])
+    assert decode_input(df, source="raw", encoding="utf-8").first().body == "f�g"
