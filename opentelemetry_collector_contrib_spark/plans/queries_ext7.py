@@ -551,6 +551,26 @@ FROM ctx WHERE role = 'assistant' AND context != ''
 """
 
 
+def q_stream_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of sft_pairs: per-conv rolling context via
+    applyInPandasWithState (NoTimeout — pairs emit inline, so
+    availableNow terminates normally). Same oracle as the batch op:
+    streaming must produce the batch-equivalent answer under stable
+    turn ordering."""
+    from ..streaming.pipeline import stream_sft_pairs
+
+    ev = load(spark, sf_dir, "events")
+    turns = _turns_from_events(ev)
+    feed = tempfile.mkdtemp(prefix="sft-feed-")
+    turns.write.mode("overwrite").parquet(feed)
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx bigint, role string, text string"
+    ).parquet(feed)
+    out = stream_sft_pairs(stream, n=3)
+    _run_stream(out, "ssft")
+    return spark.table("ssft")
+
+
 EXT7_QUERIES: dict[str, QueryFn] = {
     "ottl_profile_context": q_ottl_profile_context,
     "decode_input": q_decode_input,
@@ -564,6 +584,7 @@ EXT7_QUERIES: dict[str, QueryFn] = {
     "kmeans_ivf": q_kmeans_ivf,
     "line_dedup": q_line_dedup,
     "sft_pairs": q_sft_pairs,
+    "stream_sft_pairs": q_stream_sft_pairs,
 }
 
 EXT7_ORACLES: dict[str, str] = {
@@ -579,4 +600,5 @@ EXT7_ORACLES: dict[str, str] = {
     "kmeans_ivf": O_KMEANS_IVF,
     "line_dedup": O_LINE_DEDUP,
     "sft_pairs": O_SFT_PAIRS,
+    "stream_sft_pairs": O_SFT_PAIRS,
 }

@@ -336,3 +336,79 @@ def stream_signal_to_metrics(
 
     out = _renamed(out, cfg, keys)
     return out.select(F.col("w.start").alias("window_start"), "*").drop("w")
+
+
+# ---------------------------------------------------------------------------
+# streaming SFT pair extraction: the stateful twin of
+# operators/turns.py::sft_pairs — per-conversation rolling context
+# buffer, (context, response) emitted the moment a response-role turn
+# arrives. NoTimeout state (nothing to force-flush: pairs emit
+# inline), so availableNow terminates normally.
+# ---------------------------------------------------------------------------
+
+SFT_OUTPUT_SCHEMA = (
+    "conv_id string, turn_idx long, context string, response string"
+)
+SFT_STATE_SCHEMA = "idxs array<long>, lines array<string>"
+
+
+def make_sft_fn(n: int = 3, response_role: str = "assistant"):
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.exists:
+            idxs, lines = state.get
+            buf = list(zip(idxs, lines))
+        else:
+            buf = []
+
+        rows: list[tuple[int, str, str]] = []
+        for pdf in pdf_iter:
+            rows.extend(
+                zip(
+                    pdf["turn_idx"].astype(int),
+                    pdf["role"].astype(str),
+                    pdf["text"].astype(str),
+                )
+            )
+        rows.sort(key=lambda t: t[0])
+
+        out: list[dict] = []
+        for turn_idx, role, text in rows:
+            if role == response_role:
+                ctx = "\n".join(line for _, line in buf[-n:])
+                if ctx:
+                    out.append(
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": turn_idx,
+                            "context": ctx,
+                            "response": text,
+                        }
+                    )
+            buf.append((turn_idx, f"{role}: {text}"))
+            if len(buf) > n:
+                buf = buf[-n:]
+
+        state.update(([i for i, _ in buf], [l for _, l in buf]))
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def stream_sft_pairs(
+    stream: DataFrame, n: int = 3, response_role: str = "assistant"
+) -> DataFrame:
+    """(context, response) SFT pairs over a live transcript stream.
+    Input needs (conv_id, turn_idx, role, text); per-conv state is the
+    last ``n`` rendered turns — O(n) per conversation, the same bound
+    the batch window variant carries per row."""
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        make_sft_fn(n, response_role),
+        outputStructType=SFT_OUTPUT_SCHEMA,
+        stateStructType=SFT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -333,3 +333,33 @@ def test_decode_input_malformed_bytes_replace(spark):
     # operator restores the reference's U+FFFD substitution
     df = spark.createDataFrame([(1, bytes([0x66, 0xFF, 0x67]))], ["id", "raw"])
     assert decode_input(df, source="raw", encoding="utf-8").first().body == "f�g"
+
+
+def test_stream_sft_matches_batch(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.operators.turns import sft_pairs
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        stream_sft_pairs,
+    )
+    rows = [
+        ("c1", 1, "user", "hi"),
+        ("c1", 2, "assistant", "hello"),
+        ("c1", 3, "user", "weather?"),
+        ("c1", 4, "assistant", "sunny"),
+        ("c2", 1, "assistant", "opener"),
+        ("c2", 2, "user", "q"),
+        ("c2", 3, "assistant", "a"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    feed = str(tmp_path / "feed")
+    df.write.parquet(feed)
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx bigint, role string, text string"
+    ).parquet(feed)
+    ck = str(tmp_path / "ck")
+    (stream_sft_pairs(stream, n=3).writeStream.format("memory")
+     .queryName("sftb").outputMode("append")
+     .option("checkpointLocation", ck)
+     .trigger(availableNow=True).start().awaitTermination(120))
+    got = sorted(map(tuple, spark.table("sftb").collect()))
+    want = sorted(map(tuple, sft_pairs(df, n=3).collect()))
+    assert got == want and len(want) == 3
