@@ -436,3 +436,66 @@ def kmeans_lloyd(
         ]
         assigned = assign(centroids)
     return assigned, centroids
+
+
+# ---------------------------------------------------------------------------
+# semantic deduplication (SemDeDup, Abbas et al. 2023: cluster the
+# embedding space, then drop near-duplicate pairs WITHIN each cluster —
+# the cluster step is what bounds the pair join at web scale)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 6,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_dp: int = 12,
+) -> DataFrame:
+    """SemDeDup over an embedding column: spherical k-means partitions
+    the space (kmeans_lloyd — deterministic seed-vector init), then a
+    within-cell pair join drops every vector whose cosine to a
+    SMALLER-id cell-mate is >= ``threshold`` (min-id representative,
+    the same convention as exact_dedup / lsh_near_duplicates).
+
+    Scale story: the pair join is equi on ``cell``, so the candidate
+    set is sum_c |c|^2, not n^2 — at 100 TB pick k so the expected
+    cell is ~10-100k vectors (SemDeDup uses k=50k clusters for LAION),
+    and cap stragglers by splitting oversized cells on a salt of the
+    LSH bucket. Assignment itself is a zero-shuffle projection
+    (literal centroids); the only shuffles are k-means' update and the
+    cell-key exchange for the pair join.
+
+    Output: one row per vector — (vec_id, cell, keep, dup_of) where
+    dup_of is the smallest qualifying cell-mate (NULL when kept).
+    """
+    assigned, _ = kmeans_lloyd(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, sim_dp=sim_dp
+    )
+    assigned = assigned.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"), "cell"
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__aid"), F.col("__v").alias("__av"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__bid"), F.col("__v").alias("__bv"), "cell"
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("__aid") < F.col("__bid"))
+        .withColumn("__sim", F.round(cosine(F.col("__av"), F.col("__bv")), sim_dp))
+        .filter(F.col("__sim") >= threshold)
+        .groupBy(F.col("__bid").alias(id_col))
+        .agg(F.min("__aid").alias("dup_of"))
+    )
+    return (
+        assigned.join(dups, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

@@ -984,3 +984,234 @@ def line_dedup(
         .withColumn("clean_text", F.coalesce(F.col("clean_text"), F.lit("")))
         .withColumn("n_kept_lines", F.coalesce(F.col("n_kept_lines"), F.lit(0)))
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality scoring (the CCNet/KenLM perplexity-bucket analog:
+# score each document by its mean token negative-log-likelihood under a
+# unigram language model trained on the corpus itself)
+# ---------------------------------------------------------------------------
+
+def unigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dp: int = 6,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a corpus-trained
+    unigram LM — the in-engine stand-in for CCNet's KenLM perplexity
+    bucketing (docs with high NLL are "surprising" = low-quality or
+    off-distribution; docs with very low NLL are boilerplate).
+
+    p(t) = count(t) / total_tokens over the whole corpus;
+    nll(doc) = -sum_t tf(t) * ln p(t) / len(doc).
+
+    Plan: explode -> groupBy(doc, term) tf [shuffle 1, map-side
+    combined] -> groupBy(term) corpus counts [shuffle 2, one row per
+    vocab term] -> tf >< vocab equi-join on term (AQE broadcasts the
+    vocab side when small) -> groupBy(doc) weighted sum [shuffle 3].
+    All O(tokens); no all-pairs path; survives 100x scale.
+
+    Cross-engine note: p(t) is one IEEE division of two exact ints
+    (identical in any engine); ln() is <=1 ulp everywhere; the per-doc
+    sum reorders under parallel aggregation, so the result is rounded
+    to ``dp`` (default 1e-6 — 9 orders above the drift).
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lp",
+            F.col("tf")
+            * F.log(F.col("cnt").cast("double") / F.col("total").cast("double")),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(-F.sum("lp") / F.sum("tf"), dp).alias("nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span detection (the ExactSubstr / suffix-array dedup
+# analog of Lee et al. "Deduplicating Training Data Makes Language
+# Models Better": find k-token windows that recur across documents)
+# ---------------------------------------------------------------------------
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span statistics: how many of the
+    document's ``k``-token sliding windows also occur in at least
+    ``min_docs - 1`` OTHER documents.
+
+    This is the bounded-window approximation of suffix-array
+    ExactSubstr dedup (a true suffix array is not expressible as a
+    distributed dataflow; fixed-k windows are the standard scalable
+    relaxation — every duplicated substring of length >= k contains a
+    duplicated k-window, so recall at >=k is exact).
+
+    Plan: window explode (row count x ~tokens, each row one 32-char
+    md5 — the shuffle key is the hash, never the window text) ->
+    groupBy(window) distinct-doc count [shuffle 1, map-side combined]
+    -> filter >= min_docs -> semi-join back on the hash [shuffle 2,
+    equi-join] -> groupBy(doc) [shuffle 3]. O(tokens x 1) rows, no
+    all-pairs path. At 100 TB the hot-window skew is bounded: a window
+    shared by millions of docs still reduces to ONE group row before
+    the join.
+
+    Output: (doc_id, n_windows, dup_windows, dup_frac) for every doc
+    with at least one window. dup_frac is an exact small rational
+    (int/int in IEEE double) — oracle-exact without tolerance.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("__tk")).withColumn(
+        "__nw", F.greatest(F.size("__tk") - F.lit(k - 1), F.lit(0))
+    )
+    wins = base.select(
+        F.col(id_col),
+        F.col("__nw"),
+        F.explode(
+            F.when(
+                F.col("__nw") >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__nw")),
+                    lambda i: F.md5(F.array_join(F.slice(F.col("__tk"), i, k), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("wkey"),
+    )
+    shared = (
+        wins.groupBy("wkey")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("wkey")
+    )
+    per_doc = (
+        wins.join(shared, "wkey", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_windows"))
+    )
+    return (
+        base.filter(F.col("__nw") >= 1)
+        .select(F.col(id_col), F.col("__nw").alias("n_windows"))
+        .join(per_doc, id_col, "left")
+        .withColumn("dup_windows", F.coalesce(F.col("dup_windows"), F.lit(0)))
+        .withColumn(
+            "dup_frac",
+            F.col("dup_windows").cast("double") / F.col("n_windows").cast("double"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget data mixing (per-source sampling rates derived from a
+# target mixture — the "data mixing" step that turns a curated pool
+# into a training mix; cf. stratified_sample, where rates are GIVEN)
+# ---------------------------------------------------------------------------
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_frac: float = 0.5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Derive per-source keep rates that hit a target token mixture,
+    then apply them with the md5-consistent unit hash.
+
+    budget B = budget_frac x corpus total tokens; source s gets
+    rate_s = min(1, weights[s] * B / tokens_s). Tokens are whitespace
+    tokens. Sources absent from ``weights`` get rate 0.
+
+    Plan: one scan -> per-source token totals [tiny shuffle, one row
+    per source] -> broadcast the k-row rate table back onto the scan
+    -> codegen'd filter (md5 4-hex-prefix < per-row threshold, the
+    stratified_sample trick with a computed threshold) -> per-source
+    kept aggregate. Two passes over the input (totals + filter) — at
+    100 TB persist/cache the tokenized projection or fold the totals
+    into a prior stage's observe().
+
+    Cross-engine determinism: rate = (exact-binary weight) x (exact
+    int B cast) / (exact int), all single IEEE ops; the keep decision
+    is a pure string compare of hex digits, identical in any engine.
+
+    Output: one row per configured source — (source, n_docs, kept_docs,
+    kept_tokens, rate rounded to 9).
+    """
+    tok = df.select(
+        F.col(strata_col).alias("source"),
+        F.col(id_col),
+        token_count_ws(F.col(text_col)).alias("t"),
+    )
+    totals = tok.groupBy("source").agg(
+        F.sum("t").alias("tokens_s"), F.count(F.lit(1)).alias("n_docs")
+    )
+    grand = tok.agg(F.sum("t").alias("total_tokens"))
+
+    wexpr = None
+    for s, wgt in sorted(weights.items()):
+        when = F.when if wexpr is None else wexpr.when
+        wexpr = when(F.col("source") == s, F.lit(float(wgt)))
+    weight = wexpr.otherwise(F.lit(0.0)) if wexpr is not None else F.lit(0.0)
+
+    rates = (
+        totals.crossJoin(F.broadcast(grand))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                weight
+                * F.lit(float(budget_frac))
+                * F.col("total_tokens").cast("double")
+                / F.col("tokens_s").cast("double"),
+            ),
+        )
+        .withColumn(
+            "__cut",
+            F.when(F.round(F.col("rate") * 65536) >= 65536, F.lit("g")).otherwise(
+                F.lpad(
+                    F.lower(F.conv(F.round(F.col("rate") * 65536).cast("int").cast("string"), 10, 16)),
+                    4,
+                    "0",
+                )
+            ),
+        )
+    )
+    kept = (
+        tok.join(F.broadcast(rates.select("source", "__cut")), "source")
+        .filter(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4) < F.col("__cut"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("t").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("kept_docs"), F.lit(0)).alias("kept_docs"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+            F.round(F.col("rate"), 9).alias("rate"),
+        )
+    )
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count (empty-safe, zero for blank/null)."""
+    return F.coalesce(F.size(tokens_col(text)), F.lit(0))

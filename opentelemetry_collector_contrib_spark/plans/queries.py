@@ -624,3 +624,8 @@ from .queries_ext7 import EXT7_ORACLES, EXT7_QUERIES  # noqa: E402
 
 QUERIES.update(EXT7_QUERIES)
 ORACLES.update(EXT7_ORACLES)
+
+from .queries_ext8 import EXT8_ORACLES, EXT8_QUERIES  # noqa: E402
+
+QUERIES.update(EXT8_QUERIES)
+ORACLES.update(EXT8_ORACLES)

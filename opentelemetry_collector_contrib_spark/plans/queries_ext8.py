@@ -1,0 +1,291 @@
+"""Round-3 batch C queries.
+
+Training-data surface: unigram-LM perplexity scoring (the CCNet/KenLM
+quality-bucket analog), ExactSubstr-style duplicated-span detection
+(Lee et al. 2022 fixed-k relaxation), SemDeDup semantic dedup (Abbas
+et al. 2023 — cluster, then near-dup within cluster), and
+token-budget data mixing (derive per-source keep rates from a target
+mixture).
+
+Pipeline surface: the stateful streaming twin of cumulativetodelta
+(`stream_c2d` runs REAL Structured Streaming — applyInPandasWithState
+keeping one previous point per series, exactly the Go tracker's map
+at cumulativetodeltaprocessor/internal/tracking/tracker.go:153-158 —
+and grades against the batch window-function oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import QueryFn, load
+from .queries_streaming import EVENTS_SCHEMA, _as_dir, _run_stream_until_drained
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality scoring (CCNet perplexity-bucket analog)
+# ---------------------------------------------------------------------------
+
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import unigram_nll
+
+    docs = load(spark, sf_dir, "documents")
+    return unigram_nll(docs).orderBy("doc_id")
+
+
+O_UNIGRAM_LM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM vocab)
+SELECT doc_id,
+       sum(tf) AS n_tokens,
+       round(-sum(tf * ln(cnt::DOUBLE / total::DOUBLE)) / sum(tf), 6) AS nll
+FROM tf JOIN vocab USING (term) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span detection (ExactSubstr fixed-k relaxation). The
+# synthetic corpus is near-salad (no natural 8-gram collisions), so
+# the query seeds boilerplate spans: a shared preamble on every
+# doc_id % 7 == 0 and a shared footer on every doc_id % 5 == 0 — the
+# operator must find exactly those.
+# ---------------------------------------------------------------------------
+
+_PREAMBLE = "subscribe to our newsletter for updates every single week now"
+_FOOTER = "all rights reserved contact us for more information today please"
+
+
+def _seeded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_PREAMBLE + " ")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" " + _FOOTER)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import dup_spans
+
+    return dup_spans(_seeded_docs(spark, sf_dir), k=8).orderBy("doc_id")
+
+
+O_DUP_SPANS = rf"""
+WITH seeded AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 7 = 0 THEN '{_PREAMBLE} ' ELSE '' END)
+         || text
+         || (CASE WHEN doc_id % 5 = 0 THEN ' {_FOOTER}' ELSE '' END) AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS tk
+  FROM seeded
+),
+base AS (SELECT doc_id, tk, greatest(len(tk) - 7, 0) AS n_windows FROM toks),
+idx AS (
+  SELECT doc_id, tk, unnest(range(1, n_windows + 1)) AS i
+  FROM base WHERE n_windows >= 1
+),
+wins AS (
+  SELECT doc_id, md5(array_to_string(tk[i : i+7], ' ')) AS wkey FROM idx
+),
+shared AS (
+  SELECT wkey FROM wins GROUP BY wkey HAVING count(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS dup_windows
+  FROM wins WHERE wkey IN (SELECT wkey FROM shared)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.n_windows,
+       coalesce(p.dup_windows, 0) AS dup_windows,
+       coalesce(p.dup_windows, 0)::DOUBLE / b.n_windows::DOUBLE AS dup_frac
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+WHERE b.n_windows >= 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-budget data mixing: target language mixture en=1/2, the rest
+# 1/8 each (exact binary weights), over half the corpus tokens.
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125, "zh": 0.125}
+
+
+def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import mix_sources
+
+    docs = load(spark, sf_dir, "documents")
+    return mix_sources(
+        docs, _MIX_WEIGHTS, budget_frac=0.5, strata_col="lang"
+    ).orderBy("source")
+
+
+_DUCK_MIX_W = (
+    "CASE source WHEN 'de' THEN 0.125 WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.125 "
+    "WHEN 'fr' THEN 0.125 WHEN 'zh' THEN 0.125 ELSE 0.0 END"
+)
+
+O_DATA_MIX = rf"""
+WITH tok AS (
+  SELECT lang AS source, doc_id,
+         coalesce(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  t -> t <> '')), 0) AS t
+  FROM documents
+),
+totals AS (
+  SELECT source, sum(t) AS tokens_s, count(*) AS n_docs FROM tok GROUP BY 1
+),
+grand AS (SELECT sum(t) AS total_tokens FROM tok),
+rates AS (
+  SELECT source, n_docs,
+         least(1.0, ({_DUCK_MIX_W}) * 0.5 * total_tokens::DOUBLE
+                     / tokens_s::DOUBLE) AS rate
+  FROM totals CROSS JOIN grand
+),
+cuts AS (
+  SELECT source, n_docs, rate,
+         CASE WHEN round(rate * 65536) >= 65536 THEN 'g'
+              ELSE lower(lpad(to_hex(CAST(round(rate * 65536) AS INT)), 4, '0'))
+         END AS cut
+  FROM rates
+),
+kept AS (
+  SELECT tok.source, count(*) AS kept_docs, sum(t) AS kept_tokens
+  FROM tok JOIN cuts USING (source)
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < cut
+  GROUP BY 1
+)
+SELECT c.source, c.n_docs,
+       coalesce(k.kept_docs, 0) AS kept_docs,
+       coalesce(k.kept_tokens, 0) AS kept_tokens,
+       round(c.rate, 9) AS rate
+FROM cuts c LEFT JOIN kept k USING (source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: kmeans cells (identical recursion to kmeans_ivf's oracle)
+# then within-cell cosine >= 0.98 dedup, min-id representative.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.98
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, k=6, iters=2, threshold=_SEMDEDUP_TAU
+    ).orderBy("vec_id")
+
+
+_DUCK_SD_COS = (
+    "round(list_dot_product(e.v, s.c) / "
+    "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.c, s.c))), 12)"
+)
+
+O_SEMDEDUP = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e WHERE vec_id < 6),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DUCK_SD_COS} DESC, s.cell) AS rn
+    FROM e CROSS JOIN seeds s) WHERE rn = 1
+),
+upd AS (
+  SELECT cell, list(m ORDER BY i) AS c FROM (
+    SELECT a1.cell, t.i, round(avg(e.v[CAST(t.i AS INT) + 1]), 9) AS m
+    FROM a1 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
+    GROUP BY 1, 2)
+  GROUP BY cell
+),
+a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DUCK_SD_COS} DESC, s.cell) AS rn
+    FROM e CROSS JOIN upd s) WHERE rn = 1
+),
+av AS (SELECT a2.vec_id, a2.cell, e.v FROM a2 JOIN e USING (vec_id)),
+dups AS (
+  SELECT b.vec_id, min(a.vec_id) AS dup_of
+  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))), 12) >= {_SEMDEDUP_TAU}
+  GROUP BY b.vec_id
+)
+SELECT av.vec_id, av.cell, (d.dup_of IS NULL) AS keep, d.dup_of
+FROM av LEFT JOIN dups d USING (vec_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming cumulative->delta (stateful; same oracle as the batch
+# cumulative_to_delta query — the stream must reproduce the batch
+# window-function result exactly)
+# ---------------------------------------------------------------------------
+
+def q_stream_c2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import stream_cumulative_to_delta
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _as_dir(f"{sf_dir}/events.parquet")
+    )
+    out = stream_cumulative_to_delta(
+        stream.select("user_id", "ts", "event_id", "value"), ["user_id"]
+    )
+    _run_stream_until_drained(out, "sc2d")
+    return spark.table("sc2d").select(
+        "event_id", F.round("value_delta", 4).alias("value_delta")
+    )
+
+
+O_STREAM_C2D = """
+SELECT event_id,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+         AS value_delta
+FROM events
+"""
+
+
+EXT8_QUERIES: dict[str, QueryFn] = {
+    "unigram_lm": q_unigram_lm,
+    "dup_spans": q_dup_spans,
+    "data_mix": q_data_mix,
+    "semdedup": q_semdedup,
+    "stream_c2d": q_stream_c2d,
+}
+
+EXT8_ORACLES: dict[str, str] = {
+    "unigram_lm": O_UNIGRAM_LM,
+    "dup_spans": O_DUP_SPANS,
+    "data_mix": O_DATA_MIX,
+    "semdedup": O_SEMDEDUP,
+    "stream_c2d": O_STREAM_C2D,
+}

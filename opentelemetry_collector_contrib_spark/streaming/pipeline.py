@@ -412,3 +412,72 @@ def stream_sft_pairs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming cumulative->delta: the stateful twin of
+# operators/aggregate.py::cumulative_to_delta
+# (cumulativetodeltaprocessor/internal/tracking/tracker.go:153-158 —
+# the tracker keeps the previous point per stream identity and emits
+# value - prev; the first point has no reference and emits NULL).
+# Per-key state is ONE (ts, id, value) triple — O(1) per live series,
+# the same bound the Go tracker's map carries. NoTimeout: deltas emit
+# inline, so availableNow terminates normally. Cross-batch contract:
+# rows within a batch are re-sorted by (ts, id); across batches the
+# stream must be per-key in-order (true for a replayed/appended log;
+# the Go processor assumes the same monotonic stream identity).
+# ---------------------------------------------------------------------------
+
+C2D_OUTPUT_SCHEMA = "event_id long, value_delta double"
+C2D_STATE_SCHEMA = "last_ts long, last_eid long, last_val double"
+
+
+def make_c2d_fn():
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_val = None
+        if state.exists:
+            _, _, last_val = state.get
+
+        rows: list[tuple[int, int, float]] = []
+        for pdf in pdf_iter:
+            rows.extend(
+                zip(
+                    pdf["ts"].astype("int64"),
+                    pdf["event_id"].astype(int),
+                    pdf["value"].astype(float),
+                )
+            )
+        if not rows:
+            return
+        rows.sort()
+
+        out = []
+        for ts, eid, val in rows:
+            out.append(
+                {
+                    "event_id": eid,
+                    "value_delta": None if last_val is None else val - last_val,
+                }
+            )
+            last_val = val
+        ts, eid, val = rows[-1]
+        state.update((int(ts), int(eid), float(val)))
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def stream_cumulative_to_delta(
+    stream: DataFrame, stream_cols: list[str]
+) -> DataFrame:
+    """value - previous value per stream identity, on a live stream.
+    Input needs (ts, event_id, value) plus the identity columns."""
+    return stream.groupBy(*stream_cols).applyInPandasWithState(
+        make_c2d_fn(),
+        outputStructType=C2D_OUTPUT_SCHEMA,
+        stateStructType=C2D_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,150 @@
+"""Round-3 batch-C ops: unigram-LM scoring, duplicated-span detection,
+token-budget data mixing, SemDeDup, streaming cumulative->delta.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.similarity import (
+    semantic_dedup,
+)
+from opentelemetry_collector_contrib_spark.operators.text import (
+    dup_spans,
+    mix_sources,
+    unigram_nll,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "a a b", "en"),
+        (1, "b c", "de"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_unigram_nll_hand_computed(docs):
+    out = {r.doc_id: r for r in unigram_nll(docs).collect()}
+    # corpus: a=2, b=2, c=1, total=5
+    # doc0 = (a a b): -(2 ln(2/5) + ln(2/5)) / 3 = -ln(2/5)
+    assert out[0].n_tokens == 3
+    assert out[0].nll == pytest.approx(-math.log(2 / 5), abs=1e-6)
+    # doc1 = (b c): -(ln(2/5) + ln(1/5)) / 2
+    assert out[1].n_tokens == 2
+    assert out[1].nll == pytest.approx(
+        -(math.log(2 / 5) + math.log(1 / 5)) / 2, abs=1e-6
+    )
+
+
+def test_unigram_nll_boilerplate_scores_low(spark):
+    # ten copies of the same doc + one unique doc: the repeated doc's
+    # tokens dominate the LM, so its NLL is far lower
+    rows = [(i, "the quick brown fox jumps") for i in range(10)]
+    rows.append((99, "zebra quark vortex glyph nimbus"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.nll for r in unigram_nll(df).collect()}
+    assert out[0] < out[99]
+
+
+def test_dup_spans_finds_seeded_span(spark):
+    shared = "one two three four"  # 4 tokens, k=3 -> 2 shared windows
+    rows = [
+        (0, f"{shared} alpha beta gamma"),
+        (1, f"delta {shared} epsilon"),
+        (2, "zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dup_spans(df, k=3).collect()}
+    # doc0: tokens=7 -> 5 windows; shared k-windows of 'one two three
+    # four' = 'one two three','two three four' (both also in doc1)
+    assert out[0].n_windows == 5 and out[0].dup_windows == 2
+    assert out[1].n_windows == 4 and out[1].dup_windows == 2
+    assert out[2].dup_windows == 0 and out[2].dup_frac == 0.0
+    assert out[0].dup_frac == pytest.approx(2 / 5)
+
+
+def test_dup_spans_short_docs_dropped(spark):
+    df = spark.createDataFrame([(0, "a b"), (1, "x y z")], ["doc_id", "text"])
+    out = dup_spans(df, k=3).collect()
+    assert {r.doc_id for r in out} == {1}  # doc0 has no 3-window
+
+
+def test_mix_sources_rates_and_budget(spark):
+    # en: 8 docs x 10 tokens; de: 2 docs x 10 tokens. total=100.
+    rows = [(i, " ".join(f"t{i}w{j}" for j in range(10)), "en") for i in range(8)]
+    rows += [(10 + i, " ".join(f"d{i}w{j}" for j in range(10)), "de") for i in range(2)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        r.source: r
+        for r in mix_sources(
+            df, {"en": 0.5, "de": 0.5}, budget_frac=0.5, strata_col="lang"
+        ).collect()
+    }
+    # budget B = 50 tokens; en rate = 0.5*50/80 = 0.3125; de = min(1, 25/20)=1
+    assert out["de"].rate == 1.0
+    assert out["de"].kept_docs == 2 and out["de"].kept_tokens == 20
+    assert out["en"].rate == pytest.approx(0.3125)
+    assert 0 <= out["en"].kept_docs <= 8
+    assert out["en"].kept_tokens == out["en"].kept_docs * 10
+
+
+def test_mix_sources_zero_weight_drops_source(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c", "en"), (1, "d e f", "xx")], ["doc_id", "text", "lang"]
+    )
+    out = {r.source: r for r in mix_sources(df, {"en": 1.0}, strata_col="lang").collect()}
+    assert out["xx"].kept_docs == 0 and out["xx"].rate == 0.0
+
+
+def test_semantic_dedup_keeps_min_id(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),  # exact dup of 0
+        (2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = {r.vec_id: r for r in semantic_dedup(df, k=2, threshold=0.99).collect()}
+    assert out[0].keep and out[0].dup_of is None
+    assert not out[1].keep and out[1].dup_of == 0
+    assert out[2].keep
+
+
+def test_stream_c2d_matches_batch_lag(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        stream_cumulative_to_delta,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 100, 10.0),
+        (2, "2024-01-01 00:01:00", 100, 13.5),
+        (3, "2024-01-01 00:02:00", 100, 13.0),
+        (4, "2024-01-01 00:00:30", 200, 5.0),
+        (5, "2024-01-01 00:01:30", 200, 9.0),
+    ]
+    df = (
+        spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    feed = str(tmp_path / "feed")
+    df.write.parquet(feed)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).parquet(feed)
+    q = (
+        stream_cumulative_to_delta(stream, ["user_id"])
+        .writeStream.format("memory")
+        .queryName("c2d_t")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: r.value_delta for r in spark.table("c2d_t").collect()}
+    assert got == {1: None, 2: 3.5, 3: -0.5, 4: None, 5: 4.0}
