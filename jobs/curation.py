@@ -11,12 +11,17 @@ Composes the corpus operators into the end-to-end curation funnel a
 training-data pipeline runs corpus-wide:
 
     scan -> PII scrub -> boilerplate line dedup -> C4 line filter
-         -> Gopher quality rules
-         -> exact dedup -> MinHash-LSH near-dup dedup
+         -> Gopher quality rules -> [unigram-LM NLL band filter]
+         -> exact dedup -> [duplicated-span filter]
+         -> MinHash-LSH near-dup dedup
          -> annotate (quality score, token count)
-         -> stratified sample (per-lang mixing rates)
+         -> stratified sample (given per-lang rates) OR token-budget
+            mix (rates DERIVED from a target mixture)
          -> sequence packing + deterministic shuffle
          -> per-shard partitioned parquet + lineage + funnel metrics
+
+(Embedding-space stages — SemDeDup, ANN — run on the embeddings
+table via their registry queries; this job is text-only.)
 
 Every stage is pure DataFrame ops (the individual operators are each
 oracle-verified in the registry); this job is the composition proof +
@@ -42,15 +47,18 @@ from opentelemetry_collector_contrib_spark.operators.graph import (
 from opentelemetry_collector_contrib_spark.operators.text import (
     c4_line_filter,
     corpus_shuffle,
+    dup_spans,
     exact_dedup,
     gopher_filter,
     line_dedup,
     minhash_lsh_dedup,
+    mix_keep,
     pack_sequences,
     pii_scrub,
     quality_score,
     stratified_sample,
     token_count,
+    unigram_nll,
 )
 from opentelemetry_collector_contrib_spark.runtime.lineage import LineageLog
 from opentelemetry_collector_contrib_spark.session import get_spark
@@ -156,6 +164,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--sample", default="", help="lang=rate[,lang=rate...]; empty = keep all")
     ap.add_argument(
+        "--mix", default="",
+        help="lang=weight[,lang=weight...]: derive per-lang keep rates "
+        "from this target token mixture (overrides --sample)",
+    )
+    ap.add_argument(
+        "--mix-budget", type=float, default=0.5,
+        help="token budget for --mix as a fraction of corpus tokens",
+    )
+    ap.add_argument(
+        "--nll-band", default="",
+        help="lo,hi: keep docs whose unigram-LM mean NLL falls in "
+        "[lo, hi] (CCNet perplexity-bucket analog); empty = off",
+    )
+    ap.add_argument(
+        "--max-dup-frac", type=float, default=0.0,
+        help="drop docs with more than this fraction of duplicated "
+        "8-token windows (ExactSubstr-style); 0 disables",
+    )
+    ap.add_argument(
         "--boilerplate-pct", type=float, default=2.0,
         help="strip lines appearing in more than this %% of docs "
         "(CCNet boilerplate removal); 0 disables",
@@ -171,6 +198,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="corpus-curation", master=args.master)
     lineage = LineageLog(args.out, run_id=args.run_id)
     t0 = time.time()
+    stage_sec: dict[str, float] = {}
+    _tick = [t0]
+
+    def tick(name: str) -> None:
+        now = time.time()
+        stage_sec[name] = round(now - _tick[0], 2)
+        _tick[0] = now
 
     docs = (
         spark.read.parquet(args.input)
@@ -178,6 +212,7 @@ def main(argv: list[str] | None = None) -> int:
         else synth_documents(spark, args.docs)
     )
     funnel: dict[str, int] = {"docs_in": docs.count()}
+    tick("scan")
     lineage.record("scan", "all", funnel["docs_in"])
 
     # 1. PII scrub (transform, not filter) + boilerplate line removal
@@ -207,13 +242,65 @@ def main(argv: list[str] | None = None) -> int:
     cleaned = docs.persist()
     docs = cleaned
     funnel["after_clean"] = docs.count()
+    tick("clean")
     lineage.record("clean", "all", funnel["after_clean"])
 
-    # 3. exact dedup: keep the min-id representative per content hash
+    # 2b. optional unigram-LM NLL band filter (CCNet keeps the middle
+    # perplexity bucket: very low NLL = boilerplate, very high =
+    # off-distribution noise)
+    if args.nll_band:
+        lo, hi = (float(x) for x in args.nll_band.split(","))
+        in_band = (
+            unigram_nll(docs, "doc_id", "text")
+            .filter(F.col("nll").between(lo, hi))
+            .select("doc_id")
+        )
+        # localCheckpoint (not persist): the score join splices a
+        # multi-agg subtree into the lineage, and every downstream
+        # ACTION re-analyzes the full logical plan even when the data
+        # is cached — measured as +35 s of pure driver planning time
+        # across the near-dup/pack stages at --docs 3000. Truncate it.
+        # (On a real cluster use reliable checkpoint dirs; the job's
+        # lineage manifest already covers resume.)
+        docs = docs.join(in_band, "doc_id", "left_semi").localCheckpoint()
+        funnel["after_lm_band"] = docs.count()
+        tick("lm_band")
+        lineage.record("lm_band", "all", funnel["after_lm_band"])
+
+    # 3. exact dedup: keep the min-id representative per content hash.
+    # localCheckpoint: the near-dup stage references this frame many
+    # times and re-analyzes the full logical plan per action — cutting
+    # the lineage here measured 15.6 s -> 4.4 s for the near-dup stage
+    # at --docs 3000 (pure driver planning time, not execution).
     reps = exact_dedup(docs, "doc_id", "text").select("doc_id")
-    docs = docs.join(reps, "doc_id", "left_semi")
+    docs = docs.join(reps, "doc_id", "left_semi").localCheckpoint()
     funnel["after_exact_dedup"] = docs.count()
+    tick("exact_dedup")
     lineage.record("exact_dedup", "all", funnel["after_exact_dedup"])
+
+    # 3b. optional duplicated-span filter (ExactSubstr-style: docs
+    # dominated by cross-document repeated k-token windows are cheap
+    # near-dup/boilerplate casualties exact-hash dedup can't see)
+    if args.max_dup_frac > 0:
+        spanny = (
+            dup_spans(docs, "doc_id", "text", k=8)
+            .filter(F.col("dup_frac") > args.max_dup_frac)
+            .select("doc_id")
+        )
+        docs = docs.join(spanny, "doc_id", "left_anti")
+        funnel["after_dup_spans"] = docs.count()
+        tick("dup_spans")
+        lineage.record("dup_spans", "all", funnel["after_dup_spans"])
+
+    # The optional filters splice multi-aggregation plans into the
+    # lineage ABOVE the near-dup stage, which references `docs` many
+    # times (signatures, band joins, verify) — materialize once so
+    # those references don't re-run the LM/span aggregations
+    # (measured 232 s -> ~40 s at --docs 3000 with all knobs on).
+    # Same planning-time argument as the lm_band checkpoint above:
+    # cut the optional-filter subtrees out of the near-dup plan.
+    if args.nll_band or args.max_dup_frac > 0:
+        docs = docs.localCheckpoint()
 
     # 4. near-dup dedup (MinHash->LSH->verify; candidate generation is
     # bucketed equi-joins — O(shingles), never O(pairs))
@@ -230,16 +317,24 @@ def main(argv: list[str] | None = None) -> int:
         deduped = docs.persist()
         docs = deduped
         funnel["after_neardup"] = docs.count()
+        tick("neardup")
         lineage.record("neardup", "all", funnel["after_neardup"])
 
     # 5. annotate + stratified mixing sample
     docs = docs.withColumn("quality", quality_score(F.col("text"))).withColumn(
         "n_tokens", token_count(F.col("text"))
     )
-    if args.sample:
+    if args.mix:
+        docs = mix_keep(docs, parse_rates(args.mix),
+                        budget_frac=args.mix_budget, strata_col="lang")
+        funnel["after_sample"] = docs.count()
+        tick("mix")
+        lineage.record("mix", "all", funnel["after_sample"])
+    elif args.sample:
         docs = stratified_sample(docs, "lang", parse_rates(args.sample),
                                  id_col="doc_id", default_rate=1.0)
         funnel["after_sample"] = docs.count()
+        tick("sample")
         lineage.record("sample", "all", funnel["after_sample"])
 
     # 6. pack + shuffle + write (bins use the SAME token definition as
@@ -250,6 +345,7 @@ def main(argv: list[str] | None = None) -> int:
         tokens_count_col="n_tokens",
     )
     funnel["bins"] = bins.count()
+    tick("pack")
     t_plan = time.time()
 
     if args.sink == "parquet":
@@ -284,6 +380,7 @@ def main(argv: list[str] | None = None) -> int:
         "sec": round(elapsed, 2),
         "docs_per_sec": round(funnel["docs_in"] / elapsed, 1),
         "phases": {"plan": round(t_plan - t0, 2), "write": round(elapsed - (t_plan - t0), 2)},
+        "stage_sec": stage_sec,
         "out": args.out,
     }))
     return 0

@@ -1010,7 +1010,12 @@ def unigram_nll(
     combined] -> groupBy(term) corpus counts [shuffle 2, one row per
     vocab term] -> tf >< vocab equi-join on term (AQE broadcasts the
     vocab side when small) -> groupBy(doc) weighted sum [shuffle 3].
-    All O(tokens); no all-pairs path; survives 100x scale.
+    All O(tokens); no all-pairs path; survives 100x scale. Training
+    the LM and scoring against it are inherently two passes over the
+    token stream (CCNet trains KenLM in its own pass too); the corpus
+    total is a ONE-row driver collect inlined as a literal so the
+    plan doesn't re-derive the whole vocab a third time just for the
+    denominator.
 
     Cross-engine note: p(t) is one IEEE division of two exact ints
     (identical in any engine); ln() is <=1 ulp everywhere; the per-doc
@@ -1024,15 +1029,15 @@ def unigram_nll(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
-    scored = (
-        tf.join(vocab, "term")
-        .crossJoin(F.broadcast(total))
-        .withColumn(
-            "lp",
-            F.col("tf")
-            * F.log(F.col("cnt").cast("double") / F.col("total").cast("double")),
+    total = int(vocab.agg(F.sum("cnt")).first()[0] or 0)
+    if total == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_tokens long, nll double"
         )
+    scored = tf.join(vocab, "term").withColumn(
+        "lp",
+        F.col("tf")
+        * F.log(F.col("cnt").cast("double") / F.lit(float(total))),
     )
     return scored.groupBy(id_col).agg(
         F.sum("tf").alias("n_tokens"),
@@ -1157,6 +1162,34 @@ def mix_sources(
         F.col(id_col),
         token_count_ws(F.col(text_col)).alias("t"),
     )
+    rates = mix_rates(tok, weights, budget_frac)
+    kept = (
+        tok.join(F.broadcast(rates.select("source", "__cut")), "source")
+        .filter(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4) < F.col("__cut"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("t").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("kept_docs"), F.lit(0)).alias("kept_docs"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+            F.round(F.col("rate"), 9).alias("rate"),
+        )
+    )
+
+
+def mix_rates(
+    tok: DataFrame, weights: dict[str, float], budget_frac: float
+) -> DataFrame:
+    """Per-source rate table for mix_sources / mix_keep. ``tok`` needs
+    (source, t) where t is the per-row token count. Output adds
+    ``rate`` and the md5 4-hex threshold ``__cut`` per source."""
     totals = tok.groupBy("source").agg(
         F.sum("t").alias("tokens_s"), F.count(F.lit(1)).alias("n_docs")
     )
@@ -1168,7 +1201,7 @@ def mix_sources(
         wexpr = when(F.col("source") == s, F.lit(float(wgt)))
     weight = wexpr.otherwise(F.lit(0.0)) if wexpr is not None else F.lit(0.0)
 
-    rates = (
+    return (
         totals.crossJoin(F.broadcast(grand))
         .withColumn(
             "rate",
@@ -1191,24 +1224,32 @@ def mix_sources(
             ),
         )
     )
-    kept = (
-        tok.join(F.broadcast(rates.select("source", "__cut")), "source")
-        .filter(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4) < F.col("__cut"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("kept_docs"),
-            F.sum("t").alias("kept_tokens"),
-        )
+
+
+def mix_keep(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_frac: float = 0.5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The row-level form of mix_sources: return the KEPT rows (all
+    original columns) instead of the per-source summary — what a
+    curation job composes. Same derived rates, same md5-consistent
+    keep decision."""
+    tok = df.select(
+        F.col(strata_col).alias("source"),
+        token_count_ws(F.col(text_col)).alias("t"),
     )
+    rates = mix_rates(tok, weights, budget_frac)
+    cuts = rates.select(F.col("source").alias(strata_col), "__cut")
     return (
-        rates.join(kept, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            F.coalesce(F.col("kept_docs"), F.lit(0)).alias("kept_docs"),
-            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
-            F.round(F.col("rate"), 9).alias("rate"),
+        df.join(F.broadcast(cuts), strata_col)
+        .filter(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4) < F.col("__cut")
         )
+        .drop("__cut")
     )
 
 

@@ -52,3 +52,33 @@ def test_curation_sample_and_pairs_mode(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     f = out["funnel"]
     assert f["after_sample"] < f["after_neardup"]  # en stratum dropped
+
+
+def test_curation_batchc_knobs(spark, tmp_path, capsys):
+    """--nll-band / --max-dup-frac / --mix stages compose into the
+    funnel: monotone counts, each stage recorded, deterministic."""
+    extra = (
+        "--nll-band", "0,50",
+        "--max-dup-frac", "0.5",
+        "--mix", "en=0.5,de=0.125,es=0.125,fr=0.125,zh=0.125",
+        "--mix-budget", "0.5",
+    )
+    _run(spark, tmp_path / "m1", extra)
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    f = out1["funnel"]
+    assert f["after_lm_band"] <= f["after_clean"]
+    assert f["after_dup_spans"] <= f["after_exact_dedup"]
+    # the %11/%13 seeded dups share spans, so the span filter fires
+    assert f["after_dup_spans"] < f["after_exact_dedup"]
+    # mixing to half the token budget really drops docs
+    assert 0 < f["after_sample"] < f["after_neardup"]
+    assert f["written"] == f["after_sample"]
+    # deterministic across runs
+    _run(spark, tmp_path / "m2", extra)
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["funnel"] == f
+    stages = set()
+    with open(tmp_path / "m1" / "_lineage.jsonl") as fh:
+        for line in fh:
+            stages.add(json.loads(line)["stage"])
+    assert {"lm_band", "dup_spans", "mix"} <= stages
