@@ -499,3 +499,81 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ: Jegou et al. 2011 "Product Quantization
+# for Nearest Neighbor Search") — split the vector into m subspaces,
+# train a small codebook per subspace, store each vector as m codes.
+# Spherical variant (cosine per subspace) to match the engine's other
+# embedding ops; the codebook trainer is kmeans_lloyd per block.
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: ``m`` independent kmeans_lloyd
+    runs over the block slices. Returns codebooks[b][code] = centroid.
+    Each run is the documented Lloyd shape (zero-shuffle assign, one
+    map-side-combined shuffle per update, bounded driver collect) —
+    training cost is m passes over the vectors, each narrow."""
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for b in range(m):
+        block = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"), b * sub + 1, sub).alias(
+                "__bv"
+            ),
+        )
+        _, cents = kmeans_lloyd(
+            block, k=ksub, iters=iters, id_col=id_col, vec_col="__bv"
+        )
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_dp: int = 12,
+) -> DataFrame:
+    """PQ-encode every vector: one row per vector with ``m`` code
+    columns (c0..c{m-1}), each the argmax-cosine codeword of that
+    block's codebook.
+
+    Scale story: after training (m narrow kmeans passes), encoding is
+    a ZERO-shuffle projection — the codebooks are literal arrays, so
+    all m argmaxes fold into one whole-stage-codegen'd select over the
+    scan. 100 TB of embeddings encode in one map pass; the 64-dim
+    float vector (256 B) compresses to m bytes, which is what makes
+    billion-scale ANN indexes RAM-resident (IVFADC).
+    """
+    sub = dim // m
+    books = pq_train(corpus, dim, m, ksub, iters, id_col, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col)]
+    for b, cents in enumerate(books):
+        bv = F.slice(v, b * sub + 1, sub)
+        scored = [
+            F.struct(
+                F.round(cosine(bv, F.array(*[F.lit(x) for x in c])), sim_dp).alias(
+                    "s"
+                ),
+                F.lit(-j).alias("nc"),
+            )
+            for j, c in enumerate(cents)
+        ]
+        cols.append((-F.array_max(F.array(*scored))["nc"]).cast("int").alias(f"c{b}"))
+    return corpus.select(*cols)

@@ -289,3 +289,63 @@ EXT8_ORACLES: dict[str, str] = {
     "semdedup": O_SEMDEDUP,
     "stream_c2d": O_STREAM_C2D,
 }
+
+
+# ---------------------------------------------------------------------------
+# product quantization encode (PQ, Jegou et al. 2011): 4 subspaces x
+# 4-codeword spherical codebooks over the 64-dim embeddings. The
+# oracle replays each block's Lloyd recursion (the kmeans_ivf pattern,
+# once per subspace) and joins the four final assignments.
+# ---------------------------------------------------------------------------
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_encode
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_encode(emb, dim=64, m=4, ksub=4, iters=2).orderBy("vec_id")
+
+
+def _pq_block_ctes(b: int, sub: int = 16, ksub: int = 4) -> str:
+    lo = b * sub + 1
+    cos = (
+        "round(list_dot_product(e.v, s.c) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.c, s.c))), 12)"
+    )
+    return f"""
+e{b} AS (SELECT vec_id, list_slice(embedding::DOUBLE[], {lo}, {lo + sub - 1}) AS v
+         FROM embeddings),
+s{b} AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e{b} WHERE vec_id < {ksub}),
+x{b} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, s.cell) AS rn
+    FROM e{b} e CROSS JOIN s{b} s) WHERE rn = 1
+),
+u{b} AS (
+  SELECT cell, list(m ORDER BY i) AS c FROM (
+    SELECT x{b}.cell, t.i, round(avg(e.v[CAST(t.i AS INT) + 1]), 9) AS m
+    FROM x{b} JOIN e{b} e USING (vec_id) CROSS JOIN range({sub}) t(i)
+    GROUP BY 1, 2)
+  GROUP BY cell
+),
+y{b} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, s.cell) AS rn
+    FROM e{b} e CROSS JOIN u{b} s) WHERE rn = 1
+)"""
+
+
+O_PQ_ENCODE = (
+    "WITH "
+    + ",".join(_pq_block_ctes(b) for b in range(4))
+    + """
+SELECT y0.vec_id, y0.cell AS c0, y1.cell AS c1, y2.cell AS c2, y3.cell AS c3
+FROM y0 JOIN y1 USING (vec_id) JOIN y2 USING (vec_id) JOIN y3 USING (vec_id)
+"""
+)
+
+EXT8_QUERIES["pq_encode"] = q_pq_encode
+EXT8_ORACLES["pq_encode"] = O_PQ_ENCODE

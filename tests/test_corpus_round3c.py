@@ -148,3 +148,25 @@ def test_stream_c2d_matches_batch_lag(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.event_id: r.value_delta for r in spark.table("c2d_t").collect()}
     assert got == {1: None, 2: 3.5, 3: -0.5, 4: None, 5: 4.0}
+
+
+def test_pq_encode_recovers_block_structure(spark):
+    from opentelemetry_collector_contrib_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    # 4-dim vectors, 2 blocks of 2: vectors 0/1 seed the two codewords
+    # per block; 2 and 3 repeat the seed patterns and must get the
+    # seed's code in each block
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [0.0, 1.0, 1.0, 0.0]),
+        (2, [1.0, 0.0, 1.0, 0.0]),  # block0 like vec0, block1 like vec1
+        (3, [0.0, 1.0, 0.0, 1.0]),  # block0 like vec1, block1 like vec0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = {r.vec_id: (r.c0, r.c1) for r in pq_encode(df, dim=4, m=2, ksub=2).collect()}
+    assert out[0] == (0, 0) and out[1] == (1, 1)
+    assert out[2] == (0, 1) and out[3] == (1, 0)
