@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "tf_idf",
     "pack_sequences",
     "pii_scrub",
+    # round-3 batch C
+    "unigram_lm",
+    "dup_spans",
+    "semdedup",
+    "pq_encode",
 ]
 
 PIPELINE_CONVS = 30_000  # ~600k turns; comparable to sf0.1 lineitem

@@ -1256,3 +1256,51 @@ def mix_keep(
 def token_count_ws(text: Column) -> Column:
     """Whitespace token count (empty-safe, zero for blank/null)."""
     return F.coalesce(F.size(tokens_col(text)), F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate mining (the statistics pass of byte-pair-encoding
+# tokenizer training, Sennrich et al. 2016: count adjacent symbol
+# pairs inside words across the corpus; the most frequent pair is the
+# next merge)
+# ---------------------------------------------------------------------------
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` adjacent character pairs inside whitespace words —
+    the first-merge statistics of BPE training over a character-
+    initialized vocabulary (each subsequent merge round re-runs the
+    same count after applying the chosen merge; this op is that
+    round's distributed inner loop).
+
+    Plan: word explode -> in-word pair explode (both codegen'd
+    Generates, no Python) -> ONE map-side-combined groupBy(pair)
+    [shuffle carries distinct pairs, bounded by charset^2 regardless
+    of corpus size] -> global top-k over the tiny aggregated frame
+    (single-partition window over <= |charset|^2 rows — bounded, not
+    a data-scale window). Ties break on the pair string for
+    cross-engine determinism.
+    """
+    w = F.explode(tokens_col(F.lower(F.col(text_col)))).alias("w")
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("w") - 1, F.lit(0))),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        )
+    ).alias("pair")
+    counted = (
+        df.select(w)
+        .filter(F.length("w") >= 2)
+        .select(pair)
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    win = W.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("pair", "cnt", "rank")
+    )

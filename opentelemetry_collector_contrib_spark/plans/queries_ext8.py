@@ -349,3 +349,33 @@ FROM y0 JOIN y1 USING (vec_id) JOIN y2 USING (vec_id) JOIN y3 USING (vec_id)
 
 EXT8_QUERIES["pq_encode"] = q_pq_encode
 EXT8_ORACLES["pq_encode"] = O_PQ_ENCODE
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate mining (tokenizer-training statistics pass)
+# ---------------------------------------------------------------------------
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_merge_candidates
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_merge_candidates(docs, k=20).orderBy("rank")
+
+
+O_BPE_MERGES = r"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS w
+  FROM documents
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair
+  FROM (SELECT w, unnest(range(1, length(w))) AS i FROM words WHERE length(w) >= 2)
+),
+counted AS (SELECT pair, count(*) AS cnt FROM pairs GROUP BY 1)
+SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+FROM counted ORDER BY cnt DESC, pair LIMIT 20
+"""
+
+EXT8_QUERIES["bpe_merges"] = q_bpe_merges
+EXT8_ORACLES["bpe_merges"] = O_BPE_MERGES

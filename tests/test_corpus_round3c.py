@@ -170,3 +170,14 @@ def test_pq_encode_recovers_block_structure(spark):
     out = {r.vec_id: (r.c0, r.c1) for r in pq_encode(df, dim=4, m=2, ksub=2).collect()}
     assert out[0] == (0, 0) and out[1] == (1, 1)
     assert out[2] == (0, 1) and out[3] == (1, 0)
+
+
+def test_bpe_merge_candidates_hand_computed(spark):
+    from opentelemetry_collector_contrib_spark.operators.text import (
+        bpe_merge_candidates,
+    )
+
+    df = spark.createDataFrame([(0, "abab ab"), (1, "ab cd")], ["doc_id", "text"])
+    # pairs: 'abab' -> ab,ba,ab; 'ab' -> ab; 'ab' -> ab; 'cd' -> cd
+    out = [(r.pair, r.cnt, r.rank) for r in bpe_merge_candidates(df, k=3).collect()]
+    assert out == [("ab", 4, 1), ("ba", 1, 2), ("cd", 1, 3)]
