@@ -250,9 +250,12 @@ def main(argv: list[str] | None = None) -> int:
     # off-distribution noise)
     if args.nll_band:
         lo, hi = (float(x) for x in args.nll_band.split(","))
-        in_band = (
+        # anti-join the SCORED-out-of-band docs: a doc with no score
+        # (zero tokens -> no LM row) is unjudgeable, not out-of-band,
+        # and must survive a pure band filter
+        out_of_band = (
             unigram_nll(docs, "doc_id", "text")
-            .filter(F.col("nll").between(lo, hi))
+            .filter(~F.col("nll").between(lo, hi))
             .select("doc_id")
         )
         # localCheckpoint (not persist): the score join splices a
@@ -262,7 +265,7 @@ def main(argv: list[str] | None = None) -> int:
         # across the near-dup/pack stages at --docs 3000. Truncate it.
         # (On a real cluster use reliable checkpoint dirs; the job's
         # lineage manifest already covers resume.)
-        docs = docs.join(in_band, "doc_id", "left_semi").localCheckpoint()
+        docs = docs.join(out_of_band, "doc_id", "left_anti").localCheckpoint()
         funnel["after_lm_band"] = docs.count()
         tick("lm_band")
         lineage.record("lm_band", "all", funnel["after_lm_band"])
@@ -282,8 +285,11 @@ def main(argv: list[str] | None = None) -> int:
     # dominated by cross-document repeated k-token windows are cheap
     # near-dup/boilerplate casualties exact-hash dedup can't see)
     if args.max_dup_frac > 0:
+        # exempt_first: the smallest doc_id holding a span is its
+        # canonical owner — the stage DEDUPLICATES (drops the copies)
+        # rather than deleting every member of a duplicated group
         spanny = (
-            dup_spans(docs, "doc_id", "text", k=8)
+            dup_spans(docs, "doc_id", "text", k=8, exempt_first=True)
             .filter(F.col("dup_frac") > args.max_dup_frac)
             .select("doc_id")
         )
@@ -325,8 +331,12 @@ def main(argv: list[str] | None = None) -> int:
         "n_tokens", token_count(F.col("text"))
     )
     if args.mix:
+        # budget in the SAME token unit the packer bins (n_tokens, the
+        # regex tokenizer) — not whitespace tokens; checkpoint so the
+        # rate aggregations don't re-run per downstream action
         docs = mix_keep(docs, parse_rates(args.mix),
-                        budget_frac=args.mix_budget, strata_col="lang")
+                        budget_frac=args.mix_budget, strata_col="lang",
+                        tokens_count_col="n_tokens").localCheckpoint()
         funnel["after_sample"] = docs.count()
         tick("mix")
         lineage.record("mix", "all", funnel["after_sample"])

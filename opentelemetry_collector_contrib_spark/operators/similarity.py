@@ -364,6 +364,24 @@ def ivf_topk(
 # leaving the engine.
 # ---------------------------------------------------------------------------
 
+def argmax_cosine_cell(
+    vec: Column, cents: list[list[float]], sim_dp: int = 12
+) -> Column:
+    """Index of the max-cosine literal centroid (ties -> lowest index;
+    sims rounded to ``sim_dp`` for oracle parity). The zero-shuffle
+    assignment idiom shared by kmeans_lloyd and pq_encode — both SQL
+    oracles replay it as ``ORDER BY cos DESC, cell``; keep the
+    tie-break and rounding in lockstep here only."""
+    scored = [
+        F.struct(
+            F.round(cosine(vec, F.array(*[F.lit(x) for x in c])), sim_dp).alias("s"),
+            F.lit(-j).alias("nc"),
+        )
+        for j, c in enumerate(cents)
+    ]
+    return (-F.array_max(F.array(*scored))["nc"]).cast("int")
+
+
 def kmeans_lloyd(
     corpus: DataFrame,
     k: int = 6,
@@ -406,18 +424,9 @@ def kmeans_lloyd(
     k = len(centroids)
 
     def assign(cents: list[list[float]]) -> DataFrame:
-        vec = F.col(vec_col)
-        scored = [
-            F.struct(
-                F.round(
-                    cosine(vec, F.array(*[F.lit(x) for x in c])), sim_dp
-                ).alias("s"),
-                F.lit(-j).alias("nc"),
-            )
-            for j, c in enumerate(cents)
-        ]
-        best = F.array_max(F.array(*scored))
-        return corpus.withColumn("cell", (-best["nc"]).cast("int"))
+        return corpus.withColumn(
+            "cell", argmax_cosine_cell(F.col(vec_col), cents, sim_dp)
+        )
 
     assigned = assign(centroids)
     for _ in range(iters - 1):
@@ -473,8 +482,22 @@ def semantic_dedup(
     assigned, _ = kmeans_lloyd(
         corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, sim_dp=sim_dp
     )
-    assigned = assigned.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"), "cell"
+    # pre-normalize ONCE per row (norm materialized as a column first —
+    # an expression captured inside the transform lambda would re-run
+    # per element): the pair join then pays one dot product per
+    # candidate instead of dot + two norms, a 3x on the dominant
+    # sum_c |c|^2 stage. The SQL oracle normalizes identically, so the
+    # rounded-to-12 sims stay bit-equal.
+    assigned = (
+        assigned.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"), "cell"
+        )
+        .withColumn("__n", norm(F.col("__v")))
+        .select(
+            F.col(id_col),
+            "cell",
+            F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias("__v"),
+        )
     )
     a = assigned.select(
         F.col(id_col).alias("__aid"), F.col("__v").alias("__av"), "cell"
@@ -485,7 +508,7 @@ def semantic_dedup(
     dups = (
         a.join(b, "cell")
         .filter(F.col("__aid") < F.col("__bid"))
-        .withColumn("__sim", F.round(cosine(F.col("__av"), F.col("__bv")), sim_dp))
+        .withColumn("__sim", F.round(dot(F.col("__av"), F.col("__bv")), sim_dp))
         .filter(F.col("__sim") >= threshold)
         .groupBy(F.col("__bid").alias(id_col))
         .agg(F.min("__aid").alias("dup_of"))
@@ -566,14 +589,5 @@ def pq_encode(
     cols = [F.col(id_col)]
     for b, cents in enumerate(books):
         bv = F.slice(v, b * sub + 1, sub)
-        scored = [
-            F.struct(
-                F.round(cosine(bv, F.array(*[F.lit(x) for x in c])), sim_dp).alias(
-                    "s"
-                ),
-                F.lit(-j).alias("nc"),
-            )
-            for j, c in enumerate(cents)
-        ]
-        cols.append((-F.array_max(F.array(*scored))["nc"]).cast("int").alias(f"c{b}"))
+        cols.append(argmax_cosine_cell(bv, cents, sim_dp).alias(f"c{b}"))
     return corpus.select(*cols)

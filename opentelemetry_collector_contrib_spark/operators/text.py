@@ -1031,8 +1031,11 @@ def unigram_nll(
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = int(vocab.agg(F.sum("cnt")).first()[0] or 0)
     if total == 0:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, n_tokens long, nll double"
+        # empty-corpus degenerate: 0 rows, id type preserved from df
+        return df.select(F.col(id_col)).limit(0).select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(None).cast("double").alias("nll"),
         )
     scored = tf.join(vocab, "term").withColumn(
         "lp",
@@ -1057,6 +1060,7 @@ def dup_spans(
     text_col: str = "text",
     k: int = 8,
     min_docs: int = 2,
+    exempt_first: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-span statistics: how many of the
     document's ``k``-token sliding windows also occur in at least
@@ -1080,6 +1084,12 @@ def dup_spans(
     Output: (doc_id, n_windows, dup_windows, dup_frac) for every doc
     with at least one window. dup_frac is an exact small rational
     (int/int in IEEE double) — oracle-exact without tolerance.
+
+    ``exempt_first``: don't count a window against the SMALLEST doc_id
+    holding it (first occurrence is canonical). A filter on dup_frac
+    then deduplicates — drops the copies, keeps one representative —
+    instead of deleting every member of a duplicated group (the min-id
+    convention exact_dedup / minhash_lsh / semantic_dedup follow).
     """
     toks = tokens_col(F.lower(F.col(text_col)))
     base = df.select(F.col(id_col), toks.alias("__tk")).withColumn(
@@ -1100,15 +1110,17 @@ def dup_spans(
     )
     shared = (
         wins.groupBy("wkey")
-        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("ndocs"),
+            F.min(F.col(id_col)).alias("__first_doc"),
+        )
         .filter(F.col("ndocs") >= min_docs)
-        .select("wkey")
+        .select("wkey", "__first_doc")
     )
-    per_doc = (
-        wins.join(shared, "wkey", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("dup_windows"))
-    )
+    hits = wins.join(shared, "wkey")
+    if exempt_first:
+        hits = hits.filter(F.col(id_col) != F.col("__first_doc"))
+    per_doc = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_windows"))
     return (
         base.filter(F.col("__nw") >= 1)
         .select(F.col(id_col), F.col("__nw").alias("n_windows"))
@@ -1134,6 +1146,7 @@ def mix_sources(
     strata_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_count_col: str | None = None,
 ) -> DataFrame:
     """Derive per-source keep rates that hit a target token mixture,
     then apply them with the md5-consistent unit hash.
@@ -1154,13 +1167,25 @@ def mix_sources(
     int B cast) / (exact int), all single IEEE ops; the keep decision
     is a pure string compare of hex digits, identical in any engine.
 
-    Output: one row per configured source — (source, n_docs, kept_docs,
-    kept_tokens, rate rounded to 9).
+    Output: one row per source PRESENT IN THE DATA — (source, n_docs,
+    kept_docs, kept_tokens, rate rounded to 9). A source present but
+    unconfigured appears with rate 0; a configured source with no rows
+    produces no row (there is nothing to sample from it — callers
+    asserting every target got budget must check for missing rows).
+
+    ``tokens_count_col``: use a pre-computed per-row token count
+    column instead of whitespace tokenization — pass the SAME token
+    definition the downstream packer uses so the budget is measured
+    in the unit that gets packed.
     """
     tok = df.select(
         F.col(strata_col).alias("source"),
         F.col(id_col),
-        token_count_ws(F.col(text_col)).alias("t"),
+        (
+            F.col(tokens_count_col)
+            if tokens_count_col
+            else token_count_ws(F.col(text_col))
+        ).alias("t"),
     )
     rates = mix_rates(tok, weights, budget_frac)
     kept = (
@@ -1233,14 +1258,20 @@ def mix_keep(
     strata_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_count_col: str | None = None,
 ) -> DataFrame:
     """The row-level form of mix_sources: return the KEPT rows (all
     original columns) instead of the per-source summary — what a
     curation job composes. Same derived rates, same md5-consistent
-    keep decision."""
+    keep decision; pass ``tokens_count_col`` to budget in the same
+    token unit the downstream packer uses."""
     tok = df.select(
         F.col(strata_col).alias("source"),
-        token_count_ws(F.col(text_col)).alias("t"),
+        (
+            F.col(tokens_count_col)
+            if tokens_count_col
+            else token_count_ws(F.col(text_col))
+        ).alias("t"),
     )
     rates = mix_rates(tok, weights, budget_frac)
     cuts = rates.select(F.col("source").alias(strata_col), "__cut")

@@ -231,13 +231,15 @@ a2 AS (
                               ORDER BY {_DUCK_SD_COS} DESC, s.cell) AS rn
     FROM e CROSS JOIN upd s) WHERE rn = 1
 ),
-av AS (SELECT a2.vec_id, a2.cell, e.v FROM a2 JOIN e USING (vec_id)),
+av AS (
+  SELECT vec_id, cell, list_transform(v, x -> x / n) AS v FROM (
+    SELECT a2.vec_id, a2.cell, e.v, sqrt(list_dot_product(e.v, e.v)) AS n
+    FROM a2 JOIN e USING (vec_id))
+),
 dups AS (
   SELECT b.vec_id, min(a.vec_id) AS dup_of
   FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE round(list_dot_product(a.v, b.v) /
-              (sqrt(list_dot_product(a.v, a.v)) *
-               sqrt(list_dot_product(b.v, b.v))), 12) >= {_SEMDEDUP_TAU}
+  WHERE round(list_dot_product(a.v, b.v), 12) >= {_SEMDEDUP_TAU}
   GROUP BY b.vec_id
 )
 SELECT av.vec_id, av.cell, (d.dup_of IS NULL) AS keep, d.dup_of

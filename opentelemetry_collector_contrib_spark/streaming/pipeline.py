@@ -436,9 +436,9 @@ def make_c2d_fn():
     def fn(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        last_val = None
+        last_ts = last_eid = last_val = None
         if state.exists:
-            _, _, last_val = state.get
+            last_ts, last_eid, last_val = state.get
 
         rows: list[tuple[int, int, float]] = []
         for pdf in pdf_iter:
@@ -455,15 +455,21 @@ def make_c2d_fn():
 
         out = []
         for ts, eid, val in rows:
+            if last_ts is not None and (ts, eid) < (last_ts, last_eid):
+                # late arrival from an earlier batch: no valid previous
+                # point exists for it (the Go tracker keys on the
+                # stream's monotonic identity and would mis-pair it
+                # too) — emit NULL and do NOT move the state backwards
+                out.append({"event_id": eid, "value_delta": None})
+                continue
             out.append(
                 {
                     "event_id": eid,
                     "value_delta": None if last_val is None else val - last_val,
                 }
             )
-            last_val = val
-        ts, eid, val = rows[-1]
-        state.update((int(ts), int(eid), float(val)))
+            last_ts, last_eid, last_val = ts, eid, val
+        state.update((int(last_ts), int(last_eid), float(last_val)))
         yield pd.DataFrame(out)
 
     return fn

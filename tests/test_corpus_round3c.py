@@ -181,3 +181,57 @@ def test_bpe_merge_candidates_hand_computed(spark):
     # pairs: 'abab' -> ab,ba,ab; 'ab' -> ab; 'ab' -> ab; 'cd' -> cd
     out = [(r.pair, r.cnt, r.rank) for r in bpe_merge_candidates(df, k=3).collect()]
     assert out == [("ab", 4, 1), ("ba", 1, 2), ("cd", 1, 3)]
+
+
+def test_dup_spans_exempt_first_keeps_canonical_owner(spark):
+    shared = "one two three four five six"  # 6 tokens, k=3 -> 4 windows
+    rows = [(0, shared), (1, shared), (2, "zeta eta theta iota kappa")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dup_spans(df, k=3, exempt_first=True).collect()}
+    # doc0 owns every shared window (smallest id) -> clean; doc1 is
+    # the copy -> fully duplicated; a threshold filter keeps exactly
+    # one representative
+    assert out[0].dup_windows == 0
+    assert out[1].dup_windows == out[1].n_windows == 4
+    assert out[2].dup_windows == 0
+
+
+def test_stream_c2d_late_row_does_not_move_state_back(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        stream_cumulative_to_delta,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    feed = str(tmp_path / "feed2")
+    batch1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, 10.0), (2, "2024-01-01 00:02:00", 7, 14.0)],
+        ["event_id", "ts", "user_id", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch1.write.parquet(feed)
+
+    sink = str(tmp_path / "sink2")
+
+    def run_once():
+        q = (
+            stream_cumulative_to_delta(
+                spark.readStream.schema(schema).parquet(feed), ["user_id"]
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second batch: one late row (ts before the stored last point)
+    late = spark.createDataFrame(
+        [(3, "2024-01-01 00:01:00", 7, 99.0)],
+        ["event_id", "ts", "user_id", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    late.write.mode("append").parquet(feed)
+    run_once()
+    got = {r.event_id: r.value_delta for r in spark.read.parquet(sink).collect()}
+    assert got[1] is None and got[2] == 4.0
+    assert got[3] is None  # late row gets NULL, not 99-14
