@@ -1335,3 +1335,73 @@ def bpe_merge_candidates(
         .filter(F.col("rank") <= k)
         .select("pair", "cnt", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# model-based quality classification (the fastText quality-filter
+# analog used by GPT-3/LLaMA-style pipelines: a linear classifier over
+# document features scores "looks like reference text"; docs below 0.5
+# are dropped or down-sampled)
+# ---------------------------------------------------------------------------
+
+QUALITY_CLF_WEIGHTS = {
+    "alpha_ratio": 2.0,
+    "stopword_ratio": 3.0,
+    "distinct_token_ratio": 1.0,
+    "log_tokens": 0.25,
+}
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+    bias: float = -2.0,
+    dp: int = 6,
+) -> DataFrame:
+    """Logistic quality score per document: sigmoid(bias + w·features)
+    over (alpha_ratio, stopword_ratio, distinct_token_ratio,
+    ln(1+n_tokens)) — the shape of the fastText "is this reference-
+    like" filter, with the embedding lookup replaced by the engine's
+    deterministic feature exprs so the classifier itself is
+    oracle-checkable. Swap ``weights``/``bias`` for trained values in
+    production; the plan is identical.
+
+    Pure projection, zero shuffles — 100 TB scores in one map pass.
+    Features enter RAW (not pre-rounded; quality_score's precedent) so
+    rounding happens once, on the probability. ``keep`` compares the
+    ROUNDED probability to 0.5 so the boolean is engine-identical.
+    """
+    w = dict(QUALITY_CLF_WEIGHTS)
+    if weights:
+        w.update(weights)
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_toks = F.size(toks)
+    n_chars = F.length(text)
+    alpha = F.when(
+        n_chars > 0, F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / n_chars
+    ).otherwise(0.0)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop = F.when(
+        n_toks > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+        / n_toks,
+    ).otherwise(0.0)
+    distinct = F.when(
+        n_toks > 0, F.size(F.array_distinct(toks)) / n_toks
+    ).otherwise(0.0)
+    z = (
+        F.lit(float(bias))
+        + F.lit(float(w["alpha_ratio"])) * alpha
+        + F.lit(float(w["stopword_ratio"])) * stop
+        + F.lit(float(w["distinct_token_ratio"])) * distinct
+        + F.lit(float(w["log_tokens"])) * F.log(F.lit(1.0) + n_toks)
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), dp)
+    return df.select(
+        F.col(id_col),
+        prob.alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )

@@ -381,3 +381,45 @@ FROM counted ORDER BY cnt DESC, pair LIMIT 20
 
 EXT8_QUERIES["bpe_merges"] = q_bpe_merges
 EXT8_ORACLES["bpe_merges"] = O_BPE_MERGES
+
+
+# ---------------------------------------------------------------------------
+# model-based quality classification (fastText-filter analog: logistic
+# scorer over deterministic doc features; keep = prob >= 0.5)
+# ---------------------------------------------------------------------------
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_classifier
+
+    docs = load(spark, sf_dir, "documents")
+    return quality_classifier(docs).orderBy("doc_id")
+
+
+def _quality_clf_oracle() -> str:
+    from ..operators.text import QUALITY_CLF_WEIGHTS, STOPWORDS
+
+    toks = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')"
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    w = QUALITY_CLF_WEIGHTS
+    z = (
+        f"-2.0 + {w['alpha_ratio']} * (CASE WHEN length(text) > 0 THEN "
+        f"length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) "
+        f"ELSE 0.0 END) + {w['stopword_ratio']} * (CASE WHEN len({toks}) > 0 THEN "
+        f"len(list_filter({toks}, t -> lower(t) IN ({stops})))::DOUBLE / len({toks}) "
+        f"ELSE 0.0 END) + {w['distinct_token_ratio']} * (CASE WHEN len({toks}) > 0 "
+        f"THEN len(list_distinct({toks}))::DOUBLE / len({toks}) ELSE 0.0 END) + "
+        f"{w['log_tokens']} * ln(1.0 + len({toks}))"
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, round(1.0 / (1.0 + exp(-({z}))), 6) AS quality_prob
+  FROM documents
+)
+SELECT doc_id, quality_prob, quality_prob >= 0.5 AS keep FROM scored
+"""
+
+
+O_QUALITY_CLF = _quality_clf_oracle()
+
+EXT8_QUERIES["quality_clf"] = q_quality_classifier
+EXT8_ORACLES["quality_clf"] = O_QUALITY_CLF

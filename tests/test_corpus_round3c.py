@@ -235,3 +235,19 @@ def test_stream_c2d_late_row_does_not_move_state_back(spark, tmp_path):
     got = {r.event_id: r.value_delta for r in spark.read.parquet(sink).collect()}
     assert got[1] is None and got[2] == 4.0
     assert got[3] is None  # late row gets NULL, not 99-14
+
+
+def test_quality_classifier_orders_prose_above_salad(spark):
+    from opentelemetry_collector_contrib_spark.operators.text import (
+        quality_classifier,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat and the dog was in the house"),
+        (1, "x9 q7 zz@@ ## 04 %% !! ~~ ^^"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in quality_classifier(df).collect()}
+    assert out[0].quality_prob > out[1].quality_prob
+    assert out[0].keep
+    assert 0.0 <= out[1].quality_prob <= 1.0
