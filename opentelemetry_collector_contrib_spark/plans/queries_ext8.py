@@ -423,3 +423,36 @@ O_QUALITY_CLF = _quality_clf_oracle()
 
 EXT8_QUERIES["quality_clf"] = q_quality_classifier
 EXT8_ORACLES["quality_clf"] = O_QUALITY_CLF
+
+
+# ---------------------------------------------------------------------------
+# streaming spanmetrics (RED metrics live: windowed call counts +
+# explicit histogram + mean duration, graded vs the batch SQL)
+# ---------------------------------------------------------------------------
+
+def q_stream_spanmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import stream_spanmetrics
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _as_dir(f"{sf_dir}/events.parquet")
+    )
+    out = stream_spanmetrics(stream)
+    from .queries_streaming import _run_stream
+
+    _run_stream(out, "ssm_agg")
+    return spark.table("ssm_agg")
+
+
+O_STREAM_SPANMETRICS = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS calls,
+       count(*) FILTER (WHERE value <= 25) AS bucket_le_25,
+       count(*) FILTER (WHERE value > 25 AND value <= 50) AS bucket_le_50,
+       count(*) FILTER (WHERE value > 50) AS bucket_inf,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         AS avg_duration
+FROM events GROUP BY 1, 2
+"""
+
+EXT8_QUERIES["stream_spanmetrics"] = q_stream_spanmetrics
+EXT8_ORACLES["stream_spanmetrics"] = O_STREAM_SPANMETRICS

@@ -487,3 +487,47 @@ def stream_cumulative_to_delta(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_spanmetrics(
+    stream: DataFrame,
+    dim_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    buckets: tuple[float, ...] = (25.0, 50.0),
+) -> DataFrame:
+    """spanmetricsconnector live: per (dim, tumbling window) RED
+    metrics — call count, explicit histogram bucket counts, mean
+    duration (connector/spanmetricsconnector/connector.go:249-272;
+    the reference accumulates per-key histograms and flushes on a
+    ticker — watermarked windowed aggregation is the declarative
+    twin). One streaming state row per (dim, window); bucket counts
+    are conditional counts inside the SAME aggregate, so the state
+    stays O(dims x windows), never O(spans)."""
+    v = F.col(value_col)
+    aggs = [F.count(F.lit(1)).alias("calls")]
+    lo = None
+    for b in buckets:
+        cond = v <= F.lit(b) if lo is None else (v > F.lit(lo)) & (v <= F.lit(b))
+        aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"bucket_le_{int(b)}"))
+        lo = b
+    aggs.append(F.count(F.when(v > F.lit(lo), F.lit(1))).alias("bucket_inf"))
+    # mean via an EXACT decimal sum, not avg(double): double summation
+    # reorders under parallel/streaming aggregation, and with fixed-
+    # precision inputs the mean lands EXACTLY on round-half boundaries
+    # where engines' tie rules differ (HALF_UP vs half-even — observed
+    # at sf0.1). The decimal sum is order-independent and bit-equal
+    # everywhere, and the final quotient is emitted UNROUNDED: one
+    # IEEE division of identical operands needs no tolerance.
+    aggs.append(F.sum(v.cast("decimal(18,6)")).alias("__sum_dec"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), dim_col)
+        .agg(*aggs)
+        .select(F.col("w.start").alias("window_start"), dim_col, "calls",
+                *[f"bucket_le_{int(b)}" for b in buckets], "bucket_inf",
+                (F.col("__sum_dec").cast("double") / F.col("calls"))
+                .alias("avg_duration"))
+    )
