@@ -545,7 +545,12 @@ def pq_train(
     runs over the block slices. Returns codebooks[b][code] = centroid.
     Each run is the documented Lloyd shape (zero-shuffle assign, one
     map-side-combined shuffle per update, bounded driver collect) —
-    training cost is m passes over the vectors, each narrow."""
+    training cost is m passes over the vectors, each narrow.
+
+    Precondition (spherical quantizer): no sub-vector block may be
+    all-zero — cosine against a zero block is undefined (ANSI
+    division by zero). Real embedding corpora satisfy this; L2-PQ is
+    the variant for data that doesn't."""
     sub = dim // m
     books: list[list[list[float]]] = []
     for b in range(m):
@@ -571,6 +576,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_dp: int = 12,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ-encode every vector: one row per vector with ``m`` code
     columns (c0..c{m-1}), each the argmax-cosine codeword of that
@@ -584,10 +590,72 @@ def pq_encode(
     billion-scale ANN indexes RAM-resident (IVFADC).
     """
     sub = dim // m
-    books = pq_train(corpus, dim, m, ksub, iters, id_col, vec_col)
+    if books is None:
+        books = pq_train(corpus, dim, m, ksub, iters, id_col, vec_col)
     v = F.col(vec_col).cast("array<double>")
     cols = [F.col(id_col)]
     for b, cents in enumerate(books):
         bv = F.slice(v, b * sub + 1, sub)
         cols.append(argmax_cosine_cell(bv, cents, sim_dp).alias(f"c{b}"))
     return corpus.select(*cols)
+
+
+def pq_adc_top1(
+    corpus: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_dp: int = 12,
+) -> DataFrame:
+    """PQ asymmetric-distance search (the ADC of IVFADC, Jegou et al.
+    2011): base vectors live only as m codes; each query scores a
+    candidate by summing, per block, the inner product between the
+    query sub-vector and the candidate's CODEWORD (codebook lookup) —
+    the query side stays exact, the base side is quantized, and the
+    scan never touches the original base vectors.
+
+    Scale story: scoring is a zero-shuffle projection — codebooks are
+    literal arrays, so each block's contribution is one element_at
+    over a literal array-of-arrays indexed by the stored code, and
+    the query set broadcasts. At billion-vector scale this is the
+    reason PQ exists: the scored table is m bytes/vector wide. The
+    only shuffle is the final per-query top-k window over candidates.
+
+    Output: one row per query — (query_id, neighbor_id, adc_score),
+    neighbor = argmax rounded score, ties to the smaller id, self
+    excluded.
+    """
+    sub = dim // m
+    books = pq_train(corpus, dim, m, ksub, iters, id_col, vec_col)
+    enc = pq_encode(
+        corpus, dim, m, ksub, iters, id_col, vec_col, sim_dp, books=books
+    )
+    queries = (
+        corpus.orderBy(id_col)
+        .limit(n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+    )
+    score = None
+    for b, cents in enumerate(books):
+        book_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+        qb = F.slice(F.col("__qv"), b * sub + 1, sub)
+        term = dot(qb, F.element_at(book_lit, F.col(f"c{b}") + 1))
+        score = term if score is None else score + term
+    scored = (
+        enc.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("adc_score", F.round(score, sim_dp))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "adc_score")
+    )

@@ -456,3 +456,49 @@ FROM events GROUP BY 1, 2
 
 EXT8_QUERIES["stream_spanmetrics"] = q_stream_spanmetrics
 EXT8_ORACLES["stream_spanmetrics"] = O_STREAM_SPANMETRICS
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (ADC): top-1 neighbor per query with
+# base vectors represented ONLY by their m codes. Oracle replays the
+# per-block Lloyd recursions, then scores via codebook lookups.
+# ---------------------------------------------------------------------------
+
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_adc_top1
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_adc_top1(
+        emb, dim=64, m=4, ksub=4, iters=2, n_queries=5
+    ).orderBy("query_id")
+
+
+def _pq_adc_oracle() -> str:
+    blocks = ",".join(_pq_block_ctes(b) for b in range(4))
+    terms = " + ".join(
+        f"list_dot_product(list_slice(q.qv, {b * 16 + 1}, {b * 16 + 16}), u{b}c.c)"
+        for b in range(4)
+    )
+    joins = " ".join(f"JOIN u{b} u{b}c ON u{b}c.cell = y{b}.cell" for b in range(4))
+    return f"""
+WITH {blocks},
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, y0.vec_id, round({terms}, 12) AS adc_score
+  FROM y0 JOIN y1 USING (vec_id) JOIN y2 USING (vec_id) JOIN y3 USING (vec_id)
+  {joins}
+  CROSS JOIN q
+  WHERE y0.vec_id <> q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, adc_score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_score DESC, vec_id) AS rn
+  FROM scored) WHERE rn = 1
+"""
+
+
+O_PQ_ADC = _pq_adc_oracle()
+
+EXT8_QUERIES["pq_adc"] = q_pq_adc
+EXT8_ORACLES["pq_adc"] = O_PQ_ADC

@@ -251,3 +251,32 @@ def test_quality_classifier_orders_prose_above_salad(spark):
     assert out[0].quality_prob > out[1].quality_prob
     assert out[0].keep
     assert 0.0 <= out[1].quality_prob <= 1.0
+
+
+def test_pq_adc_finds_exact_twin(spark):
+    from opentelemetry_collector_contrib_spark.operators.similarity import (
+        pq_adc_top1,
+    )
+
+    # vec 4 is an exact copy of vec 0: ADC must pick it as vec 0's
+    # neighbor (and vice versa) since they share every codeword
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [0.0, 1.0, 1.0, 0.0]),
+        (2, [1.0, 1.0, 0.5, 0.5]),
+        (3, [0.5, 0.5, 1.0, 1.0]),
+        (4, [1.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = {
+        r.query_id: r
+        for r in pq_adc_top1(df, dim=4, m=2, ksub=2, n_queries=5).collect()
+    }
+    # query 4: twin vec 0 wins (any same-codeword tie breaks to min id)
+    assert out[4].neighbor_id == 0
+    # query 0: ADC cannot distinguish candidates sharing the twin's
+    # codes — the winner's score must EQUAL the twin's (same lookups)
+    assert out[0].adc_score == out[4].adc_score
+    assert len(out) == 5 and all(r.neighbor_id != q for q, r in out.items())
