@@ -123,7 +123,7 @@ def recombine(
     is_first_entry: Column | None = None,
     combine_col: str = "text",
     combine_with: str = "\n",
-    max_batch_size: int | None = None,
+    max_batch_size: int | None = 1000,
     is_last_entry: Column | None = None,
     overwrite_with: str = "oldest",
     max_log_size: int | None = None,
@@ -144,7 +144,10 @@ def recombine(
 
     Caps (transformer.go:188-195 flush conditions):
 
-    - ``max_batch_size``: flush every N entries.
+    - ``max_batch_size``: flush every N entries.  Defaults to 1000 —
+      the reference default (config.go:40) — so a pathological
+      never-flushing source cannot grow one group's ``collect_list``
+      buffer without bound; pass ``None`` explicitly for uncapped.
     - ``max_log_size``: flush once the combined text (separators
       included) EXCEEDS the byte cap — the entry that crosses the cap
       is still included, matching ``recombined.Len() > maxLogSize``
@@ -217,10 +220,24 @@ def recombine(
         cap_u = min(cap_m, max_unmatched_batch_size or big)
         wg = W.partitionBy(*group_keys).orderBy(order_col)
         if max_unmatched_batch_size:
-            matched = F.max("__match").over(
-                W.partitionBy(*group_keys)
-            ) == 1
-            cap = F.when(matched, F.lit(cap_m)).otherwise(F.lit(cap_u))
+            if is_last_entry is not None:
+                # matchDetected is cumulative in transformer.go:190 —
+                # in is_last_entry mode the match only arrives at the
+                # group's FINAL row (the group id splits right after
+                # it), so every row of the group accumulates under the
+                # unmatched cap; the matching row flushes the batch on
+                # arrival regardless of cap (ADVICE r3 fix: the old
+                # group-wide max wrongly granted the matched cap to
+                # the whole group).
+                cap = F.lit(cap_u)
+            else:
+                # is_first_entry mode: the match, if any, is the
+                # group's FIRST row, so a group-wide max equals the
+                # reference's running matchDetected for every row
+                matched = F.max("__match").over(
+                    W.partitionBy(*group_keys)
+                ) == 1
+                cap = F.when(matched, F.lit(cap_m)).otherwise(F.lit(cap_u))
         else:
             cap = F.lit(cap_m)
         grouped = grouped.withColumn(

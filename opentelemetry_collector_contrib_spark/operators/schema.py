@@ -143,14 +143,27 @@ def translate_keys(col: Column, renames: dict[str, str]) -> Column:
         lambda e: F.struct(
             F.coalesce(F.element_at(lookup, e["key"]), e["key"]).alias("key"),
             e["value"].alias("value"),
+            F.element_at(lookup, e["key"]).isNotNull().alias("ren"),
         ),
     )
-    # last-wins = first occurrence in the REVERSED entry list; keep an
-    # entry iff the first position of its key is its own
-    rev = F.reverse(renamed)
+    # Collision priority mirrors migrate/attributes.go Do: a value that
+    # was RENAMED onto the key beats a pass-through entry that already
+    # held the key, regardless of the record's entry order.  Ordering
+    # pass-through entries first and renamed entries last, then taking
+    # last-wins (= first occurrence in the REVERSED list), encodes that
+    # priority; among several renamed sources of one target the latest
+    # in map insertion order wins (deterministic).
+    ordered = F.concat(
+        F.filter(renamed, lambda e: ~e["ren"]),
+        F.filter(renamed, lambda e: e["ren"]),
+    )
+    rev = F.reverse(ordered)
     keys = F.transform(rev, lambda e: e["key"])
-    deduped = F.filter(
-        rev, lambda e, i: F.array_position(keys, e["key"]) == i + F.lit(1)
+    deduped = F.transform(
+        F.filter(
+            rev, lambda e, i: F.array_position(keys, e["key"]) == i + F.lit(1)
+        ),
+        lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")),
     )
     return F.when(collision, F.map_from_entries(deduped)).otherwise(fast)
 

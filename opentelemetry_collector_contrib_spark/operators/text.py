@@ -767,7 +767,18 @@ def stratified_sample(
     filter over the scan, embarrassingly parallel at any scale.
     """
     def thresh(rate: float) -> str:
-        t = max(0, min(65536, round(rate * 65536)))
+        # HALF_UP, not Python round()'s half-even: mix_rates computes
+        # its cutoffs with Spark F.round (HALF_UP), and an engine-side
+        # oracle replay does the same — one rounding convention for
+        # every sampler or a rate landing exactly on .5/65536 diverges
+        from decimal import ROUND_HALF_UP, Decimal
+
+        t = int(
+            Decimal(repr(rate * 65536)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        t = max(0, min(65536, t))
         # rate 1.0 has no 4-hex-digit representation; 'g' sorts above
         # every hex digit, so the string compare keeps everything
         return "g" if t >= 65536 else format(t, "04x")
@@ -800,15 +811,19 @@ def pack_sequences(
     tokens_count_col: str | None = None,
 ) -> DataFrame:
     """Greedy concat-and-chunk packing: shard docs deterministically
-    (``id % shards``), order each shard by id, concatenate token
-    counts, and cut a new bin every ``budget`` tokens — a doc belongs
-    to the bin its start offset falls in.
+    (``id % shards`` for numeric ids; ``xxhash64(id) % shards`` for
+    string ids — a bare pmod over a non-numeric column silently casts
+    to NULL and collapses every row into one shard), order each shard
+    by id, concatenate token counts, and cut a new bin every
+    ``budget`` tokens — a doc belongs to the bin its start offset
+    falls in.
 
     Scale story: the running sum is a window per shard, so
     parallelism = shards (pick shards ~ cluster cores x 4; each
     shard's window is one sorted task — exactly how production packers
     shard). No global ordering, no driver loop.
     """
+    from pyspark.sql.types import NumericType
     # default: whitespace tokens; pass ``tokens_count_col`` to bin by
     # whatever tokenizer the rest of the pipeline annotates with (one
     # token definition end-to-end, or bins and annotations disagree)
@@ -817,9 +832,13 @@ def pack_sequences(
         if tokens_count_col
         else F.size(tokens_col(F.col(text_col)))
     ).alias("n_tokens")
+    id_is_numeric = isinstance(df.schema[id_col].dataType, NumericType)
+    shard_key = (
+        F.col(id_col) if id_is_numeric else F.xxhash64(F.col(id_col))
+    )
     base = df.select(
         F.col(id_col),
-        F.pmod(F.col(id_col), F.lit(shards)).alias("shard"),
+        F.pmod(shard_key, F.lit(shards)).alias("shard"),
         toks,
     )
     w = (

@@ -80,12 +80,16 @@ def assign_keys(
 
     The field may be a native ARRAY column or a compact-JSON array cell
     (the flat model's encoding for nested slices); both decode JVM-side.
-    Output: ``out_col`` (default ``field``, replacing the list) as
-    MAP<STRING,STRING> — pure expressions, no shuffle.
+    Output: ``out_col`` as MAP<STRING,STRING> — pure expressions, no
+    shuffle.  Default ``out_col``: with on_error='drop' the map replaces
+    ``field`` (every surviving row parsed); with 'send' it defaults to
+    ``{field}_map`` so mismatched rows RETAIN the original list column
+    (transformer.go returns an error and the entry keeps its field —
+    overwriting the source with a NULL map would lose data).
     """
     if not keys:
         raise ValueError("assign_keys missing required field keys")
-    out_col = out_col or field
+    out_col = out_col or (field if on_error == "drop" else f"{field}_map")
     src = F.col(field)
     dtype = dict(df.dtypes)[field]
     arr = src if dtype.startswith("array") else F.from_json(src, "array<string>")

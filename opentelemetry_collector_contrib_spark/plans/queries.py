@@ -377,12 +377,20 @@ SELECT user_id,
        string_agg(event_type, '|' ORDER BY ts, event_id) AS event_type,
        count(*) AS recombined_count
 FROM (
-  SELECT user_id, event_type, ts, event_id,
-         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS grp
-  FROM events
-) GROUP BY user_id, grp
+  SELECT user_id, event_type, ts, event_id, grp,
+         -- max_batch_size=1000 default (recombine config.go:40):
+         -- sub-split every 1000 rows within a group
+         CAST(floor((row_number() OVER (PARTITION BY user_id, grp
+                                        ORDER BY ts, event_id) - 1)
+                    / 1000) AS BIGINT) AS grp_part
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS grp
+    FROM events
+  )
+) GROUP BY user_id, grp, grp_part
 """
 
 

@@ -163,11 +163,19 @@ def _recombine_fn(
     pdf_iter: Iterator[pd.DataFrame],
     state: GroupState,
     timeout_ms: int = 30_000,
+    max_batch_size: int = 1000,
 ) -> Iterator[pd.DataFrame]:
     """Per-conv state machine: accumulate turn texts; a row with
     is_first=true closes the open session and starts a new one; a
     processing-time timeout force-flushes (force_flush_timeout
-    semantics, recombine config.go:40-58)."""
+    semantics, recombine config.go:40-58).
+
+    ``max_batch_size`` (reference default 1000, config.go:40) bounds
+    per-key state the way the reference's max_sources/max_batch_size
+    pair bounds its in-memory batch map: a session that accumulates
+    the cap without closing is force-flushed (closed=false) so one
+    never-closing conversation cannot grow executor state without
+    bound — the streaming analog of the batch operator's cap."""
     (conv_id,) = key
     if state.hasTimedOut:
         start, parts, n = state.get
@@ -218,6 +226,20 @@ def _recombine_fn(
             start = turn_idx
         parts.append(text)
         n += 1
+        if n >= max_batch_size:
+            # size-cap force flush (transformer.go flushes the batch
+            # once it reaches maxBatchSize); closed=false marks it as
+            # a cap flush, not a predicate close
+            out_rows.append(
+                {
+                    "conv_id": conv_id,
+                    "session_start": start,
+                    "text": "\n".join(parts),
+                    "n_turns": n,
+                    "closed": False,
+                }
+            )
+            parts, n, start = [], 0, None
 
     state.update((start if start is not None else 0, parts, n))
     state.setTimeoutDuration(timeout_ms)
@@ -225,7 +247,9 @@ def _recombine_fn(
         yield pd.DataFrame(out_rows)
 
 
-def stream_recombine(stream: DataFrame, timeout_ms: int = 30_000) -> DataFrame:
+def stream_recombine(
+    stream: DataFrame, timeout_ms: int = 30_000, max_batch_size: int = 1000
+) -> DataFrame:
     """Stateful multiline/session reassembly over a transcript stream.
 
     Input needs (conv_id, turn_idx, text, is_first). Emits one row per
@@ -233,11 +257,16 @@ def stream_recombine(stream: DataFrame, timeout_ms: int = 30_000) -> DataFrame:
     (closed=false) — ``timeout_ms`` is the force_flush_timeout config
     knob (recombine config.go:40-58; large values mean "only emit
     closed sessions", the deterministic contract a batch oracle can
-    check).
+    check).  ``max_batch_size`` (default 1000 = the reference's
+    config.go:40 default) bounds per-key buffered state; see
+    ``_recombine_fn``.
     """
 
     def fn(key, pdf_iter, state):
-        yield from _recombine_fn(key, pdf_iter, state, timeout_ms=timeout_ms)
+        yield from _recombine_fn(
+            key, pdf_iter, state, timeout_ms=timeout_ms,
+            max_batch_size=max_batch_size,
+        )
 
     return (
         stream.groupBy("conv_id")

@@ -21,7 +21,7 @@ def test_assign_keys_array_column(spark):
         [(["body", "INFO", "started agent", "42", "true"],)],
         "input array<string>",
     )
-    out = assign_keys(df, "input", KEYS).first()["input"]
+    out = assign_keys(df, "input", KEYS).first()["input_map"]
     assert out == {
         "origin": "body", "sev": "INFO", "msg": "started agent",
         "count": "42", "isBool": "true",
@@ -34,7 +34,7 @@ def test_assign_keys_json_cell(spark):
         [('["attribute","INFO","started agent","42","true"]',)],
         "input string",
     )
-    out = assign_keys(df, "input", KEYS).first()["input"]
+    out = assign_keys(df, "input", KEYS).first()["input_map"]
     assert out["origin"] == "attribute" and out["count"] == "42"
 
 
@@ -42,10 +42,13 @@ def test_assign_keys_length_mismatch(spark):
     df = spark.createDataFrame(
         [(1, ["a", "b"]), (2, ["x", "y", "z"])], "id int, input array<string>"
     )
-    # on_error=send: mismatched row passes through with NULL map
-    sent = {r["id"]: r["input"] for r in assign_keys(df, "input", ["k1", "k2"]).collect()}
-    assert sent[1] == {"k1": "a", "k2": "b"}
-    assert sent[2] is None
+    # on_error=send: mismatched row passes through UNCHANGED — the
+    # original list column survives (ADVICE r3: stanza 'send' keeps the
+    # entry's field) and the default out_col is a NEW column
+    sent = {r["id"]: r for r in assign_keys(df, "input", ["k1", "k2"]).collect()}
+    assert sent[1]["input_map"] == {"k1": "a", "k2": "b"}
+    assert sent[2]["input_map"] is None
+    assert sent[2]["input"] == ["x", "y", "z"]  # original retained
     # on_error=drop: mismatched row removed (transformer_test.go OnError drop)
     dropped = assign_keys(df, "input", ["k1", "k2"], on_error="drop").collect()
     assert [r["id"] for r in dropped] == [1]

@@ -121,6 +121,33 @@ def test_stream_recombine_sessions(spark, tmp_path):
     assert closed[("c1", 0)]["n_turns"] == 2
 
 
+def test_stream_recombine_max_batch_size_bounds_state(spark, tmp_path):
+    # one never-closing conversation with 7 turns and max_batch_size=3:
+    # the cap force-flushes (closed=false) every 3 buffered turns —
+    # recombine config.go:40 default semantics, keeping per-key state
+    # bounded even when no is_first row ever arrives again
+    rows = [("c1", i, f"t{i}", i == 0) for i in range(7)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, is_first boolean"
+    )
+    d = str(tmp_path / "conv_cap")
+    df.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, text string, is_first boolean"
+    ).parquet(d)
+    out = stream_recombine(stream, max_batch_size=3)
+    _run(out, tmp_path, "rc_cap")
+    got = spark.sql("select * from rc_cap").collect()
+    flushed = sorted(
+        (r["session_start"], r["n_turns"], r["closed"]) for r in got
+    )
+    # two cap flushes of 3; the last turn stays buffered until the
+    # processing-time timeout, which may fire within the run and emit
+    # it as a third (also closed=false) flush
+    assert flushed[:2] == [(0, 3, False), (3, 3, False)]
+    assert flushed[2:] in ([], [(6, 1, False)])
+
+
 def test_stream_alert_for_persistence(spark, tmp_path):
     from opentelemetry_collector_contrib_spark.streaming.pipeline import stream_alert_rule
 
