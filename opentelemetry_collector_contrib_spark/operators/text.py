@@ -1371,6 +1371,34 @@ QUALITY_CLF_WEIGHTS = {
 }
 
 
+def _quality_features(text: Column) -> dict[str, Column]:
+    """The quality classifier's 4 feature expressions, shared by the
+    scorer and the in-engine trainer so the two can never drift:
+    character-alpha ratio, stopword token ratio, distinct-token ratio,
+    ln(1 + n_tokens). All pure codegen projections."""
+    toks = tokens_col(text)
+    n_toks = F.size(toks)
+    n_chars = F.length(text)
+    alpha = F.when(
+        n_chars > 0, F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / n_chars
+    ).otherwise(0.0)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop = F.when(
+        n_toks > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+        / n_toks,
+    ).otherwise(0.0)
+    distinct = F.when(
+        n_toks > 0, F.size(F.array_distinct(toks)) / n_toks
+    ).otherwise(0.0)
+    return {
+        "alpha_ratio": alpha,
+        "stopword_ratio": stop,
+        "distinct_token_ratio": distinct,
+        "log_tokens": F.log(F.lit(1.0) + n_toks),
+    }
+
+
 def quality_classifier(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1395,32 +1423,75 @@ def quality_classifier(
     w = dict(QUALITY_CLF_WEIGHTS)
     if weights:
         w.update(weights)
-    text = F.col(text_col)
-    toks = tokens_col(text)
-    n_toks = F.size(toks)
-    n_chars = F.length(text)
-    alpha = F.when(
-        n_chars > 0, F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / n_chars
-    ).otherwise(0.0)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    stop = F.when(
-        n_toks > 0,
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
-        / n_toks,
-    ).otherwise(0.0)
-    distinct = F.when(
-        n_toks > 0, F.size(F.array_distinct(toks)) / n_toks
-    ).otherwise(0.0)
-    z = (
-        F.lit(float(bias))
-        + F.lit(float(w["alpha_ratio"])) * alpha
-        + F.lit(float(w["stopword_ratio"])) * stop
-        + F.lit(float(w["distinct_token_ratio"])) * distinct
-        + F.lit(float(w["log_tokens"])) * F.log(F.lit(1.0) + n_toks)
-    )
+    feats = _quality_features(F.col(text_col))
+    z = F.lit(float(bias))
+    for name, col in feats.items():
+        z = z + F.lit(float(w[name])) * col
     prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), dp)
     return df.select(
         F.col(id_col),
         prob.alias("quality_prob"),
         (prob >= 0.5).alias("keep"),
     )
+
+
+def quality_classifier_train(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    lr: float = 1.0,
+    iters: int = 3,
+    dp: int = 9,
+) -> tuple[float, dict[str, float]]:
+    """In-engine logistic-regression fit for the quality classifier —
+    full-batch gradient descent, the distributed shape of the fastText
+    quality-filter training step (and the ``kmeans_lloyd`` pattern:
+    weights enter each pass as literals, one ``agg`` computes the
+    update, a 1-row collect carries it to the next pass).
+
+    Per iteration, ONE narrow pass over the corpus:
+      z_i = b + w·x_i            (features as literal-weighted exprs)
+      p_i = round(sigmoid(z_i), dp)
+      g_j = Σ_i round((p_i - y_i)·x_ij, dp)   as DECIMAL(20,9) — exact
+            fixed-point sums, so the gradient is independent of
+            partial-aggregation order and bit-identical in any engine
+      w_j ← round(w_j - lr·(g_j / n), dp)     computed INSIDE the agg
+            (Spark's HALF_UP round, same convention a SQL replay uses)
+
+    Labels come from the caller (default use: the Gopher rule-set
+    keep — a deterministic, independent heuristic standing in for
+    human "reference-like" labels). Initial weights are zero.
+
+    Scale story: cost is ``iters`` scans, each a zero-shuffle
+    projection + one map-side-combined global agg collecting ONE row
+    (5 scalars) to the driver — the same envelope as a count().
+
+    Returns (bias, weights) ready for ``quality_classifier``.
+    """
+    feats = _quality_features(F.col(text_col))
+    names = list(feats)
+    base = df.select(
+        *[col.alias(n) for n, col in feats.items()],
+        label.cast("double").alias("__y"),
+    )
+    b = 0.0
+    w = {n: 0.0 for n in names}
+    for _ in range(iters):
+        z = F.lit(b)
+        for n in names:
+            z = z + F.lit(w[n]) * F.col(n)
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), dp)
+        err = p - F.col("__y")
+        cnt = F.count(F.lit(1))
+
+        def step(cur: float, term: Column) -> Column:
+            g = F.sum(F.round(term, dp).cast("decimal(20,9)")).cast("double")
+            return F.round(F.lit(cur) - F.lit(lr) * (g / cnt), dp)
+
+        row = base.agg(
+            step(b, err).alias("__b"),
+            *[step(w[n], err * F.col(n)).alias(n) for n in names],
+        ).collect()[0]
+        b = float(row["__b"])
+        w = {n: float(row[n]) for n in names}
+    return b, w

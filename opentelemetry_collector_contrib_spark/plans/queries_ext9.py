@@ -124,3 +124,109 @@ EXT9_QUERIES: dict[str, QueryFn] = {
 EXT9_ORACLES: dict[str, str] = {
     "ivfadc_topk": O_IVFADC,
 }
+
+
+# ---------------------------------------------------------------------------
+# in-engine-TRAINED quality classifier: batch-gradient logistic fit on
+# Gopher-keep labels, scored with the FITTED weights. The oracle
+# replays every gradient step in DuckDB CTEs (exact DECIMAL(20,9)
+# gradient sums on both sides, so partial-agg order can't matter).
+# ---------------------------------------------------------------------------
+
+_CLF_ITERS = 3
+_CLF_LR = 1.0
+
+
+def q_quality_clf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    rules = TX.gopher_rules(F.col("text"))
+    label = None
+    for name, col in rules.items():
+        if name.startswith("rule_"):
+            label = col if label is None else (label & col)
+    bias, weights = TX.quality_classifier_train(
+        docs, label, lr=_CLF_LR, iters=_CLF_ITERS
+    )
+    return TX.quality_classifier(docs, weights=weights, bias=bias).orderBy(
+        "doc_id"
+    )
+
+
+def _quality_clf_trained_oracle() -> str:
+    from ..operators.text import STOPWORDS
+    from .queries_corpus import _DUCK_TOKS
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    # word-level gopher label exprs (the O_GOPHER_FILTER rule set)
+    gopher_keep = (
+        "(len(toks) >= 20 AND len(toks) <= 100000)"
+        " AND (CASE WHEN len(toks) > 0 THEN"
+        " list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)"
+        " ELSE 0.0 END BETWEEN 3.0 AND 10.0)"
+        " AND (CASE WHEN len(toks) > 0 THEN"
+        " len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE / len(toks)"
+        " ELSE 0.0 END <= 0.1)"
+        " AND (CASE WHEN len(toks) > 0 THEN"
+        " len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE"
+        " / len(toks) ELSE 0.0 END >= 0.80)"
+        f" AND (len(list_filter(toks, t -> list_contains([{stops}], lower(t)))) >= 2)"
+    )
+    feat = f"""
+feat AS (
+  SELECT doc_id,
+         CASE WHEN length(text) > 0 THEN
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+             / length(text) ELSE 0.0 END AS f1,
+         CASE WHEN len(toks) > 0 THEN
+           len(list_filter(toks, t -> lower(t) IN ({stops})))::DOUBLE
+             / len(toks) ELSE 0.0 END AS f2,
+         CASE WHEN len(toks) > 0 THEN
+           len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END AS f3,
+         ln(1.0 + len(toks)) AS f4,
+         CASE WHEN {gopher_keep} THEN 1.0 ELSE 0.0 END AS y
+  FROM (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+)"""
+    lr = _CLF_LR
+    keys = ["b", "w1", "w2", "w3", "w4"]
+    ctes = [feat]
+    for i in range(1, _CLF_ITERS + 1):
+        if i == 1:
+            # zero init: z = 0, constants inline
+            z = "0.0"
+            cur = {k: "0.0" for k in keys}
+            src = "feat"
+        else:
+            # previous weights arrive via the 1-row cross join; inside
+            # the aggregate they must sit in an agg fn -> max()
+            z = "b + w1*f1 + w2*f2 + w3*f3 + w4*f4"
+            cur = {k: f"max({k})" for k in keys}
+            src = f"feat CROSS JOIN i{i - 1}"
+        p = f"round(1.0 / (1.0 + exp(-({z}))), 9)"
+        terms = {"b": "(p - y)"}
+        for j in range(1, 5):
+            terms[f"w{j}"] = f"(p - y)*f{j}"
+        sels = [
+            f"round({cur[k]} - {lr}*(sum(CAST(round({t}, 9) AS"
+            f" DECIMAL(20,9)))::DOUBLE / count(*)), 9) AS {k}"
+            for k, t in terms.items()
+        ]
+        ctes.append(
+            f"i{i} AS (SELECT {', '.join(sels)}"
+            f" FROM (SELECT *, {p} AS p FROM {src}))"
+        )
+    zf = "b + w1*f1 + w2*f2 + w3*f3 + w4*f4"
+    return f"""
+WITH {','.join(ctes)}
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-({zf}))), 6) AS quality_prob,
+       round(1.0 / (1.0 + exp(-({zf}))), 6) >= 0.5 AS keep
+FROM feat CROSS JOIN i{_CLF_ITERS}
+"""
+
+
+O_QUALITY_CLF_TRAINED = _quality_clf_trained_oracle()
+
+EXT9_QUERIES["quality_clf_trained"] = q_quality_clf_trained
+EXT9_ORACLES["quality_clf_trained"] = O_QUALITY_CLF_TRAINED
