@@ -230,3 +230,64 @@ O_QUALITY_CLF_TRAINED = _quality_clf_trained_oracle()
 
 EXT9_QUERIES["quality_clf_trained"] = q_quality_clf_trained
 EXT9_ORACLES["quality_clf_trained"] = O_QUALITY_CLF_TRAINED
+
+
+# ---------------------------------------------------------------------------
+# streaming groupbytrace / tail sampler (buffering-window semantics:
+# traces buffer in keyed state for wait_duration / decision_wait, then
+# release whole — graded against the batch oracles)
+# ---------------------------------------------------------------------------
+
+def q_stream_group_by_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import stream_group_by_trace
+    from .queries_streaming import (
+        EVENTS_SCHEMA,
+        _as_dir,
+        _run_stream_until_drained,
+    )
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _as_dir(f"{sf_dir}/events.parquet")
+    )
+    out = stream_group_by_trace(stream, wait_ms=2_000)
+    _run_stream_until_drained(out, "sgbt")
+    return spark.table("sgbt")
+
+
+O_STREAM_GROUP_BY_TRACE = """
+SELECT user_id, count(*) AS n_events,
+       md5(string_agg(event_type, '|' ORDER BY ts, event_id)) AS trace_sig
+FROM events GROUP BY user_id
+"""
+
+
+def q_stream_tail_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import stream_tail_sampler
+    from .queries_streaming import (
+        EVENTS_SCHEMA,
+        _as_dir,
+        _run_stream_until_drained,
+    )
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _as_dir(f"{sf_dir}/events.parquet")
+    )
+    out = stream_tail_sampler(stream, wait_ms=2_000)
+    _run_stream_until_drained(out, "stail")
+    return spark.table("stail")
+
+
+O_STREAM_TAIL_SAMPLER = """
+SELECT event_id, user_id, event_type FROM events
+WHERE user_id IN (
+  SELECT user_id FROM events GROUP BY user_id
+  HAVING (max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1
+          AND max(CASE WHEN value >= 300.0 AND value <= 1e9 THEN 1 ELSE 0 END) = 1)
+      OR substring(md5(CAST(user_id AS VARCHAR)), 1, 1) >= 'c'
+)
+"""
+
+EXT9_QUERIES["stream_group_by_trace"] = q_stream_group_by_trace
+EXT9_ORACLES["stream_group_by_trace"] = O_STREAM_GROUP_BY_TRACE
+EXT9_QUERIES["stream_tail_sampler"] = q_stream_tail_sampler
+EXT9_ORACLES["stream_tail_sampler"] = O_STREAM_TAIL_SAMPLER

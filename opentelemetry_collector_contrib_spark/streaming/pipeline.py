@@ -560,3 +560,156 @@ def stream_spanmetrics(
                 (F.col("__sum_dec").cast("double") / F.col("calls"))
                 .alias("avg_duration"))
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming groupbytrace: buffer spans per trace for wait_duration,
+# release the whole trace at once
+# (processor/groupbytraceprocessor/processor.go:27-78 — the event
+# machine buffers spans by trace id and fires onTraceReleased after
+# WaitDuration; here the buffered trace is the group state and the
+# processing-time timeout is the release timer)
+# ---------------------------------------------------------------------------
+
+GBT_OUTPUT_SCHEMA = "user_id long, n_events int, trace_sig string"
+GBT_STATE_SCHEMA = "ts array<long>, eid array<long>, etype array<string>"
+
+
+def _group_by_trace_fn(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+    wait_ms: int,
+) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        ts, eid, etype = state.get
+        state.remove()
+        order = sorted(range(len(eid)), key=lambda i: (ts[i], eid[i]))
+        sig = hashlib.md5(
+            "|".join(etype[i] for i in order).encode()
+        ).hexdigest()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [len(eid)],
+                "trace_sig": [sig],
+            }
+        )
+        return
+
+    if state.exists:
+        ts, eid, etype = (list(x) for x in state.get)
+    else:
+        ts, eid, etype = [], [], []
+    for pdf in pdf_iter:
+        ts.extend(int(v.value) for v in pdf["ts"])
+        eid.extend(int(v) for v in pdf["event_id"])
+        etype.extend(str(v) for v in pdf["event_type"])
+    state.update((ts, eid, etype))
+    state.setTimeoutDuration(wait_ms)
+
+
+def stream_group_by_trace(stream: DataFrame, wait_ms: int = 10_000) -> DataFrame:
+    """Streaming groupbytrace: spans buffer in per-trace state and the
+    WHOLE trace releases after ``wait_ms`` with no decision made
+    earlier (WaitDuration, groupbytraceprocessor/config.go) — emitted
+    here as the trace roll-up row the batch ``group_by_trace`` oracle
+    checks (count + order-stable md5 signature over event types).
+
+    The event keys on user_id (the transcript surface's trace id).
+    State is O(spans-per-trace) per key, released at timeout — the
+    reference's ringBufferedTraces eviction analog is the timeout
+    itself plus recombine-style caps upstream.
+    """
+
+    def fn(key, pdf_iter, state):
+        yield from _group_by_trace_fn(key, pdf_iter, state, wait_ms)
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=GBT_OUTPUT_SCHEMA,
+        stateStructType=GBT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming tail sampler: buffer per-trace for decision_wait, decide
+# once over the complete buffered trace, release sampled spans
+# (processor/tailsamplingprocessor/processor.go:37-59 — DecisionWait
+# ticker; policies see the full buffered trace)
+# ---------------------------------------------------------------------------
+
+TAIL_OUTPUT_SCHEMA = "event_id long, user_id long, event_type string"
+TAIL_STATE_SCHEMA = (
+    "eid array<long>, etype array<string>, value array<double>"
+)
+
+
+def _tail_sampler_fn(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+    wait_ms: int,
+) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        eid, etype, value = state.get
+        state.remove()
+        # composite decision over the COMPLETE buffered trace — the
+        # same policy set as the batch tail_policies oracle:
+        # (string_attribute[error] AND numeric_attribute value in
+        # [300, 1e9]) OR md5-consistent 25% probabilistic
+        has_error = any(t == "error" for t in etype)
+        has_hot = any(300.0 <= v <= 1e9 for v in value)
+        prob25 = hashlib.md5(str(user_id).encode()).hexdigest()[0] >= "c"
+        if (has_error and has_hot) or prob25:
+            yield pd.DataFrame(
+                {
+                    "event_id": list(eid),
+                    "user_id": [user_id] * len(eid),
+                    "event_type": list(etype),
+                }
+            )
+        return
+
+    if state.exists:
+        eid, etype, value = (list(x) for x in state.get)
+    else:
+        eid, etype, value = [], [], []
+    for pdf in pdf_iter:
+        eid.extend(int(v) for v in pdf["event_id"])
+        etype.extend(str(v) for v in pdf["event_type"])
+        value.extend(float(v) for v in pdf["value"])
+    state.update((eid, etype, value))
+    state.setTimeoutDuration(wait_ms)
+
+
+def stream_tail_sampler(stream: DataFrame, wait_ms: int = 10_000) -> DataFrame:
+    """Streaming tail sampling: spans buffer per trace until the
+    ``decision_wait`` timer fires, THEN the policy set evaluates over
+    the complete trace and sampled traces release all their spans —
+    the buffering-window semantics the batch ``tail_sampler`` cannot
+    express (it sees the whole dataset by construction).
+
+    State per key is the buffered trace (ids, types, values); decided
+    traces drop their state entirely. Keyed on user_id like the batch
+    tail_policies query so the two grade against the same oracle.
+    """
+
+    def fn(key, pdf_iter, state):
+        yield from _tail_sampler_fn(key, pdf_iter, state, wait_ms)
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=TAIL_OUTPUT_SCHEMA,
+        stateStructType=TAIL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
