@@ -192,6 +192,20 @@ def main(argv: list[str] | None = None) -> int:
         help="off: skip the C4 line filter (corpora without sentence "
         "punctuation, e.g. keyword/code dumps, fail its prose rules)",
     )
+    ap.add_argument(
+        "--semdedup", type=int, default=0,
+        help="run SemDeDup over deterministic token-histogram "
+        "embeddings with this many k-means cells; 0 disables",
+    )
+    ap.add_argument(
+        "--semdedup-threshold", type=float, default=0.95,
+        help="within-cell cosine at/above which the larger id drops",
+    )
+    ap.add_argument(
+        "--semdedup-max-cell", type=int, default=0,
+        help="LSH-salt cells larger than this before the pair join "
+        "(straggler cap); 0 disables",
+    )
     ap.add_argument("--sink", choices=["parquet", "noop"], default="parquet")
     args = ap.parse_args(argv)
 
@@ -326,6 +340,66 @@ def main(argv: list[str] | None = None) -> int:
         tick("neardup")
         lineage.record("neardup", "all", funnel["after_neardup"])
 
+    # 4b. optional SemDeDup (embedding-space semantic dedup): cluster
+    # deterministic token-histogram embeddings with k-means, drop
+    # near-identical cell-mates (Abbas et al. 2023). The embedding is
+    # pure codegen — 16 hashed-bucket token counts (+0.5 so no vector
+    # is all-zero for the spherical quantizer) — deterministic across
+    # runs with no external model; exact/near-dup docs land on
+    # (near-)identical vectors. --semdedup-max-cell turns on the
+    # oversized-cell LSH salt so one hot cluster can't straggle.
+    if args.semdedup > 0:
+        from opentelemetry_collector_contrib_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        buckets = 16
+        dim_e = buckets + 1
+        toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+        counts = [
+            F.size(
+                F.filter(
+                    toks, lambda t: F.pmod(F.xxhash64(t), F.lit(buckets)) == d
+                )
+            ).cast("double")
+            for d in range(buckets)
+        ]
+        total = counts[0]
+        for c in counts[1:]:
+            total = total + c
+        # CENTERED histogram: raw token-count histograms all point near
+        # the uniform diagonal (cosine ~0.86 between unrelated docs —
+        # measured, it swallowed 84% of the corpus at 0.95); centering
+        # turns cosine into correlation (unrelated ~0, dups ~1). The
+        # constant 17th component keeps the vector non-zero when a
+        # short doc's histogram is exactly uniform.
+        emb = F.array(
+            *[(c - total / buckets) for c in counts], F.lit(1.0)
+        )
+        # materialize the embedding ONCE: kmeans passes + the pair join
+        # reference the vector column ~6 times, and re-evaluating the
+        # 16-filter histogram expr per reference measured 77.6 s vs
+        # materialized at --docs 3000
+        with_emb = docs.select("doc_id", emb.alias("__emb")).localCheckpoint()
+        sem = semantic_dedup(
+            with_emb,
+            k=args.semdedup,
+            iters=2,
+            threshold=args.semdedup_threshold,
+            id_col="doc_id",
+            vec_col="__emb",
+            max_cell_size=args.semdedup_max_cell or None,
+            dim=dim_e,
+        )
+        keepers = sem.filter(F.col("keep")).select("doc_id")
+        # localCheckpoint: the k-means + pair-join subtree would
+        # otherwise re-plan into every downstream action (the funnel's
+        # standing stage-boundary rule)
+        docs = docs.join(keepers, "doc_id", "left_semi").localCheckpoint()
+        funnel["after_semdedup"] = docs.count()
+        tick("semdedup")
+        lineage.record("semdedup", "all", funnel["after_semdedup"])
+
     # 5. annotate + stratified mixing sample
     docs = docs.withColumn("quality", quality_score(F.col("text"))).withColumn(
         "n_tokens", token_count(F.col("text"))
@@ -378,7 +452,11 @@ def main(argv: list[str] | None = None) -> int:
     else:
         docs.write.format("noop").mode("overwrite").save()
         funnel["written"] = funnel.get(
-            "after_sample", funnel.get("after_neardup", funnel["after_exact_dedup"])
+            "after_sample",
+            funnel.get(
+                "after_semdedup",
+                funnel.get("after_neardup", funnel["after_exact_dedup"]),
+            ),
         )
     cleaned.unpersist()
     if args.neardup != "off":

@@ -461,6 +461,9 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_dp: int = 12,
+    max_cell_size: int | None = None,
+    salt_planes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup over an embedding column: spherical k-means partitions
     the space (kmeans_lloyd — deterministic seed-vector init), then a
@@ -471,10 +474,21 @@ def semantic_dedup(
     Scale story: the pair join is equi on ``cell``, so the candidate
     set is sum_c |c|^2, not n^2 — at 100 TB pick k so the expected
     cell is ~10-100k vectors (SemDeDup uses k=50k clusters for LAION),
-    and cap stragglers by splitting oversized cells on a salt of the
-    LSH bucket. Assignment itself is a zero-shuffle projection
-    (literal centroids); the only shuffles are k-means' update and the
-    cell-key exchange for the pair join.
+    and cap stragglers with ``max_cell_size``: cells whose population
+    exceeds it are sub-split on a ``salt_planes``-bit LSH sign bucket
+    of the vector BEFORE the pair join, so the worst cell's candidate
+    count drops from |c|^2 to ~sum_b |c_b|^2 and no single task can
+    straggle the stage.  The salt is a finer partition of the same
+    similarity space, so near-identical vectors (the >= threshold
+    pairs SemDeDup hunts) share a bucket with high probability — the
+    same approximation the cluster boundary itself already makes; a
+    pair split across salt buckets is missed exactly like a pair split
+    across cells. Requires ``dim``.  Cell sizes come from one map-side
+    combined count (k rows to the driver), so the salt adds NO join —
+    oversized cell ids become a literal isin() in the projection.
+    Assignment itself is a zero-shuffle projection (literal
+    centroids); the only shuffles are k-means' update and the cell-key
+    exchange for the pair join.
 
     Output: one row per vector — (vec_id, cell, keep, dup_of) where
     dup_of is the smallest qualifying cell-mate (NULL when kept).
@@ -499,14 +513,31 @@ def semantic_dedup(
             F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias("__v"),
         )
     )
+    join_keys = ["cell"]
+    if max_cell_size is not None:
+        if dim is None:
+            raise ValueError("semantic_dedup max_cell_size salting requires dim")
+        # one bounded agg (k rows) -> oversized ids as a literal isin;
+        # only rows of oversized cells pay the salt-bit projection
+        sizes = assigned.groupBy("cell").count().collect()
+        oversized = [int(r["cell"]) for r in sizes if r["count"] > max_cell_size]
+        if oversized:
+            assigned = assigned.withColumn(
+                "__salt",
+                F.when(
+                    F.col("cell").isin(oversized),
+                    lsh_bucket(F.col("__v"), salt_planes, dim),
+                ).otherwise(F.lit("")),
+            )
+            join_keys = ["cell", "__salt"]
     a = assigned.select(
-        F.col(id_col).alias("__aid"), F.col("__v").alias("__av"), "cell"
+        F.col(id_col).alias("__aid"), F.col("__v").alias("__av"), *join_keys
     )
     b = assigned.select(
-        F.col(id_col).alias("__bid"), F.col("__v").alias("__bv"), "cell"
+        F.col(id_col).alias("__bid"), F.col("__v").alias("__bv"), *join_keys
     )
     dups = (
-        a.join(b, "cell")
+        a.join(b, join_keys)
         .filter(F.col("__aid") < F.col("__bid"))
         .withColumn("__sim", F.round(dot(F.col("__av"), F.col("__bv")), sim_dp))
         .filter(F.col("__sim") >= threshold)

@@ -82,3 +82,34 @@ def test_curation_batchc_knobs(spark, tmp_path, capsys):
         for line in fh:
             stages.add(json.loads(line)["stage"])
     assert {"lm_band", "dup_spans", "mix"} <= stages
+
+
+def test_curation_semdedup_stage(spark, tmp_path, capsys):
+    """--semdedup composes into the funnel: monotone counts, stage
+    recorded in lineage, deterministic; the straggler-salted variant
+    can only MISS pairs (split across salt buckets), never invent
+    them, so it keeps at least as many docs."""
+    extra = ("--semdedup", "6", "--sink", "noop")
+    _run(spark, tmp_path / "s1", extra)
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    f = out1["funnel"]
+    assert 0 < f["after_semdedup"] <= f["after_neardup"]
+    assert f["written"] == f["after_semdedup"]
+    assert "semdedup" in out1["stage_sec"]
+    stages = set()
+    with open(tmp_path / "s1" / "_lineage.jsonl") as fh:
+        for line in fh:
+            stages.add(json.loads(line)["stage"])
+    assert "semdedup" in stages
+    # straggler salt: a sub-split can only lose pairs, never add them
+    _run(spark, tmp_path / "s2", extra + ("--semdedup-max-cell", "50"))
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (
+        f["after_semdedup"]
+        <= out2["funnel"]["after_semdedup"]
+        <= f["after_neardup"]
+    )
+    # deterministic: the salted run replays byte-identically
+    _run(spark, tmp_path / "s3", extra + ("--semdedup-max-cell", "50"))
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["funnel"] == out2["funnel"]

@@ -96,3 +96,47 @@ def test_quality_classifier_train_deterministic(spark):
     r2 = quality_classifier_train(docs.repartition(7), label, iters=2)
     # exact-decimal gradient sums: partitioning cannot change the fit
     assert r1 == r2
+
+
+def test_semdedup_oversized_cell_salting(spark):
+    from opentelemetry_collector_contrib_spark.operators.similarity import (
+        lsh_bucket,
+        semantic_dedup,
+    )
+
+    dim = 8
+    rows = []
+    # one giant cluster along +e0 with sign-diverse tails (so the LSH
+    # salt actually splits it), duplicate pairs planted as (2i, 2i+1)
+    # e0 small enough that any tail difference drops cosine below the
+    # threshold: worst non-dup pair (one flipped bit) has
+    # cos = (1 + 1.25) / (1 + 1.75) ~= 0.82 < 0.95; identical = 1.0
+    for i in range(60):
+        tail = [0.5 if (i >> j) & 1 else -0.5 for j in range(dim - 1)]
+        v = [1.0] + tail
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, list(v)))  # exact duplicate
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    plain = semantic_dedup(df, k=1, iters=1, threshold=0.95)
+    salted = semantic_dedup(
+        df, k=1, iters=1, threshold=0.95, max_cell_size=20, dim=dim
+    )
+    p = {r["vec_id"]: (r["keep"], r["dup_of"]) for r in plain.collect()}
+    s = {r["vec_id"]: (r["keep"], r["dup_of"]) for r in salted.collect()}
+    # identical vectors share an LSH bucket, so every planted dup pair
+    # survives the sub-split: salted == unsalted on this fixture
+    assert s == p
+    for i in range(60):
+        assert s[2 * i] == (True, None)
+        assert s[2 * i + 1] == (False, 2 * i)
+
+    # and the salt genuinely splits the giant cell: >1 distinct bucket
+    import pyspark.sql.functions as F
+
+    nb = (
+        df.select(lsh_bucket(F.col("embedding"), 4, dim).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert nb > 1
