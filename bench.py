@@ -73,6 +73,27 @@ BENCH_QUERIES = [
     "dup_spans",
     "semdedup",
     "pq_encode",
+    # round-4 superset (VERDICT r3 #10: cover the remaining
+    # compute-heavy registry queries so regressions can't hide)
+    "bpe_merges",
+    "quality_clf",
+    "quality_clf_trained",
+    "pq_adc",
+    "ivfadc_topk",
+    "data_mix",
+    "line_dedup",
+    "kmeans_ivf",
+    "embed_neardup",
+    "lsh_ann_multi",
+    "neardup_components",
+    "doc_fingerprint",
+    "c4_line_filter",
+    "corpus_shuffle",
+    "sft_pairs",
+    "group_by_trace",
+    "spanmetrics",
+    "servicegraph",
+    "stream_spanmetrics",
 ]
 
 PIPELINE_CONVS = 30_000  # ~600k turns; comparable to sf0.1 lineitem

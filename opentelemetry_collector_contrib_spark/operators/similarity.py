@@ -571,30 +571,74 @@ def pq_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sim_dp: int = 12,
+    centroid_dp: int = 9,
 ) -> list[list[list[float]]]:
-    """Train per-subspace codebooks: ``m`` independent kmeans_lloyd
-    runs over the block slices. Returns codebooks[b][code] = centroid.
-    Each run is the documented Lloyd shape (zero-shuffle assign, one
-    map-side-combined shuffle per update, bounded driver collect) —
-    training cost is m passes over the vectors, each narrow.
+    """Train per-subspace codebooks — the exact kmeans_lloyd recursion
+    per block (same seeds: the ksub smallest-id vectors' block slices;
+    same sim_dp/centroid_dp rounding; empty cells keep stale
+    centroids), but FUSED: the m blocks train in lockstep so each
+    Lloyd round is ONE zero-shuffle assignment projection (all m
+    argmaxes in one select) and ONE map-side-combined shuffle for all
+    m mean updates (posexplode the full vector once; block = pos/sub)
+    with a bounded m*ksub*sub driver collect. The round-3 sequential
+    form paid m separate update shuffles and m*(2*iters-1) corpus
+    scans; fused is (iters-1) shuffles and iters-ish scans — at 100 TB
+    the training cost no longer multiplies by the block count.
+    Returns codebooks[b][code] = centroid, bit-identical to the
+    sequential form (the DuckDB oracles replaying per-block Lloyd
+    still match).
 
     Precondition (spherical quantizer): no sub-vector block may be
     all-zero — cosine against a zero block is undefined (ANSI
     division by zero). Real embedding corpora satisfy this; L2-PQ is
     the variant for data that doesn't."""
     sub = dim // m
-    books: list[list[list[float]]] = []
-    for b in range(m):
-        block = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col).cast("array<double>"), b * sub + 1, sub).alias(
-                "__bv"
-            ),
+    v = F.col(vec_col).cast("array<double>")
+    seed_rows = corpus.orderBy(id_col).limit(ksub).select(v.alias("__v")).collect()
+    # fewer rows than ksub: every row seeds its own codeword, exactly
+    # kmeans_lloyd's k-shrink behavior per block
+    books: list[list[list[float]]] = [
+        [list(r["__v"][b * sub : (b + 1) * sub]) for r in seed_rows]
+        for b in range(m)
+    ]
+    k = len(seed_rows)
+    for _ in range(iters - 1):
+        assigned = corpus.select(
+            v.alias("__v"),
+            *[
+                argmax_cosine_cell(
+                    F.slice(v, b * sub + 1, sub), books[b], sim_dp
+                ).alias(f"__c{b}")
+                for b in range(m)
+            ],
         )
-        _, cents = kmeans_lloyd(
-            block, k=ksub, iters=iters, id_col=id_col, vec_col="__bv"
+        cells = F.array(*[F.col(f"__c{b}") for b in range(m)])
+        exploded = assigned.select(
+            F.posexplode(F.col("__v")).alias("gpos", "x"), cells.alias("__cells")
+        ).select(
+            (F.col("gpos") / sub).cast("int").alias("block"),
+            F.pmod(F.col("gpos"), F.lit(sub)).cast("int").alias("pos"),
+            F.element_at(
+                F.col("__cells"), ((F.col("gpos") / sub).cast("int") + 1)
+            ).alias("cell"),
+            F.col("x"),
         )
-        books.append(cents)
+        means = (
+            exploded.groupBy("block", "cell", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), centroid_dp).alias("mn"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            upd.setdefault((r["block"], r["cell"]), {})[r["pos"]] = r["mn"]
+        for b in range(m):
+            books[b] = [
+                [upd[(b, j)][p] for p in sorted(upd[(b, j)])]
+                if (b, j) in upd
+                else books[b][j]
+                for j in range(k)
+            ]
     return books
 
 

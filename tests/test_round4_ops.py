@@ -140,3 +140,24 @@ def test_semdedup_oversized_cell_salting(spark):
         .count()
     )
     assert nb > 1
+
+
+def test_pq_train_fused_equals_per_block_lloyd(spark):
+    # the fused trainer must be bit-identical to m independent
+    # kmeans_lloyd runs over the block slices (the r3 sequential form
+    # and the shape every PQ oracle replays)
+    from opentelemetry_collector_contrib_spark.operators.similarity import (
+        kmeans_lloyd,
+        pq_train,
+    )
+
+    emb = _vecs(spark, n=50, dim=8)
+    fused = pq_train(emb, dim=8, m=2, ksub=3, iters=3)
+    sub = 4
+    for b in range(2):
+        block = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding").cast("array<double>"), b * sub + 1, sub).alias("__bv"),
+        )
+        _, cents = kmeans_lloyd(block, k=3, iters=3, vec_col="__bv")
+        assert fused[b] == cents
