@@ -260,6 +260,17 @@ def stream_recombine(
     check).  ``max_batch_size`` (default 1000 = the reference's
     config.go:40 default) bounds per-key buffered state; see
     ``_recombine_fn``.
+
+    ``max_sources`` (config.go:42, default 1000) has no per-key
+    counterpart BY CONSTRUCTION: the reference caps how many source
+    batches one collector process tracks in its in-memory map and
+    evicts the oldest past the cap; here the "map" is the state store,
+    which shards by key across executors and spills to disk, so total
+    key count never threatens one process's heap. The pressure that
+    knob relieves is covered by the two bounds that do exist per key:
+    the processing-time timeout (evicts idle sources — the closest
+    analog of oldest-eviction) and max_batch_size (bounds each
+    source's buffer).
     """
 
     def fn(key, pdf_iter, state):
