@@ -1452,7 +1452,7 @@ def quality_classifier_train(
     Per iteration, ONE narrow pass over the corpus:
       z_i = b + w·x_i            (features as literal-weighted exprs)
       p_i = round(sigmoid(z_i), dp)
-      g_j = Σ_i round((p_i - y_i)·x_ij, dp)   as DECIMAL(20,9) — exact
+      g_j = Σ_i round((p_i - y_i)·x_ij, dp)   as DECIMAL(28,9) — exact
             fixed-point sums, so the gradient is independent of
             partial-aggregation order and bit-identical in any engine
       w_j ← round(w_j - lr·(g_j / n), dp)     computed INSIDE the agg
@@ -1485,7 +1485,10 @@ def quality_classifier_train(
         cnt = F.count(F.lit(1))
 
         def step(cur: float, term: Column) -> Column:
-            g = F.sum(F.round(term, dp).cast("decimal(20,9)")).cast("double")
+            # decimal(28,9): 19 integer digits of headroom — per-row
+            # terms are bounded by the largest feature (~ln corpus doc
+            # cap), so even 10^12 rows cannot overflow the exact sum
+            g = F.sum(F.round(term, dp).cast("decimal(28,9)")).cast("double")
             return F.round(F.lit(cur) - F.lit(lr) * (g / cnt), dp)
 
         row = base.agg(

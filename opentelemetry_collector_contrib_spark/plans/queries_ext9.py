@@ -129,7 +129,7 @@ EXT9_ORACLES: dict[str, str] = {
 # ---------------------------------------------------------------------------
 # in-engine-TRAINED quality classifier: batch-gradient logistic fit on
 # Gopher-keep labels, scored with the FITTED weights. The oracle
-# replays every gradient step in DuckDB CTEs (exact DECIMAL(20,9)
+# replays every gradient step in DuckDB CTEs (exact DECIMAL(28,9)
 # gradient sums on both sides, so partial-agg order can't matter).
 # ---------------------------------------------------------------------------
 
@@ -209,7 +209,7 @@ feat AS (
             terms[f"w{j}"] = f"(p - y)*f{j}"
         sels = [
             f"round({cur[k]} - {lr}*(sum(CAST(round({t}, 9) AS"
-            f" DECIMAL(20,9)))::DOUBLE / count(*)), 9) AS {k}"
+            f" DECIMAL(28,9)))::DOUBLE / count(*)), 9) AS {k}"
             for k, t in terms.items()
         ]
         ctes.append(

@@ -180,6 +180,11 @@ def _recombine_fn(
     if state.hasTimedOut:
         start, parts, n = state.get
         state.remove()
+        if n == 0:
+            # a max_batch_size cap flush can leave the state empty
+            # (row count hit an exact multiple of the cap); the timer
+            # still fires — emit nothing rather than an empty session
+            return
         yield pd.DataFrame(
             {
                 "conv_id": [conv_id],
