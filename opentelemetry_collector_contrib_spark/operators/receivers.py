@@ -1,0 +1,410 @@
+"""Text-protocol metric receivers, vectorized.
+
+Reference semantics:
+
+- statsd — ``receiver/statsdreceiver/internal/parser/statsd_parser.go``
+  (``parseMessageToMetric`` :346-460, ``Aggregate`` :259-345) and
+  ``metric_translator.go`` (``counterValue`` :145-156, ``gaugeValue``
+  :158-161, ``sampleValue`` :163-172, ``buildSummaryMetric`` :68-98).
+  Line grammar ``<name>:<value>|<type>[|@<rate>][|#<tags>]
+  [|c:<container>][|T<ts>]``; counters sum ``int64(v/rate)``, gauges
+  are last-set-plus-additions, timers/histograms/distributions carry a
+  ``1/rate`` weight into the summary observer.
+- carbon — ``receiver/carbonreceiver/protocol/path_parser_helper.go``
+  (``Parse`` :92-147: exactly-3-token split, int-else-float value and
+  timestamp) and ``plaintext_parser.go`` (``ParsePath`` :40-70:
+  ``name;k=v;...`` tags, '=' must not be the first char of a tag).
+- prometheus text — the public Prometheus exposition format consumed
+  by ``receiver/simpleprometheusreceiver`` / ``prometheusreceiver``:
+  ``# TYPE <name> <type>`` metadata lines and
+  ``name{k="v",...} value [ts_ms]`` samples; histogram/summary series
+  (``_bucket``/``_sum``/``_count``) resolve their TYPE through the
+  family name.
+- influx line protocol — the public InfluxDB line protocol consumed by
+  ``receiver/influxdbreceiver``:
+  ``measurement[,tag=v...] field=value[,field=value...] [ts_ns]``
+  with ``123i`` integer, ``"..."`` string, bare-float and boolean
+  field values (unescaped common case; escape sequences are out of
+  scope and flagged not-ok).
+
+Spark re-expression: every receiver is a pure Column-expression
+parser (regexp_extract + higher-order array functions — all inside
+whole-stage codegen; no Python UDF anywhere). Parse failure is a
+predicate (``*_ok``), not an exception, so on_error={drop,send}
+routing composes via ``parse.split_on_error``. Aggregations are plain
+map-side-combinable groupBys keyed on (name, canonical-attrs); gauge
+last-set semantics use one ordered window — at 100 TB these shuffle
+once on the metric identity and nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+_STATSD_TYPES = ("c", "g", "h", "ms", "d")
+
+# full-line shape: name:value|type with only @/#/c:/T extension parts
+_STATSD_SHAPE = r"^[^|:]+:[^|]*\|(c|g|h|ms|d)(\|(@[^|]*|#[^|]*|c:[^|]*|T[0-9]+))*$"
+
+_INT_RE = r"^[+-]?[0-9]+$"
+_FLOAT_RE = r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
+
+def _canon_attrs(parts: Column) -> Column:
+    """Canonical attribute string: sorted, comma-joined k:v entries —
+    the engine-portable stand-in for the reference's attribute.Set
+    identity (statsd_parser.go:115-119 builds an attribute.NewSet,
+    which is order-insensitive)."""
+    return F.concat_ws(",", F.array_sort(parts))
+
+
+def statsd_parse(
+    df: DataFrame,
+    line_col: str = "body",
+    enable_simple_tags: bool = False,
+    enable_metric_type: bool = False,
+) -> DataFrame:
+    """Parse statsd lines into typed columns + ``sd_ok``.
+
+    Mirrors ``parseMessageToMetric`` (statsd_parser.go:346-460): name
+    and value both non-empty, type ∈ {c,g,h,ms,d}, ``@rate`` float,
+    ``#k:v`` tags (simple tags only when *enable_simple_tags*, per
+    dogstatsd), ``c:<id>`` container id → ``container.id`` attribute,
+    ``T<sec>`` timestamp valid only for counters/gauges (dogstatsd
+    v1.3). ``sd_addition`` is the gauge +/- delta flag (value prefix,
+    :367-369). With *enable_metric_type* the full type name is added
+    as a ``metric_type`` attribute (:448-453).
+    """
+    line = F.col(line_col)
+    name = F.regexp_extract(line, r"^([^|:]+):", 1)
+    raw_value = F.regexp_extract(line, r"^[^|:]+:([^|]*)\|", 1)
+    mtype = F.regexp_extract(line, r"^[^|]+\|([^|]*)", 1)
+    rate_str = F.regexp_extract(line, r"\|@([^|]*)", 1)
+    tags_str = F.regexp_extract(line, r"\|#([^|]*)", 1)
+    container = F.regexp_extract(line, r"\|c:([^|]*)", 1)
+    ts_str = F.regexp_extract(line, r"\|T([0-9]+)", 1)
+
+    value = raw_value.try_cast("double")
+    rate = F.when(rate_str != "", rate_str.try_cast("double"))
+
+    # tags: Cut(tagSet, ":") — key before the FIRST ':', value after;
+    # empty value only legal with enable_simple_tags
+    tag_parts = F.filter(F.split(tags_str, ","), lambda t: t != "")
+    key_of = lambda t: F.substring_index(t, ":", 1)  # noqa: E731
+    tags_ok = F.forall(
+        tag_parts,
+        lambda t: (key_of(t) != "")
+        & (
+            F.lit(bool(enable_simple_tags))
+            | ((F.instr(t, ":") > 0) & (F.instr(t, ":") < F.length(t)))
+        ),
+    )
+    # canonical k:v entries (simple tag "k" → "k:")
+    kv_parts = F.transform(
+        tag_parts,
+        lambda t: F.when(F.instr(t, ":") > 0, t).otherwise(F.concat(t, F.lit(":"))),
+    )
+    kv_parts = F.when(container != "", F.concat(
+        kv_parts, F.array(F.concat(F.lit("container.id:"), container))
+    )).otherwise(kv_parts)
+    if enable_metric_type:
+        full = (
+            F.when(mtype == "c", "counter")
+            .when(mtype == "g", "gauge")
+            .when(mtype == "h", "histogram")
+            .when(mtype == "ms", "timing")
+            .when(mtype == "d", "distribution")
+        )
+        kv_parts = F.concat(kv_parts, F.array(F.concat(F.lit("metric_type:"), full)))
+
+    ok = (
+        line.rlike(_STATSD_SHAPE)
+        & (name != "")
+        & (raw_value != "")
+        & mtype.isin(*_STATSD_TYPES)
+        & value.isNotNull()
+        & ((rate_str == "") | rate.isNotNull())
+        & ((ts_str == "") | mtype.isin("c", "g"))
+        & tags_ok
+    )
+    return (
+        df.withColumn("sd_name", name)
+        .withColumn("sd_value", value)
+        .withColumn("sd_type", mtype)
+        .withColumn("sd_rate", rate)
+        .withColumn("sd_attrs", _canon_attrs(kv_parts))
+        .withColumn("sd_addition", raw_value.rlike(r"^[+-]"))
+        .withColumn("sd_ts_ns", F.when(ts_str != "", ts_str.cast("long") * F.lit(1000000000)))
+        .withColumn("sd_ok", F.coalesce(ok, F.lit(False)))
+    )
+
+
+def _effective_rate() -> Column:
+    """Sample rate applies only when 0 < rate < 1 (counterValue
+    :152-154 / sampleValue :165-167)."""
+    r = F.col("sd_rate")
+    return F.when(r.isNotNull() & (r > 0) & (r < 1), r).otherwise(F.lit(1.0))
+
+
+def statsd_counters(parsed: DataFrame, is_monotonic: bool = False) -> DataFrame:
+    """Counter aggregation: per (name, attrs), sum of per-line
+    ``int64(value / rate)`` — the truncation happens per LINE, not on
+    the total (Aggregate :290-298 adds counterValue() per line).
+    Emits delta temporality like the reference (GetMetrics resets
+    state per flush)."""
+    c = parsed.filter(F.col("sd_ok") & (F.col("sd_type") == "c"))
+    inc = (F.col("sd_value") / _effective_rate()).cast("long")
+    return (
+        c.groupBy(F.col("sd_name").alias("name"), F.col("sd_attrs").alias("attrs"))
+        .agg(F.sum(inc).alias("counter_value"))
+        .withColumn("is_monotonic", F.lit(bool(is_monotonic)))
+    )
+
+
+def statsd_gauges(parsed: DataFrame, order_col: str = "event_id") -> DataFrame:
+    """Gauge aggregation: last absolute set wins; '+v'/'-v' lines add
+    to the current point (Aggregate :277-289 — the FIRST line always
+    builds the point, even when additive). Per group: value at the
+    last set row (rows where NOT addition, or row 1) plus the sum of
+    additive deltas after it. Sample rate has no effect
+    (gaugeValue :158-161). One ordered window, one groupBy."""
+    g = parsed.filter(F.col("sd_ok") & (F.col("sd_type") == "g"))
+    w = Window.partitionBy("sd_name", "sd_attrs").orderBy(order_col)
+    wall = Window.partitionBy("sd_name", "sd_attrs")
+    rn = F.row_number().over(w)
+    g = g.withColumn("_rn", rn)
+    set_rn = F.when(~F.col("sd_addition") | (F.col("_rn") == 1), F.col("_rn"))
+    g = g.withColumn("_last_set", F.max(set_rn).over(wall))
+    contrib = F.when(F.col("_rn") == F.col("_last_set"), F.col("sd_value")).when(
+        (F.col("_rn") > F.col("_last_set")) & F.col("sd_addition"), F.col("sd_value")
+    )
+    return g.groupBy(
+        F.col("sd_name").alias("name"), F.col("sd_attrs").alias("attrs")
+    ).agg(F.sum(contrib).alias("gauge_value"))
+
+
+def statsd_summaries(parsed: DataFrame) -> DataFrame:
+    """Timer/histogram/distribution lines under the summary observer
+    (buildSummaryMetric :68-98): each line carries weight ``1/rate``;
+    count = uint64(Σ weights) (truncated, :81-82), sum = Σ value·w.
+    Min/max are the 0th/100th empirical quantiles. One groupBy."""
+    s = parsed.filter(F.col("sd_ok") & F.col("sd_type").isin("ms", "h", "d"))
+    weight = F.lit(1.0) / _effective_rate()
+    return s.groupBy(
+        F.col("sd_name").alias("name"), F.col("sd_attrs").alias("attrs")
+    ).agg(
+        F.sum(weight).cast("long").alias("summary_count"),
+        F.sum(F.col("sd_value") * weight).alias("summary_sum"),
+        F.min("sd_value").alias("summary_min"),
+        F.max("sd_value").alias("summary_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# carbon plaintext
+# ---------------------------------------------------------------------------
+
+def carbon_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
+    """Parse carbon plaintext ``<path> <value> <ts>`` lines.
+
+    Mirrors ``path_parser_helper.go Parse`` (:92-147): SplitN on ' '
+    must yield exactly 3 tokens; value and timestamp each parse as
+    int64 first, float64 on fallback (``cb_value_is_int`` preserves
+    the typed-datapoint distinction, :140-144); float timestamps split
+    into sec + frac·1e9 ns (:112-118). Path per
+    ``plaintext_parser.go ParsePath`` (:40-70): name before the first
+    ';' (non-empty), then ``k=v`` tags where '=' must exist at index
+    ≥1 (key non-empty; empty value legal).
+    """
+    line = F.col(line_col)
+    parts = F.split(line, " ")
+    three = F.size(parts) == 3
+    path, value_str, ts_str = parts[0], parts[1], parts[2]
+
+    name = F.substring_index(path, ";", 1)
+    # tags = everything after the FIRST ';' (values may not contain ';')
+    rest = F.when(
+        F.instr(path, ";") > 0,
+        F.substr(path, F.instr(path, ";") + 1, F.length(path)),
+    ).otherwise(F.lit(""))
+    tag_parts = F.filter(F.split(rest, ";"), lambda t: t != "")
+    tags_ok = F.forall(tag_parts, lambda t: F.instr(t, "=") > 1)
+
+    val_is_int = value_str.rlike(_INT_RE)
+    val_dbl = value_str.try_cast("double")
+    ts_is_int = ts_str.rlike(_INT_RE)
+    ts_dbl = ts_str.try_cast("double")
+    ts_ns = F.when(ts_is_int, ts_str.cast("long") * F.lit(1000000000)).otherwise(
+        (F.floor(ts_dbl).cast("long") * F.lit(1000000000))
+        + ((ts_dbl - F.floor(ts_dbl)) * F.lit(1e9)).cast("long")
+    )
+
+    ok = (
+        three
+        & (name != "")
+        & tags_ok
+        & val_dbl.isNotNull()
+        & ts_dbl.isNotNull()
+    )
+    return (
+        df.withColumn("cb_name", name)
+        .withColumn("cb_attrs", _canon_attrs(tag_parts))
+        .withColumn("cb_value", val_dbl)
+        .withColumn("cb_value_is_int", F.coalesce(val_is_int, F.lit(False)))
+        .withColumn("cb_ts_ns", ts_ns)
+        .withColumn("cb_ok", F.coalesce(ok, F.lit(False)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# prometheus exposition text
+# ---------------------------------------------------------------------------
+
+def prom_text_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
+    """Parse Prometheus exposition-format sample lines.
+
+    ``name{k="v",...} value [ts_ms]`` — value accepts the special
+    tokens ``+Inf``/``-Inf``/``NaN``. Comment/metadata lines
+    (``# ...``) and blank lines are not samples (``pm_ok`` false).
+    Emits the base name, the histogram/summary family (suffix
+    ``_bucket``/``_sum``/``_count`` stripped — how the text format
+    attaches those series to their TYPE), canonical sorted labels,
+    double value, and optional millisecond timestamp.
+    """
+    line = F.col(line_col)
+    sample_re = (
+        r'^([a-zA-Z_:][a-zA-Z0-9_:]*)'
+        r'(\{([^}]*)\})?'
+        r'\s+([^\s]+)'
+        r'(\s+(-?[0-9]+))?\s*$'
+    )
+    is_sample = line.rlike(sample_re) & ~line.startswith("#")
+    name = F.regexp_extract(line, sample_re, 1)
+    labels_raw = F.regexp_extract(line, sample_re, 3)
+    value_str = F.regexp_extract(line, sample_re, 4)
+    ts_str = F.regexp_extract(line, sample_re, 6)
+
+    label_parts = F.regexp_extract_all(
+        labels_raw, F.lit(r'([a-zA-Z_][a-zA-Z0-9_]*)="([^"]*)"'), 0
+    )
+    kv = F.transform(label_parts, lambda t: F.regexp_replace(t, '"', ""))
+
+    value = (
+        F.when(value_str == "+Inf", F.lit(float("inf")))
+        .when(value_str == "-Inf", F.lit(float("-inf")))
+        .when(value_str == "NaN", F.lit(float("nan")))
+        .otherwise(value_str.try_cast("double"))
+    )
+    family = F.regexp_replace(name, r"_(bucket|sum|count)$", "")
+    ok = is_sample & value.isNotNull()
+    return (
+        df.withColumn("pm_name", name)
+        .withColumn("pm_family", family)
+        .withColumn("pm_labels", _canon_attrs(kv))
+        .withColumn("pm_value", value)
+        .withColumn("pm_ts_ms", F.when(ts_str != "", ts_str.cast("long")))
+        .withColumn("pm_ok", F.coalesce(ok, F.lit(False)))
+    )
+
+
+def prom_type_table(df: DataFrame, line_col: str = "body") -> DataFrame:
+    """Extract ``# TYPE <name> <type>`` metadata lines into a
+    (family → metric type) dimension — broadcast-joined onto samples
+    via ``pm_family`` (small by construction: one row per metric)."""
+    line = F.col(line_col)
+    type_re = r"^# TYPE ([a-zA-Z_:][a-zA-Z0-9_:]*) (counter|gauge|histogram|summary|untyped)\s*$"
+    return (
+        df.filter(line.rlike(type_re))
+        .select(
+            F.regexp_extract(line, type_re, 1).alias("pm_family"),
+            F.regexp_extract(line, type_re, 2).alias("pm_type"),
+        )
+        .dropDuplicates(["pm_family"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# influx line protocol
+# ---------------------------------------------------------------------------
+
+def influx_line_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
+    """Parse InfluxDB line protocol (unescaped common case), one
+    output row per FIELD (fields explode; tags replicate — the same
+    flattening influxdbreceiver applies building pmetric points).
+
+    ``measurement[,k=v...] f=v[,f2=v2...] [ts_ns]`` — field values:
+    ``123i`` int, ``"str"`` string, ``true``/``false`` bool, bare
+    float otherwise. Lines with escapes (``\\,`` ``\\ `` ``\\"``) are
+    flagged not-ok rather than mis-parsed.
+    """
+    line = F.col(line_col)
+    has_escape = line.contains("\\")
+    # split on spaces NOT inside double quotes (string field values may
+    # contain spaces: measurement f="hi there" 123)
+    parts = F.split(line, r' (?=(?:[^"]*"[^"]*")*[^"]*$)')
+    n = F.size(parts)
+    shape_ok = (n == 2) | (n == 3)
+
+    head = parts[0]  # measurement[,tags]
+    fields_str = parts[1]
+    ts_str = F.when(n == 3, parts[2]).otherwise(F.lit(""))
+
+    measurement = F.substring_index(head, ",", 1)
+    tag_rest = F.when(
+        F.instr(head, ",") > 0,
+        F.substr(head, F.instr(head, ",") + 1, F.length(head)),
+    ).otherwise(F.lit(""))
+    tag_parts = F.filter(F.split(tag_rest, ","), lambda t: t != "")
+    # influx tags require non-empty key AND value
+    tags_ok = F.forall(
+        tag_parts, lambda t: (F.instr(t, "=") > 1) & (F.instr(t, "=") < F.length(t))
+    )
+
+    # split fields on commas NOT inside double quotes
+    field_parts = F.split(fields_str, r',(?=(?:[^"]*"[^"]*")*[^"]*$)')
+    fields_ok = F.forall(field_parts, lambda t: F.instr(t, "=") > 1)
+    ts_ok = (ts_str == "") | ts_str.rlike(r"^-?[0-9]+$")
+
+    ok = (
+        ~has_escape & shape_ok & (measurement != "") & tags_ok & fields_ok & ts_ok
+    )
+    out = (
+        df.withColumn("ifx_measurement", measurement)
+        .withColumn("ifx_tags", _canon_attrs(tag_parts))
+        .withColumn("ifx_ts_ns", F.when(ts_str != "", ts_str.try_cast("long")))
+        .withColumn("ifx_ok", F.coalesce(ok, F.lit(False)))
+        .withColumn("_field", F.explode_outer(F.when(ok, field_parts).otherwise(F.array(F.lit(None).cast("string")))))
+    )
+    fkey = F.substring_index(F.col("_field"), "=", 1)
+    fval = F.substr(
+        F.col("_field"), F.instr(F.col("_field"), "=") + 1, F.length(F.col("_field"))
+    )
+    is_int = fval.rlike(r"^-?[0-9]+i$")
+    is_str = fval.rlike(r'^".*"$')
+    is_bool = F.lower(fval).isin("t", "true", "f", "false")
+    ftype = (
+        F.when(is_int, "int")
+        .when(is_str, "string")
+        .when(is_bool, "bool")
+        .otherwise("float")
+    )
+    fdbl = (
+        F.when(is_int, F.regexp_replace(fval, "i$", "").cast("double"))
+        .when(is_bool, F.when(F.lower(fval).isin("t", "true"), 1.0).otherwise(0.0))
+        .when(is_str, F.lit(None).cast("double"))
+        .otherwise(fval.try_cast("double"))
+    )
+    fstr = F.when(is_str, F.regexp_replace(fval, r'^"|"$', ""))
+    float_ok = F.when(
+        (ftype == "float") & F.col("_field").isNotNull(), fdbl.isNotNull()
+    ).otherwise(F.lit(True))
+    return (
+        out.withColumn("ifx_field", F.when(F.col("_field").isNotNull(), fkey))
+        .withColumn("ifx_field_type", F.when(F.col("_field").isNotNull(), ftype))
+        .withColumn("ifx_value", fdbl)
+        .withColumn("ifx_value_str", fstr)
+        .withColumn("ifx_ok", F.col("ifx_ok") & float_ok)
+        .drop("_field")
+    )

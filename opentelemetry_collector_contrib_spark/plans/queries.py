@@ -642,3 +642,8 @@ from .queries_ext9 import EXT9_ORACLES, EXT9_QUERIES  # noqa: E402
 
 QUERIES.update(EXT9_QUERIES)
 ORACLES.update(EXT9_ORACLES)
+
+from .queries_ext10 import EXT10_ORACLES, EXT10_QUERIES  # noqa: E402
+
+QUERIES.update(EXT10_QUERIES)
+ORACLES.update(EXT10_ORACLES)

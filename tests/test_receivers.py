@@ -1,0 +1,182 @@
+"""Unit tests for the text-protocol receivers (statsd / carbon /
+prometheus text / influx line), pinned to the reference behaviors in
+``operators/receivers.py``'s docstrings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.receivers import (
+    carbon_parse,
+    influx_line_parse,
+    prom_text_parse,
+    prom_type_table,
+    statsd_counters,
+    statsd_gauges,
+    statsd_parse,
+    statsd_summaries,
+)
+
+
+def _lines(spark, rows):
+    return spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rows)], "event_id long, body string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# statsd
+# ---------------------------------------------------------------------------
+
+def test_statsd_parse_validation(spark):
+    df = _lines(spark, [
+        "cpu:4|c|@0.5|#env:prod,host:a",   # ok
+        "cpu:3:2|c",                        # value "3:2" not a float
+        "bad|line",                         # no name:value
+        ":5|c",                             # empty name
+        "x:|c",                             # empty value
+        "x:1|q",                            # unsupported type
+        "x:1|ms|T1700000000",               # T only for c/g
+        "x:1|c|T1700000000",                # T legal on counter
+        "x:1|c|zz",                         # unrecognized part
+        "x:1|c|#env",                       # simple tag w/o enable
+    ])
+    got = {r["body"]: r["sd_ok"] for r in statsd_parse(df).collect()}
+    assert got == {
+        "cpu:4|c|@0.5|#env:prod,host:a": True,
+        "cpu:3:2|c": False,
+        "bad|line": False,
+        ":5|c": False,
+        "x:|c": False,
+        "x:1|q": False,
+        "x:1|ms|T1700000000": False,
+        "x:1|c|T1700000000": True,
+        "x:1|c|zz": False,
+        "x:1|c|#env": False,
+    }
+    # simple tags become "k:" when enabled (attribute.String(k, ""))
+    ok = statsd_parse(df, enable_simple_tags=True).filter(
+        F.col("body") == "x:1|c|#env"
+    ).collect()[0]
+    assert ok["sd_ok"] and ok["sd_attrs"] == "env:"
+
+
+def test_statsd_counter_rate_scaling_truncates_per_line(spark):
+    # counterValue: int64(v / rate) per line — 3/0.5=6, 7/0.5=14;
+    # rate >= 1 ignored; truncation toward zero per line
+    df = _lines(spark, [
+        "c1:3|c|@0.5", "c1:7|c|@0.5", "c1:5|c|@2", "c1:1.9|c",
+    ])
+    out = statsd_counters(statsd_parse(df)).collect()
+    assert len(out) == 1 and out[0]["counter_value"] == 6 + 14 + 5 + 1
+
+
+def test_statsd_gauge_last_set_plus_additions(spark):
+    # 10, +3, -1, 7 (set), +2 -> 9; first line builds the point even
+    # when additive: +5, +2 -> 7
+    df = _lines(spark, [
+        "g1:10|g", "g1:+3|g", "g1:-1|g", "g1:7|g", "g1:+2|g",
+        "g2:+5|g", "g2:+2|g",
+    ])
+    out = {r["name"]: r["gauge_value"]
+           for r in statsd_gauges(statsd_parse(df), "event_id").collect()}
+    assert out == {"g1": 9.0, "g2": 7.0}
+
+
+def test_statsd_summary_weights(spark):
+    # @0.25 -> weight 4: count = 4+1 = 5, sum = 100*4 + 50*1
+    df = _lines(spark, ["t:100|ms|@0.25", "t:50|ms"])
+    out = statsd_summaries(statsd_parse(df)).collect()[0]
+    assert out["summary_count"] == 5
+    assert out["summary_sum"] == 450.0
+    assert out["summary_min"] == 50.0 and out["summary_max"] == 100.0
+
+
+def test_statsd_container_and_metric_type_attrs(spark):
+    df = _lines(spark, ["ok:1|c|c:abc123"])
+    p = statsd_parse(df, enable_metric_type=True).collect()[0]
+    assert p["sd_attrs"] == "container.id:abc123,metric_type:counter"
+
+
+# ---------------------------------------------------------------------------
+# carbon
+# ---------------------------------------------------------------------------
+
+def test_carbon_parse_typed_values_and_tags(spark):
+    df = _lines(spark, [
+        "foo.bar;env=prod;dc=us 42 1700000000",
+        "foo.bar 4.5 1700000000.25",
+        "foo.bar;=bad 1 1700000000",   # '=' at index 0 -> invalid
+        "foo bar 1 1700000000",        # 4 tokens -> invalid
+        "noval  1700000000",           # empty value token -> invalid
+    ])
+    rows = carbon_parse(df).orderBy("event_id").collect()
+    assert rows[0]["cb_ok"] and rows[0]["cb_value_is_int"]
+    assert rows[0]["cb_attrs"] == "dc=us,env=prod"
+    assert rows[0]["cb_ts_ns"] == 1700000000 * 10**9
+    assert rows[1]["cb_ok"] and not rows[1]["cb_value_is_int"]
+    assert rows[1]["cb_value"] == 4.5
+    assert rows[1]["cb_ts_ns"] == 1700000000 * 10**9 + 250_000_000
+    assert not rows[2]["cb_ok"]
+    assert not rows[3]["cb_ok"]
+    assert not rows[4]["cb_ok"]
+
+
+# ---------------------------------------------------------------------------
+# prometheus text
+# ---------------------------------------------------------------------------
+
+def test_prom_text_samples_and_types(spark):
+    df = _lines(spark, [
+        '# TYPE http_requests_total counter',
+        '# HELP http_requests_total The total',
+        'http_requests_total{method="get",code="200"} 1027 1700000000123',
+        'http_latency_bucket{le="+Inf"} 20',
+        'up 1',
+        'bad{ 3',
+        'x_val +Inf',
+    ])
+    parsed = prom_text_parse(df)
+    rows = {r["body"]: r for r in parsed.collect()}
+    assert not rows['# TYPE http_requests_total counter']["pm_ok"]
+    s = rows['http_requests_total{method="get",code="200"} 1027 1700000000123']
+    assert s["pm_ok"] and s["pm_labels"] == "code=200,method=get"
+    assert s["pm_value"] == 1027.0 and s["pm_ts_ms"] == 1700000000123
+    b = rows['http_latency_bucket{le="+Inf"} 20']
+    assert b["pm_family"] == "http_latency"  # _bucket stripped
+    assert rows['up 1']["pm_ok"] and not rows['bad{ 3']["pm_ok"]
+    assert rows['x_val +Inf']["pm_value"] == float("inf")
+
+    types = {r["pm_family"]: r["pm_type"] for r in prom_type_table(df).collect()}
+    assert types == {"http_requests_total": "counter"}
+
+
+# ---------------------------------------------------------------------------
+# influx line protocol
+# ---------------------------------------------------------------------------
+
+def test_influx_fields_explode_typed(spark):
+    df = _lines(spark, [
+        'weather,city=SF,unit=c temp=21.5,hum=40i 1700000000000000000',
+        'weather note="hi there",okflag=true',
+        'weather,city= temp=1',    # empty tag value -> invalid
+        'weather bad 123',         # field w/o '=' -> invalid
+    ])
+    rows = influx_line_parse(df).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["event_id"], []).append(r)
+    first = {r["ifx_field"]: r for r in by[0]}
+    assert first["temp"]["ifx_field_type"] == "float"
+    assert first["temp"]["ifx_value"] == 21.5
+    assert first["hum"]["ifx_field_type"] == "int"
+    assert first["hum"]["ifx_value"] == 40.0
+    assert first["temp"]["ifx_tags"] == "city=SF,unit=c"
+    assert first["temp"]["ifx_ts_ns"] == 1700000000000000000
+    second = {r["ifx_field"]: r for r in by[1]}
+    assert second["note"]["ifx_field_type"] == "string"
+    assert second["note"]["ifx_value_str"] == "hi there"
+    assert second["okflag"]["ifx_field_type"] == "bool"
+    assert second["okflag"]["ifx_value"] == 1.0
+    assert all(not r["ifx_ok"] for r in by[2])
+    assert all(not r["ifx_ok"] for r in by[3])
