@@ -1498,3 +1498,127 @@ def quality_classifier_train(
         b = float(row["__b"])
         w = {n: float(row[n]) for n in names}
     return b, w
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding (apply a mined merge list — the tokenizer-application
+# half of Sennrich et al. 2016; pairs with bpe_merge_candidates, the
+# training half)
+# ---------------------------------------------------------------------------
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passes: int = 4,
+) -> DataFrame:
+    """Tokenize each document with a literal BPE merge list.
+
+    Per whitespace word: initialize symbols as characters, then apply
+    each merge in priority order as a delimited string replace
+    (`` a b `` → `` ab `` on the space-joined symbol string), repeated
+    ``passes`` times per merge so adjacent repeats whose shared
+    delimiter was consumed by the previous replacement still merge
+    (leftmost-first, exactly the greedy BPE application order). This
+    is the standard apply-merges-in-rank-order encoder; a merge whose
+    output feeds an EARLIER merge is not revisited (document if your
+    merge table has such chains — rank-ordered tables from
+    bpe_merge_candidates don't).
+
+    Plan: one codegen'd projection — transform() over the word array
+    applies the replace chain per word; NO explode, NO shuffle, NO
+    Python. The merge list is a compile-time literal (exactly how a
+    trained tokenizer ships with a pipeline); at 100 TB this is a
+    pure map stage that fuses into the scan.
+    """
+    words = tokens_col(F.lower(F.col(text_col)))
+
+    def encode_word(w: Column) -> Column:
+        # 'abc' -> ' a b c ' (delimited symbol string)
+        s = F.concat(F.lit(" "), F.trim(F.regexp_replace(w, "(.)", "$1 ")), F.lit(" "))
+        for a, b in merges:
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            for _ in range(passes):
+                s = F.replace(s, F.lit(pat), F.lit(rep))
+        return F.trim(s)
+
+    encoded = F.transform(words, encode_word)
+    token_arrays = F.flatten(
+        F.transform(encoded, lambda e: F.split(e, " "))
+    )
+    return df.select(
+        F.col(id_col),
+        F.concat_ws(" ", token_arrays).alias("bpe_text"),
+        F.coalesce(F.size(token_arrays), F.lit(0)).alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023 —
+# hashed n-gram importance weights log p_target(f) - log q_raw(f))
+# ---------------------------------------------------------------------------
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 512,
+    smoothing: float = 1.0,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-document DSIR importance weight: hashed unigram features,
+    ``w(d) = Σ_f count_f(d) · (ln p̂_target(f) − ln q̂_raw(f))`` with
+    Laplace-``smoothing`` estimates. Documents scoring high look like
+    the target distribution — the weights feed importance resampling
+    of a raw corpus toward a curated target (DSIR's bag-of-hashed-
+    ngrams formulation).
+
+    Feature hash is md5-hex-prefix mod ``buckets`` (engine-portable,
+    the repo-wide convention). Plan: explode tokens → ONE
+    groupBy(bucket) computing raw counts AND target counts together
+    (no second pass over the corpus for the target distribution —
+    it's a filtered sum in the same shuffle) → per-bucket log-ratio
+    table (``buckets`` rows, broadcast) → token⋈bucket equi-join →
+    groupBy(doc) weighted sum. Two token explodes total (stats +
+    scoring — the unigram_lm dual-pass shape); both shuffles are
+    map-side combined and O(tokens). The totals are a one-row driver
+    collect inlined as literals.
+
+    Cross-engine: counts are exact ints; ln() ≤1 ulp; per-doc sums
+    reorder under parallel agg → rounded to ``dp`` (unigram_nll's
+    convention).
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("__is_target"),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("t"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("t")), 1, 4), 16, 10).cast("int"),
+        F.lit(buckets),
+    ).alias("bucket")
+    stats = toks.select(bucket, "__is_target").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("q_cnt"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("p_cnt"),
+    )
+    tot = stats.agg(
+        F.sum("q_cnt").alias("q"), F.sum("p_cnt").alias("p")
+    ).collect()[0]
+    q_total, p_total = int(tot["q"] or 0), int(tot["p"] or 0)
+    a, B = float(smoothing), buckets
+    lam = stats.select(
+        "bucket",
+        (
+            F.log((F.col("p_cnt") + a) / F.lit(p_total + a * B))
+            - F.log((F.col("q_cnt") + a) / F.lit(q_total + a * B))
+        ).alias("lam"),
+    )
+    scored = (
+        toks.select(F.col(id_col), bucket)
+        .join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("lam"), dp).alias("dsir_w"))
+    )
+    return scored

@@ -354,3 +354,105 @@ EXT10_ORACLES: dict[str, str] = {
     "prom_text_parse": O_PROM_TEXT,
     "influx_line_parse": O_INFLUX,
 }
+
+
+# ---------------------------------------------------------------------------
+# BPE encode (apply mined merges — pairs with bpe_merges)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "u"), ("o", "n"),
+]
+_BPE_PASSES = 4
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_encode
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_encode(docs, _BPE_MERGES, passes=_BPE_PASSES).select(
+        "doc_id", "bpe_text", "n_bpe_tokens"
+    )
+
+
+def _bpe_oracle() -> str:
+    # per-word: ' '+chars+' ' then the same replace chain, 4 passes per
+    # merge, leftmost non-overlapping — replace() semantics match Spark
+    enc = "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
+    for a, b in _BPE_MERGES:
+        for _ in range(_BPE_PASSES):
+            enc = f"replace({enc}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS ws
+  FROM documents
+),
+encw AS (
+  SELECT doc_id,
+         list_transform(ws, w -> trim({enc})) AS ew
+  FROM words
+)
+SELECT doc_id,
+       array_to_string(ew, ' ') AS bpe_text,
+       coalesce(list_sum(list_transform(ew,
+                e -> len(string_split(e, ' ')))), 0)::BIGINT AS n_bpe_tokens
+FROM encw
+"""
+
+
+O_BPE_ENCODE = _bpe_oracle()
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed unigrams, target = lang 'en')
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import dsir_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs, target_pred=F.col("lang") == "en", buckets=_DSIR_B
+    ).select("doc_id", "dsir_w")
+
+
+O_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t != '')) AS t
+  FROM documents
+),
+b AS (
+  SELECT doc_id, tgt,
+         ('0x' || substr(md5(t), 1, 4))::INT % {_DSIR_B} AS bucket
+  FROM toks
+),
+stats AS (
+  SELECT bucket, count(*) AS q_cnt,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS p_cnt
+  FROM b GROUP BY 1
+),
+tot AS (SELECT sum(q_cnt) AS q, sum(p_cnt) AS p FROM stats),
+lam AS (
+  SELECT bucket,
+         ln((p_cnt + 1.0) / (p + 1.0 * {_DSIR_B}))
+           - ln((q_cnt + 1.0) / (q + 1.0 * {_DSIR_B})) AS lam
+  FROM stats, tot
+)
+SELECT doc_id, round(sum(lam), 6) AS dsir_w
+FROM b JOIN lam USING (bucket)
+GROUP BY 1
+"""
+
+
+EXT10_QUERIES["bpe_encode"] = q_bpe_encode
+EXT10_ORACLES["bpe_encode"] = O_BPE_ENCODE
+EXT10_QUERIES["dsir_weights"] = q_dsir_weights
+EXT10_ORACLES["dsir_weights"] = O_DSIR
