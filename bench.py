@@ -94,6 +94,13 @@ BENCH_QUERIES = [
     "spanmetrics",
     "servicegraph",
     "stream_spanmetrics",
+    # round-4 continuation: receiver + curation additions
+    "statsd_counters",
+    "carbon_parser",
+    "prom_text_parse",
+    "influx_line_parse",
+    "bpe_encode",
+    "dsir_weights",
 ]
 
 PIPELINE_CONVS = 30_000  # ~600k turns; comparable to sf0.1 lineitem

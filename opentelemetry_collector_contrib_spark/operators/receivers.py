@@ -408,3 +408,54 @@ def influx_line_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
         .withColumn("ifx_ok", F.col("ifx_ok") & float_ok)
         .drop("_field")
     )
+
+
+# ---------------------------------------------------------------------------
+# loki push format
+# ---------------------------------------------------------------------------
+
+_LOKI_SCHEMA = (
+    "streams array<struct<stream: map<string,string>, "
+    "values: array<array<string>>>>"
+)
+
+
+def loki_push_parse(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """Parse Loki HTTP push-request JSON bodies into one row per log
+    entry.
+
+    Mirrors ``receiver/lokireceiver/internal/unmarshal.go`` (:20-133):
+    ``{"streams":[{"stream":{k:v,...},"values":[["<ts_ns>","<line>"],
+    ...]}]}`` — the stream's label set becomes the entry's attributes
+    (sorted canonical string, LabelSet.String() is sorted too), value
+    tuples are [unix-ns string, line]; a non-integer timestamp or
+    missing line fails the entry (``lk_ok`` false).
+
+    Plan: gated ``from_json`` + two Generates — all JVM-side; the JSON
+    schema prunes to exactly the fields used.
+    """
+    parsed = F.from_json(F.col(body_col), _LOKI_SCHEMA)
+    out = df.withColumn("_stream", F.explode_outer(parsed["streams"]))
+    labels = F.concat_ws(
+        ",",
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.col("_stream.stream")),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+    )
+    out = out.withColumn("lk_labels", labels).withColumn(
+        "_value", F.explode_outer(F.col("_stream.values"))
+    )
+    ts = F.element_at(F.col("_value"), 1).try_cast("long")
+    line = F.element_at(F.col("_value"), 2)
+    return (
+        out.withColumn("lk_ts_ns", ts)
+        .withColumn("lk_line", line)
+        .withColumn(
+            "lk_ok",
+            F.coalesce(ts.isNotNull() & line.isNotNull(), F.lit(False)),
+        )
+        .drop("_stream", "_value")
+    )

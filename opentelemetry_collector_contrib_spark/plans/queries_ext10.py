@@ -456,3 +456,70 @@ EXT10_QUERIES["bpe_encode"] = q_bpe_encode
 EXT10_ORACLES["bpe_encode"] = O_BPE_ENCODE
 EXT10_QUERIES["dsir_weights"] = q_dsir_weights
 EXT10_ORACLES["dsir_weights"] = O_DSIR
+
+
+# ---------------------------------------------------------------------------
+# loki push-format receiver (one row per value tuple)
+# ---------------------------------------------------------------------------
+
+def q_loki_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import loki_push_parse
+
+    ev = load(spark, sf_dir, "events")
+    ts1 = (F.lit(1700000000000000000) + F.col("event_id")).cast("string")
+    ts2 = (F.lit(1700000000000000000) + F.col("event_id") + F.lit(1)).cast("string")
+    body = F.concat(
+        F.lit('{"streams":[{"stream":{"app":"'), F.col("event_type"),
+        F.lit('","env":"'),
+        F.when(F.col("user_id") % 2 == 0, "prod").otherwise("dev"),
+        F.lit('"},"values":[["'), ts1,
+        F.lit('","line a '), F.col("event_id").cast("string"),
+        F.lit('"],["'), ts2,
+        F.lit('","line b '), F.col("event_id").cast("string"),
+        F.lit('"]]}]}'),
+    )
+    out = loki_push_parse(ev.select("event_id", body.alias("body")))
+    return out.filter(F.col("lk_ok")).select(
+        "event_id", "lk_labels", "lk_ts_ns", "lk_line"
+    )
+
+
+O_LOKI = """
+WITH base AS (
+  SELECT event_id,
+         'app=' || event_type || ',env='
+           || CASE WHEN user_id % 2 = 0 THEN 'prod' ELSE 'dev' END AS labels,
+         1700000000000000000 + event_id AS ts
+  FROM events
+)
+SELECT event_id, labels AS lk_labels, ts AS lk_ts_ns,
+       'line a ' || CAST(event_id AS VARCHAR) AS lk_line
+FROM base
+UNION ALL
+SELECT event_id, labels, ts + 1, 'line b ' || CAST(event_id AS VARCHAR)
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming statsd counters (the receiver's flush-interval aggregation
+# on a live stream: parse -> counter groupBy in complete mode; oracle
+# is the batch counter aggregation — streaming==batch value equality)
+# ---------------------------------------------------------------------------
+
+def q_stream_statsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_streaming import EVENTS_SCHEMA, _as_dir, _run_stream
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _as_dir(f"{sf_dir}/events.parquet")
+    )
+    parsed = statsd_parse(_statsd_lines(stream))
+    counts = statsd_counters(parsed).select("name", "attrs", "counter_value")
+    _run_stream(counts, "sstatsd_agg")
+    return spark.table("sstatsd_agg")
+
+
+EXT10_QUERIES["loki_push_parse"] = q_loki_push
+EXT10_ORACLES["loki_push_parse"] = O_LOKI
+EXT10_QUERIES["stream_statsd_counters"] = q_stream_statsd
+EXT10_ORACLES["stream_statsd_counters"] = O_STATSD_COUNTERS

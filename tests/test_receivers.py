@@ -180,3 +180,31 @@ def test_influx_fields_explode_typed(spark):
     assert second["okflag"]["ifx_value"] == 1.0
     assert all(not r["ifx_ok"] for r in by[2])
     assert all(not r["ifx_ok"] for r in by[3])
+
+
+# ---------------------------------------------------------------------------
+# loki push format
+# ---------------------------------------------------------------------------
+
+def test_loki_push_parse(spark):
+    from opentelemetry_collector_contrib_spark.operators.receivers import (
+        loki_push_parse,
+    )
+
+    df = _lines(spark, [
+        '{"streams":[{"stream":{"app":"web","env":"prod"},'
+        '"values":[["1700000000000000000","hello"],'
+        '["1700000000000000001","world"]]}]}',
+        '{"streams":[{"stream":{"a":"b"},"values":[["notanum","x"]]}]}',
+        'not json at all',
+    ])
+    rows = loki_push_parse(df).collect()
+    ok = [r for r in rows if r["lk_ok"]]
+    assert len(ok) == 2
+    assert {r["lk_line"] for r in ok} == {"hello", "world"}
+    assert all(r["lk_labels"] == "app=web,env=prod" for r in ok)
+    assert sorted(r["lk_ts_ns"] for r in ok) == [
+        1700000000000000000, 1700000000000000001,
+    ]
+    bad = [r for r in rows if not r["lk_ok"]]
+    assert len(bad) == 2  # bad timestamp entry + unparseable body
