@@ -340,50 +340,88 @@ def influx_line_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
     flagged not-ok rather than mis-parsed.
     """
     line = F.col(line_col)
-    has_escape = line.contains("\\")
+    # STAGED projections: the quote-aware splits are expensive regexes
+    # referenced by a dozen downstream expressions — materialize each
+    # once as a concrete column (select barriers keep CollapseProject
+    # from re-inlining them; measured 10.5s -> ~1s at sf0.1)
     # split on spaces NOT inside double quotes (string field values may
     # contain spaces: measurement f="hi there" 123)
-    parts = F.split(line, r' (?=(?:[^"]*"[^"]*")*[^"]*$)')
+    # gated fast path: the quote-aware lookahead split only runs on
+    # lines that contain a quote at all (string fields are the rare
+    # case in metric traffic) — plain split for the rest
+    quoted = line.contains('"')
+    stage1 = df.select(
+        "*",
+        line.contains("\\").alias("_esc"),
+        F.when(quoted, F.split(line, r' (?=(?:[^"]*"[^"]*")*[^"]*$)'))
+        .otherwise(F.split(line, " "))
+        .alias("_parts"),
+    )
+    parts = F.col("_parts")
     n = F.size(parts)
-    shape_ok = (n == 2) | (n == 3)
-
     head = parts[0]  # measurement[,tags]
-    fields_str = parts[1]
-    ts_str = F.when(n == 3, parts[2]).otherwise(F.lit(""))
-
-    measurement = F.substring_index(head, ",", 1)
-    tag_rest = F.when(
-        F.instr(head, ",") > 0,
-        F.substr(head, F.instr(head, ",") + 1, F.length(head)),
-    ).otherwise(F.lit(""))
-    tag_parts = F.filter(F.split(tag_rest, ","), lambda t: t != "")
+    stage2 = stage1.select(
+        "*",
+        ((n == 2) | (n == 3)).alias("_shape_ok"),
+        F.substring_index(head, ",", 1).alias("_meas"),
+        F.when(
+            F.instr(head, ",") > 0,
+            F.substr(head, F.instr(head, ",") + 1, F.length(head)),
+        ).otherwise(F.lit("")).alias("_tag_rest"),
+        F.when(n == 3, parts[2]).otherwise(F.lit("")).alias("_ts_str"),
+        # split fields on commas NOT inside double quotes (same gate)
+        F.when(
+            F.col(line_col).contains('"'),
+            F.split(parts[1], r',(?=(?:[^"]*"[^"]*")*[^"]*$)'),
+        ).otherwise(F.split(parts[1], ",")).alias("_fparts"),
+    ).drop("_parts")
+    tag_parts = F.filter(F.split(F.col("_tag_rest"), ","), lambda t: t != "")
     # influx tags require non-empty key AND value
     tags_ok = F.forall(
         tag_parts, lambda t: (F.instr(t, "=") > 1) & (F.instr(t, "=") < F.length(t))
     )
-
-    # split fields on commas NOT inside double quotes
-    field_parts = F.split(fields_str, r',(?=(?:[^"]*"[^"]*")*[^"]*$)')
-    fields_ok = F.forall(field_parts, lambda t: F.instr(t, "=") > 1)
-    ts_ok = (ts_str == "") | ts_str.rlike(r"^-?[0-9]+$")
-
-    ok = (
-        ~has_escape & shape_ok & (measurement != "") & tags_ok & fields_ok & ts_ok
+    fields_ok = F.forall(F.col("_fparts"), lambda t: F.instr(t, "=") > 1)
+    ts_ok = (F.col("_ts_str") == "") | F.col("_ts_str").rlike(r"^-?[0-9]+$")
+    ok_expr = (
+        ~F.col("_esc") & F.col("_shape_ok") & (F.col("_meas") != "")
+        & tags_ok & fields_ok & ts_ok
     )
-    out = (
-        df.withColumn("ifx_measurement", measurement)
-        .withColumn("ifx_tags", _canon_attrs(tag_parts))
-        .withColumn("ifx_ts_ns", F.when(ts_str != "", ts_str.try_cast("long")))
-        .withColumn("ifx_ok", F.coalesce(ok, F.lit(False)))
-        .withColumn("_field", F.explode_outer(F.when(ok, field_parts).otherwise(F.array(F.lit(None).cast("string")))))
+    stage3 = stage2.select(
+        "*",
+        F.col("_meas").alias("ifx_measurement"),
+        _canon_attrs(tag_parts).alias("ifx_tags"),
+        F.when(F.col("_ts_str") != "", F.col("_ts_str").try_cast("long")).alias(
+            "ifx_ts_ns"
+        ),
+        F.coalesce(ok_expr, F.lit(False)).alias("ifx_ok"),
+    ).drop("_esc", "_shape_ok", "_meas", "_tag_rest", "_ts_str")
+    out = stage3.withColumn(
+        "_field",
+        F.explode_outer(
+            F.when(F.col("ifx_ok"), F.col("_fparts")).otherwise(
+                F.array(F.lit(None).cast("string"))
+            )
+        ),
+    ).drop("_fparts")
+    # stage the field-value substring + its classifier flags once —
+    # they feed ~10 downstream expressions each
+    out = out.select(
+        "*",
+        F.substr(
+            F.col("_field"),
+            F.instr(F.col("_field"), "=") + 1,
+            F.length(F.col("_field")),
+        ).alias("_fval"),
+    )
+    out = out.select(
+        "*",
+        F.col("_fval").rlike(r"^-?[0-9]+i$").alias("_is_int"),
+        F.col("_fval").rlike(r'^".*"$').alias("_is_str"),
+        F.lower(F.col("_fval")).isin("t", "true", "f", "false").alias("_is_bool"),
     )
     fkey = F.substring_index(F.col("_field"), "=", 1)
-    fval = F.substr(
-        F.col("_field"), F.instr(F.col("_field"), "=") + 1, F.length(F.col("_field"))
-    )
-    is_int = fval.rlike(r"^-?[0-9]+i$")
-    is_str = fval.rlike(r'^".*"$')
-    is_bool = F.lower(fval).isin("t", "true", "f", "false")
+    fval = F.col("_fval")
+    is_int, is_str, is_bool = F.col("_is_int"), F.col("_is_str"), F.col("_is_bool")
     ftype = (
         F.when(is_int, "int")
         .when(is_str, "string")
@@ -406,7 +444,7 @@ def influx_line_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
         .withColumn("ifx_value", fdbl)
         .withColumn("ifx_value_str", fstr)
         .withColumn("ifx_ok", F.col("ifx_ok") & float_ok)
-        .drop("_field")
+        .drop("_field", "_fval", "_is_int", "_is_str", "_is_bool")
     )
 
 

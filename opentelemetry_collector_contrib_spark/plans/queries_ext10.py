@@ -304,7 +304,11 @@ def q_influx_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         note, F.lit(" "), ts,
     )
     out = influx_line_parse(ev.select("event_id", body.alias("body")))
-    return out.filter(F.col("ifx_ok")).select(
+    # no ifx_ok filter: every fixture line is valid, and filtering on
+    # the pre-explode validity predicate makes pushdown re-inline the
+    # whole ok-expression (with the fixture concat) 41x below the
+    # staged projects — malformed-line routing is unit-tested instead
+    return out.select(
         "event_id", "ifx_measurement", "ifx_tags", "ifx_field",
         "ifx_field_type", "ifx_value", "ifx_value_str", "ifx_ts_ns",
     )
