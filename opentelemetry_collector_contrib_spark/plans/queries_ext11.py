@@ -1,0 +1,195 @@
+"""Round-4 vendor-semantics queries: coralogix transaction
+attribution (span-tree walk, recursive-CTE oracle) + datadog
+semantic-attribute derivation.
+
+The span fixture is a deterministic binary tree per trace: trace =
+``tr<user_id>``, spans indexed by ``row_number`` over event order,
+parent of span i is span i//2 — so the oracle can reconstruct every
+parent pointer arithmetically and replay the tree walk with a
+recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import QueryFn, load
+
+
+def _span_fixture(ev: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    idx = F.row_number().over(w)
+    tr = F.concat(F.lit("tr"), F.col("user_id").cast("string"))
+    df = ev.select(
+        "event_id", "user_id", "event_type", tr.alias("trace_id"),
+        idx.alias("idx"),
+    )
+    span = F.concat(F.col("trace_id"), F.lit("-s"), F.col("idx").cast("string"))
+    parent = F.when(
+        F.col("idx") > 1,
+        F.concat(
+            F.col("trace_id"), F.lit("-s"),
+            F.floor(F.col("idx") / 2).cast("string"),
+        ),
+    )
+    kind = (
+        F.when(F.col("idx") % 7 == 0, "server")
+        .when(F.col("idx") % 5 == 0, "consumer")
+        .when(F.col("idx") % 3 == 0, "client")
+        .otherwise("internal")
+    )
+    return df.select(
+        "trace_id",
+        span.alias("span_id"),
+        parent.alias("parent_span_id"),
+        F.concat(F.lit("op-"), F.col("event_type")).alias("name"),
+        kind.alias("kind"),
+    )
+
+
+_SQL_SPANS = """
+s AS (
+  SELECT 'tr' || CAST(user_id AS VARCHAR) AS trace_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS idx,
+         event_type
+  FROM events
+),
+spans AS (
+  SELECT trace_id,
+         trace_id || '-s' || CAST(idx AS VARCHAR) AS span_id,
+         CASE WHEN idx > 1
+              THEN trace_id || '-s' || CAST(idx // 2 AS VARCHAR) END AS parent_id,
+         'op-' || event_type AS name,
+         CASE WHEN idx % 7 = 0 THEN 'server'
+              WHEN idx % 5 = 0 THEN 'consumer'
+              WHEN idx % 3 = 0 THEN 'client'
+              ELSE 'internal' END AS kind
+  FROM s
+)
+"""
+
+
+def q_coralogix_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vendor_semantics import coralogix_transactions
+
+    spans = _span_fixture(load(spark, sf_dir, "events"))
+    return coralogix_transactions(spans, rounds=6)
+
+
+O_CORALOGIX = f"""
+WITH RECURSIVE {_SQL_SPANS},
+walk AS (
+  SELECT trace_id, span_id, name AS txn, TRUE AS is_root
+  FROM spans
+  WHERE parent_id IS NULL OR kind IN ('server', 'consumer')
+  UNION ALL
+  SELECT sp.trace_id, sp.span_id, w.txn, FALSE
+  FROM spans sp JOIN walk w
+    ON sp.parent_id = w.span_id AND sp.trace_id = w.trace_id
+  WHERE sp.parent_id IS NOT NULL AND sp.kind NOT IN ('server', 'consumer')
+)
+SELECT trace_id, span_id, txn, is_root FROM walk
+"""
+
+
+def q_datadog_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vendor_semantics import datadog_semantics
+
+    ev = load(spark, sf_dir, "events")
+    attrs = ev.select(
+        "event_id",
+        F.when(
+            F.col("user_id") % 10 != 0,
+            F.concat(F.lit("svc-"), (F.col("user_id") % 5).cast("string")),
+        ).alias("service_name"),
+        F.when(
+            F.col("user_id") % 4 != 0,
+            F.concat(F.lit("v1."), (F.col("user_id") % 3).cast("string")),
+        ).alias("service_version"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("prod")).alias("deployment_env"),
+        F.when(F.col("event_id") % 3 == 0, "SERVER").otherwise("Client").alias("kind"),
+        F.when(F.col("event_type") == "error", "error").otherwise("ok").alias(
+            "status_code"
+        ),
+        F.when(
+            F.col("user_id") % 2 == 0,
+            F.concat(F.lit("boom "), (F.col("event_id") % 7).cast("string")),
+        ).otherwise(F.lit("")).alias("status_message"),
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(F.lit("exc "), (F.col("event_id") % 5).cast("string")),
+        ).alias("exception_message"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("ValueError")).alias(
+            "exception_type"
+        ),
+        F.when(
+            F.col("user_id") % 3 == 0, (F.lit(500) + F.col("user_id") % 3)
+        ).alias("http_status_code"),
+        F.when(
+            F.col("event_id") % 6 == 0,
+            F.concat(F.lit("sha"), (F.col("event_id") % 100).cast("string")),
+        ).alias("vcs_revision"),
+        F.when(
+            F.col("event_id") % 4 == 0, F.lit("https://example.com/org/repo")
+        ).otherwise(F.lit("example.com/raw")).alias("vcs_repo_url"),
+    )
+    out = datadog_semantics(attrs, override=True)
+    return out.select(
+        "event_id", "datadog_version", "datadog_service", "datadog_env",
+        "datadog_span_kind", "git_commit_sha", "git_repository_url",
+        "datadog_http_status_code", "datadog_error", "datadog_error_msg",
+        "datadog_error_type",
+    )
+
+
+O_DATADOG = """
+WITH a AS (
+  SELECT event_id,
+         CASE WHEN user_id % 10 != 0
+              THEN 'svc-' || CAST(user_id % 5 AS VARCHAR) END AS service_name,
+         CASE WHEN user_id % 4 != 0
+              THEN 'v1.' || CAST(user_id % 3 AS VARCHAR) END AS service_version,
+         CASE WHEN user_id % 2 = 0 THEN 'prod' END AS deployment_env,
+         CASE WHEN event_id % 3 = 0 THEN 'SERVER' ELSE 'Client' END AS kind,
+         event_type = 'error' AS is_err,
+         CASE WHEN user_id % 2 = 0
+              THEN 'boom ' || CAST(event_id % 7 AS VARCHAR) ELSE '' END AS status_message,
+         CASE WHEN event_id % 2 = 0
+              THEN 'exc ' || CAST(event_id % 5 AS VARCHAR) END AS exception_message,
+         CASE WHEN event_id % 2 = 0 THEN 'ValueError' END AS exception_type,
+         CASE WHEN user_id % 3 = 0 THEN 500 + user_id % 3 END AS http_status_code,
+         CASE WHEN event_id % 6 = 0
+              THEN 'sha' || CAST(event_id % 100 AS VARCHAR) END AS vcs_revision,
+         CASE WHEN event_id % 4 = 0 THEN 'https://example.com/org/repo'
+              ELSE 'example.com/raw' END AS vcs_repo_url
+  FROM events
+)
+SELECT event_id,
+       coalesce(service_version, '') AS datadog_version,
+       coalesce(service_name, 'otlpresourcenoservicename') AS datadog_service,
+       coalesce(deployment_env, 'default') AS datadog_env,
+       lower(kind) AS datadog_span_kind,
+       vcs_revision AS git_commit_sha,
+       regexp_replace(vcs_repo_url, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
+         AS git_repository_url,
+       CAST(http_status_code AS VARCHAR) AS datadog_http_status_code,
+       CAST(is_err AS INT) AS datadog_error,
+       CASE WHEN is_err THEN coalesce(
+           exception_message,
+           CASE WHEN status_message != '' THEN status_message END,
+           CAST(http_status_code AS VARCHAR)) END AS datadog_error_msg,
+       CASE WHEN is_err THEN exception_type END AS datadog_error_type
+FROM a
+"""
+
+
+EXT11_QUERIES: dict[str, QueryFn] = {
+    "coralogix_txn": q_coralogix_txn,
+    "datadog_semantics": q_datadog_semantics,
+}
+
+EXT11_ORACLES: dict[str, str] = {
+    "coralogix_txn": O_CORALOGIX,
+    "datadog_semantics": O_DATADOG,
+}
