@@ -182,3 +182,129 @@ def datadog_semantics(
         out, "datadog_error_type", F.when(is_err, c(exc_type_col))
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# sumologic processor (cloud namespace -> attribute translation ->
+# log-fields conversion, in the reference's sub-processor order:
+# processor/sumologicprocessor/processor.go:47-55)
+# ---------------------------------------------------------------------------
+
+# translate_attributes_processor.go:19-42 (verbatim table)
+SUMO_ATTRIBUTE_TRANSLATIONS: dict[str, str] = {
+    "cloud.account.id": "AccountId",
+    "cloud.availability_zone": "AvailabilityZone",
+    "cloud.platform": "aws_service",
+    "cloud.region": "Region",
+    "host.id": "InstanceId",
+    "host.name": "host",
+    "host.type": "InstanceType",
+    "k8s.cluster.name": "Cluster",
+    "k8s.container.name": "container",
+    "k8s.daemonset.name": "daemonset",
+    "k8s.deployment.name": "deployment",
+    "k8s.namespace.name": "namespace",
+    "k8s.node.name": "node",
+    "k8s.service.name": "service",
+    "k8s.pod.hostname": "host",
+    "k8s.pod.name": "pod",
+    "k8s.pod.uid": "pod_id",
+    "k8s.replicaset.name": "replicaset",
+    "k8s.statefulset.name": "statefulset",
+    "service.name": "service",
+    "log.file.path_resolved": "_sourceName",
+}
+
+# cloud_namespace_processor.go:20-23,71-78
+SUMO_CLOUD_NAMESPACES: dict[str, str] = {
+    "aws_ec2": "aws/ec2",
+    "aws_ecs": "ecs",
+    "aws_elastic_beanstalk": "ElasticBeanstalk",
+}
+
+# log_fields_conversion_processor.go:52-78 — severity number -> level
+SUMO_SEVERITY_LEVELS: dict[int, str] = {0: "UNSPECIFIED"}
+for _base, _name in ((1, "TRACE"), (5, "DEBUG"), (9, "INFO"),
+                     (13, "WARN"), (17, "ERROR"), (21, "FATAL")):
+    SUMO_SEVERITY_LEVELS[_base] = _name
+    for _i in (2, 3, 4):
+        SUMO_SEVERITY_LEVELS[_base + _i - 1] = f"{_name}{_i}"
+
+
+def sumologic_cloud_namespace(attrs: Column) -> Column:
+    """Insert ``cloud.namespace`` derived from ``cloud.platform``
+    (cloud_namespace_processor.go:60-80); unknown platforms add
+    nothing. PutStr overwrite semantics: any existing cloud.namespace
+    entry is replaced."""
+    platform = F.element_at(attrs, "cloud.platform")
+    pairs = []
+    for k, v in SUMO_CLOUD_NAMESPACES.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    ns = F.element_at(F.create_map(*pairs), platform)
+    cleaned = F.map_filter(attrs, lambda k, _v: k != F.lit("cloud.namespace"))
+    return F.when(
+        ns.isNotNull(),
+        F.map_concat(cleaned, F.create_map(F.lit("cloud.namespace"), ns)),
+    ).otherwise(attrs)
+
+
+def sumologic_translate_attributes(attrs: Column) -> Column:
+    """OpenTelemetry -> Sumo Logic attribute renames
+    (translate_attributes_processor.go:86-111): an entry is renamed
+    only when its target key is NOT already present in the original
+    map (insert-without-overwrite), and among several entries landing
+    on one result key the FIRST in entry order wins.
+
+    Note: the reference iterates a Go map (random order), so its
+    collision winner is nondeterministic run-to-run; this engine pins
+    entry order — deterministic, and identical whenever a record
+    carries at most one source per target (the normal case).
+    """
+    pairs = []
+    for k, v in SUMO_ATTRIBUTE_TRANSLATIONS.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    lookup = F.create_map(*pairs)
+    entries = F.transform(
+        F.map_entries(attrs),
+        lambda e: F.struct(
+            F.when(
+                F.element_at(lookup, e["key"]).isNotNull()
+                & ~F.map_contains_key(attrs, F.element_at(lookup, e["key"])),
+                F.element_at(lookup, e["key"]),
+            ).otherwise(e["key"]).alias("key"),
+            e["value"].alias("value"),
+        ),
+    )
+    keys = F.transform(entries, lambda e: e["key"])
+    first_wins = F.filter(
+        entries,
+        lambda e, i: F.array_position(keys, e["key"]) == i + 1,
+    )
+    return F.map_from_entries(first_wins)
+
+
+def sumologic_loglevel(severity_number: Column) -> Column:
+    """Severity number -> Sumo 'loglevel' field
+    (log_fields_conversion_processor.go:52-90)."""
+    pairs = []
+    for k, v in SUMO_SEVERITY_LEVELS.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.element_at(F.create_map(*pairs), severity_number.cast("int"))
+
+
+def sumologic_semantics(
+    df: DataFrame,
+    attrs_col: str = "attrs",
+    severity_num_col: str = "severity_number",
+    out_col: str = "attrs",
+) -> DataFrame:
+    """The sumologic processor's semantic stages in reference order
+    (processor.go:47-55): cloud namespace insertion, attribute
+    translation, severity-number -> ``loglevel``. Zero-shuffle map
+    surgery; telegraf/docker metric-name tables and attribute nesting
+    are config-gated vendor exports, declared out of scope."""
+    a = sumologic_cloud_namespace(F.col(attrs_col))
+    a = sumologic_translate_attributes(a)
+    return df.withColumn(out_col, a).withColumn(
+        "loglevel", sumologic_loglevel(F.col(severity_num_col))
+    )

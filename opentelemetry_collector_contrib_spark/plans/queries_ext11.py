@@ -193,3 +193,90 @@ EXT11_ORACLES: dict[str, str] = {
     "coralogix_txn": O_CORALOGIX,
     "datadog_semantics": O_DATADOG,
 }
+
+
+# ---------------------------------------------------------------------------
+# sumologic semantics (cloud namespace -> translate -> loglevel)
+# ---------------------------------------------------------------------------
+
+def q_sumologic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vendor_semantics import sumologic_semantics
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    platform = (
+        F.when(u % 3 == 0, "aws_ec2")
+        .when(u % 3 == 1, "aws_ecs")
+        .otherwise("gcp_app_engine")
+    )
+    base = F.create_map(
+        F.lit("service.name"), F.concat(F.lit("svc"), (u % 3).cast("string")),
+        F.lit("host.name"), F.concat(F.lit("h"), (u % 4).cast("string")),
+        F.lit("cloud.platform"), platform,
+    )
+    with_existing = F.when(
+        u % 5 == 0,
+        F.map_concat(base, F.create_map(F.lit("service"), F.lit("preexisting"))),
+    ).otherwise(base)
+    attrs = F.when(
+        e % 2 == 0,
+        F.map_concat(
+            with_existing,
+            F.create_map(F.lit("k8s.pod.name"), F.concat(F.lit("p"), (e % 7).cast("string"))),
+        ),
+    ).otherwise(with_existing)
+    src = ev.select(
+        "event_id", attrs.alias("attrs"), (e % 25).cast("int").alias("severity_number")
+    )
+    out = sumologic_semantics(src)
+    canon = F.concat_ws(
+        ",",
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.col("attrs")),
+                lambda kv: F.concat(kv["key"], F.lit("="), kv["value"]),
+            )
+        ),
+    )
+    return out.select("event_id", canon.alias("attrs_str"), "loglevel")
+
+
+def _sumo_levels_sql() -> str:
+    levels = ["UNSPECIFIED"]
+    for name in ("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL"):
+        levels += [name, f"{name}2", f"{name}3", f"{name}4"]
+    return "[" + ", ".join(f"'{x}'" for x in levels) + "]"
+
+
+O_SUMOLOGIC = f"""
+WITH a AS (
+  SELECT event_id,
+         'svc' || CAST(user_id % 3 AS VARCHAR) AS svc,
+         'h' || CAST(user_id % 4 AS VARCHAR) AS host,
+         CASE WHEN user_id % 3 = 0 THEN 'aws_ec2'
+              WHEN user_id % 3 = 1 THEN 'aws_ecs'
+              ELSE 'gcp_app_engine' END AS platform,
+         user_id % 5 = 0 AS has_existing,
+         CASE WHEN event_id % 2 = 0
+              THEN 'p' || CAST(event_id % 7 AS VARCHAR) END AS pod,
+         CAST(event_id % 25 AS INT) AS sev
+  FROM events
+)
+SELECT event_id,
+       array_to_string(list_sort(list_filter([
+         CASE WHEN has_existing THEN 'service.name=' || svc
+              ELSE 'service=' || svc END,
+         CASE WHEN has_existing THEN 'service=preexisting' END,
+         'host=' || host,
+         'aws_service=' || platform,
+         CASE WHEN platform = 'aws_ec2' THEN 'cloud.namespace=aws/ec2'
+              WHEN platform = 'aws_ecs' THEN 'cloud.namespace=ecs' END,
+         CASE WHEN pod IS NOT NULL THEN 'pod=' || pod END
+       ], x -> x IS NOT NULL)), ',') AS attrs_str,
+       ({_sumo_levels_sql()})[sev + 1] AS loglevel
+FROM a
+"""
+
+
+EXT11_QUERIES["sumologic_semantics"] = q_sumologic
+EXT11_ORACLES["sumologic_semantics"] = O_SUMOLOGIC

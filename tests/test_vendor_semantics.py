@@ -123,3 +123,36 @@ def test_datadog_insert_if_missing_keeps_existing(spark):
     got2 = {r["event_id"]: r["datadog_service"]
             for r in datadog_semantics(df, override=True).collect()}
     assert got2 == {1: "svc", 2: "svc"}
+
+
+def test_sumologic_translate_collision_and_namespace(spark):
+    from pyspark.sql import functions as F
+    from opentelemetry_collector_contrib_spark.operators.vendor_semantics import (
+        sumologic_semantics,
+    )
+
+    rows = [
+        # service already exists -> service.name NOT translated;
+        # host.name -> host; aws_ec2 -> cloud.namespace inserted,
+        # cloud.platform renamed to aws_service afterwards
+        (1, {"service.name": "a", "service": "keep",
+             "host.name": "h1", "cloud.platform": "aws_ec2"}, 9),
+        # normal translation; unknown platform adds no namespace
+        (2, {"service.name": "b", "cloud.platform": "gcp_app_engine"}, 17),
+        (3, {"k8s.pod.name": "p", "k8s.namespace.name": "ns"}, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, attrs map<string,string>, severity_number int"
+    )
+    out = sumologic_semantics(df)
+    got = {r["event_id"]: (dict(r["attrs"]), r["loglevel"])
+           for r in out.collect()}
+    assert got[1][0] == {
+        "service.name": "a", "service": "keep", "host": "h1",
+        "aws_service": "aws_ec2", "cloud.namespace": "aws/ec2",
+    }
+    assert got[1][1] == "INFO"
+    assert got[2][0] == {"service": "b", "aws_service": "gcp_app_engine"}
+    assert got[2][1] == "ERROR"
+    assert got[3][0] == {"pod": "p", "namespace": "ns"}
+    assert got[3][1] == "UNSPECIFIED"
