@@ -127,3 +127,44 @@ def failover_write(
         except Exception as e:  # noqa: BLE001 - any sink failure fails over
             last_err = e
     raise RuntimeError(f"all {len(paths)} failover sinks failed") from last_err
+
+
+def write_file_exporter(
+    df: DataFrame,
+    path: str,
+    fmt: str = "json",
+    compression: str | None = None,
+    max_records_per_file: int | None = None,
+    group_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """The fileexporter's own knobs, Spark-native
+    (``exporter/fileexporter/config.go:53-88``):
+
+    - ``format: json`` → JSON-lines files (one record per line, the
+      exporter's line protocol); ``proto`` has no splittable Spark
+      writer — parquet is the columnar stand-in (documented, not
+      silently remapped: passing fmt="proto" raises).
+    - ``compression: zstd`` (and gzip) → the matching output codec.
+    - ``rotation.max_*`` → ``maxRecordsPerFile`` (Spark rotates by
+      record count at the writer level; size-based rotation has no
+      deterministic distributed analog).
+    - ``group_by: resource attribute`` → ``partitionBy`` (per-group
+      files, exactly grouping_file_exporter's layout).
+    """
+    if fmt == "proto":
+        raise ValueError(
+            "proto framing has no splittable distributed writer; "
+            "use parquet (columnar) or json (line protocol)"
+        )
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    if group_by:
+        writer = writer.partitionBy(*group_by)
+    if fmt == "json":
+        writer.json(path)
+    else:
+        writer.format(fmt).save(path)

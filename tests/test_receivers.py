@@ -208,3 +208,31 @@ def test_loki_push_parse(spark):
     ]
     bad = [r for r in rows if not r["lk_ok"]]
     assert len(bad) == 2  # bad timestamp entry + unparseable body
+
+
+# ---------------------------------------------------------------------------
+# fileexporter knobs (json-lines + compression + rotation + group_by)
+# ---------------------------------------------------------------------------
+
+def test_write_file_exporter_jsonl_gzip_rotation(spark, tmp_path):
+    import glob
+    import pytest
+    from opentelemetry_collector_contrib_spark.runtime.sinks import (
+        write_file_exporter,
+    )
+
+    df = spark.range(100).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS grp"
+    )
+    out = str(tmp_path / "jl")
+    write_file_exporter(
+        df.coalesce(1), out, fmt="json", compression="gzip",
+        max_records_per_file=10, group_by=["grp"],
+    )
+    files = glob.glob(f"{out}/grp=*/*.json.gz")
+    assert len(files) >= 10  # rotation: <=10 records per file
+    back = spark.read.json(out)
+    assert back.count() == 100
+    assert {r["grp"] for r in back.select("grp").distinct().collect()} == {"a", "b"}
+    with pytest.raises(ValueError):
+        write_file_exporter(df, out, fmt="proto")
