@@ -81,10 +81,22 @@ def statsd_parse(
     name = F.regexp_extract(line, r"^([^|:]+):", 1)
     raw_value = F.regexp_extract(line, r"^[^|:]+:([^|]*)\|", 1)
     mtype = F.regexp_extract(line, r"^[^|]+\|([^|]*)", 1)
-    rate_str = F.regexp_extract(line, r"\|@([^|]*)", 1)
-    tags_str = F.regexp_extract(line, r"\|#([^|]*)", 1)
-    container = F.regexp_extract(line, r"\|c:([^|]*)", 1)
-    ts_str = F.regexp_extract(line, r"\|T([0-9]+)", 1)
+
+    # repeated extension parts follow the reference's sequential loop
+    # (:384-445): a later @rate / c: / T overwrites the earlier one
+    # (last wins), while multiple #tag parts APPEND their kvs
+    def _last(pattern: str) -> Column:
+        all_m = F.regexp_extract_all(line, F.lit(pattern), 1)
+        return F.when(F.size(all_m) > 0, F.element_at(all_m, -1)).otherwise(
+            F.lit("")
+        )
+
+    rate_str = _last(r"\|@([^|]*)")
+    tags_str = F.array_join(
+        F.regexp_extract_all(line, F.lit(r"\|#([^|]*)"), 1), ","
+    )
+    container = _last(r"\|c:([^|]*)")
+    ts_str = _last(r"\|T([0-9]+)")
 
     value = raw_value.try_cast("double")
     rate = F.when(rate_str != "", rate_str.try_cast("double"))
@@ -290,6 +302,12 @@ def prom_text_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
         labels_raw, F.lit(r'([a-zA-Z_][a-zA-Z0-9_]*)="([^"]*)"'), 0
     )
     kv = F.transform(label_parts, lambda t: F.regexp_replace(t, '"', ""))
+    # the WHOLE label body must be well-formed k="v" pairs — an
+    # unquoted value (a{x=1} 2) is a parse error, not an empty set
+    labels_ok = (labels_raw == "") | labels_raw.rlike(
+        r'^\s*[a-zA-Z_][a-zA-Z0-9_]*="[^"]*"'
+        r'(\s*,\s*[a-zA-Z_][a-zA-Z0-9_]*="[^"]*")*\s*,?\s*$'
+    )
 
     value = (
         F.when(value_str == "+Inf", F.lit(float("inf")))
@@ -298,7 +316,7 @@ def prom_text_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
         .otherwise(value_str.try_cast("double"))
     )
     family = F.regexp_replace(name, r"_(bucket|sum|count)$", "")
-    ok = is_sample & value.isNotNull()
+    ok = is_sample & value.isNotNull() & labels_ok
     return (
         df.withColumn("pm_name", name)
         .withColumn("pm_family", family)

@@ -236,3 +236,21 @@ def test_write_file_exporter_jsonl_gzip_rotation(spark, tmp_path):
     assert {r["grp"] for r in back.select("grp").distinct().collect()} == {"a", "b"}
     with pytest.raises(ValueError):
         write_file_exporter(df, out, fmt="proto")
+
+
+def test_statsd_repeated_parts_last_wins_tags_append(spark):
+    # later @rate overwrites (parser loop :384-445); multiple # parts
+    # append their kvs
+    df = _lines(spark, ["c1:8|c|@0.5|@0.25", "c2:1|c|#a:1|#b:2"])
+    p = statsd_parse(df)
+    rows = {r["sd_name"]: r for r in p.collect()}
+    assert rows["c1"]["sd_rate"] == 0.25
+    out = {r["name"]: r["counter_value"] for r in statsd_counters(p).collect()}
+    assert out["c1"] == 32  # 8 / 0.25
+    assert rows["c2"]["sd_attrs"] == "a:1,b:2" and rows["c2"]["sd_ok"]
+
+
+def test_prom_unquoted_label_value_is_parse_error(spark):
+    df = _lines(spark, ['a{x=1} 2', 'a{x="1"} 2', 'a{x="1",} 2'])
+    got = {r["body"]: r["pm_ok"] for r in prom_text_parse(df).collect()}
+    assert got == {'a{x=1} 2': False, 'a{x="1"} 2': True, 'a{x="1",} 2': True}
