@@ -206,6 +206,16 @@ def main(argv: list[str] | None = None) -> int:
         help="LSH-salt cells larger than this before the pair join "
         "(straggler cap); 0 disables",
     )
+    ap.add_argument(
+        "--dsir", type=float, default=0.0,
+        help="DSIR importance resampling: keep the top FRAC of docs "
+        "by hashed-unigram importance weight toward --dsir-target "
+        "(Xie et al. 2023); 0 disables",
+    )
+    ap.add_argument(
+        "--dsir-target", default="lang=en",
+        help="target-distribution predicate as col=value",
+    )
     ap.add_argument("--sink", choices=["parquet", "noop"], default="parquet")
     args = ap.parse_args(argv)
 
@@ -400,6 +410,29 @@ def main(argv: list[str] | None = None) -> int:
         tick("semdedup")
         lineage.record("semdedup", "all", funnel["after_semdedup"])
 
+    # 4c. optional DSIR importance resampling: score every doc by how
+    # target-like its hashed-unigram distribution is, keep the top
+    # fraction (distributed top-k via orderBy+limit —
+    # TakeOrderedAndProject, no single-partition sort). Deterministic
+    # tie-break on doc_id.
+    if args.dsir > 0:
+        from opentelemetry_collector_contrib_spark.operators.text import (
+            dsir_weights,
+        )
+
+        tcol, tval = args.dsir_target.split("=", 1)
+        n_now = docs.count()
+        k_keep = int(n_now * args.dsir)
+        w = dsir_weights(docs, target_pred=F.col(tcol) == tval, id_col="doc_id")
+        keep_ids = (
+            w.orderBy(F.desc("dsir_w"), F.asc("doc_id")).limit(k_keep)
+            .select("doc_id")
+        )
+        docs = docs.join(keep_ids, "doc_id", "left_semi").localCheckpoint()
+        funnel["after_dsir"] = docs.count()
+        tick("dsir")
+        lineage.record("dsir", "all", funnel["after_dsir"])
+
     # 5. annotate + stratified mixing sample
     docs = docs.withColumn("quality", quality_score(F.col("text"))).withColumn(
         "n_tokens", token_count(F.col("text"))
@@ -454,8 +487,11 @@ def main(argv: list[str] | None = None) -> int:
         funnel["written"] = funnel.get(
             "after_sample",
             funnel.get(
-                "after_semdedup",
-                funnel.get("after_neardup", funnel["after_exact_dedup"]),
+                "after_dsir",
+                funnel.get(
+                    "after_semdedup",
+                    funnel.get("after_neardup", funnel["after_exact_dedup"]),
+                ),
             ),
         )
     cleaned.unpersist()

@@ -113,3 +113,25 @@ def test_curation_semdedup_stage(spark, tmp_path, capsys):
     _run(spark, tmp_path / "s3", extra + ("--semdedup-max-cell", "50"))
     out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out3["funnel"] == out2["funnel"]
+
+
+def test_curation_dsir_stage(spark, tmp_path, capsys):
+    """--dsir composes into the funnel: keeps exactly the top fraction
+    by importance weight, stage recorded in lineage, deterministic."""
+    extra = ("--dsir", "0.5", "--sink", "noop")
+    _run(spark, tmp_path / "d1", extra)
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    f = out1["funnel"]
+    pre = f.get("after_neardup", f["after_exact_dedup"])
+    assert f["after_dsir"] == int(pre * 0.5)
+    assert f["written"] == f["after_dsir"]
+    assert "dsir" in out1["stage_sec"]
+    stages = set()
+    with open(tmp_path / "d1" / "_lineage.jsonl") as fh:
+        for line in fh:
+            stages.add(json.loads(line)["stage"])
+    assert "dsir" in stages
+    # deterministic replay
+    _run(spark, tmp_path / "d2", extra)
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["funnel"] == out1["funnel"]
