@@ -515,3 +515,36 @@ def loki_push_parse(df: DataFrame, body_col: str = "body") -> DataFrame:
         )
         .drop("_stream", "_value")
     )
+
+
+def statsd_percentiles(
+    parsed: DataFrame, percentiles: list[float]
+) -> DataFrame:
+    """Summary-observer quantile values (buildSummaryMetric :91-97):
+    gonum ``stat.Quantile(p, Empirical, points, weights)`` — the
+    smallest point whose cumulative weight reaches p·total. One
+    ordered window per group for the running weight, then a min-filter
+    per requested percentile; all shuffles keyed on the metric
+    identity."""
+    s = parsed.filter(F.col("sd_ok") & F.col("sd_type").isin("ms", "h", "d"))
+    w = F.lit(1.0) / _effective_rate()
+    base = s.select(
+        F.col("sd_name").alias("name"),
+        F.col("sd_attrs").alias("attrs"),
+        F.col("sd_value").alias("v"),
+        w.alias("w"),
+    )
+    win = Window.partitionBy("name", "attrs").orderBy("v", "w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("name", "attrs")
+    ranked = base.withColumn("cumw", F.sum("w").over(win)).withColumn(
+        "total", F.sum("w").over(wall)
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("cumw") >= F.lit(p / 100.0) * F.col("total"), F.col("v"))
+        ).alias(f"p{str(p).replace('.', '_')}")
+        for p in percentiles
+    ]
+    return ranked.groupBy("name", "attrs").agg(*aggs)

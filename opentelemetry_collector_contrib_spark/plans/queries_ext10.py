@@ -527,3 +527,38 @@ EXT10_QUERIES["loki_push_parse"] = q_loki_push
 EXT10_ORACLES["loki_push_parse"] = O_LOKI
 EXT10_QUERIES["stream_statsd_counters"] = q_stream_statsd
 EXT10_ORACLES["stream_statsd_counters"] = O_STATSD_COUNTERS
+
+
+def q_statsd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import statsd_percentiles
+
+    ev = load(spark, sf_dir, "events")
+    parsed = statsd_parse(_statsd_lines(ev))
+    return statsd_percentiles(parsed, [50, 90]).select(
+        "name", "attrs", "p50", "p90"
+    )
+
+
+O_STATSD_QUANTILES = f"""
+WITH {_SQL_LINES},
+tl AS (
+  SELECT name, CAST(v AS DOUBLE) AS val,
+         CASE WHEN t_sampled THEN 4.0 ELSE 1.0 END AS w
+  FROM lines WHERE m10 >= 8
+),
+r AS (
+  SELECT name, val, w,
+         SUM(w) OVER (PARTITION BY name ORDER BY val, w
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         SUM(w) OVER (PARTITION BY name) AS total
+  FROM tl
+)
+SELECT name, '' AS attrs,
+       MIN(CASE WHEN cumw >= 0.5 * total THEN val END) AS p50,
+       MIN(CASE WHEN cumw >= 0.9 * total THEN val END) AS p90
+FROM r GROUP BY 1
+"""
+
+
+EXT10_QUERIES["statsd_quantiles"] = q_statsd_quantiles
+EXT10_ORACLES["statsd_quantiles"] = O_STATSD_QUANTILES

@@ -254,3 +254,16 @@ def test_prom_unquoted_label_value_is_parse_error(spark):
     df = _lines(spark, ['a{x=1} 2', 'a{x="1"} 2', 'a{x="1",} 2'])
     got = {r["body"]: r["pm_ok"] for r in prom_text_parse(df).collect()}
     assert got == {'a{x=1} 2': False, 'a{x="1"} 2': True, 'a{x="1",} 2': True}
+
+
+def test_statsd_percentiles_weighted_empirical(spark):
+    from opentelemetry_collector_contrib_spark.operators.receivers import (
+        statsd_percentiles,
+    )
+
+    # values 10(w4 via @0.25), 20(w1), 30(w1): total 6
+    # p50 -> cumw>=3 at 10; p90 -> cumw>=5.4 at 30
+    df = _lines(spark, ["t:10|ms|@0.25", "t:20|ms", "t:30|ms"])
+    out = statsd_percentiles(statsd_parse(df), [50, 90]).collect()[0]
+    assert out["p50"] == 10.0
+    assert out["p90"] == 30.0
