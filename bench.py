@@ -94,13 +94,19 @@ BENCH_QUERIES = [
     "spanmetrics",
     "servicegraph",
     "stream_spanmetrics",
-    # round-4 continuation: receiver + curation additions
+    # round-4 continuation: receiver + curation + vendor additions
     "statsd_counters",
+    "statsd_gauges",
+    "statsd_quantiles",
     "carbon_parser",
     "prom_text_parse",
     "influx_line_parse",
+    "loki_push_parse",
     "bpe_encode",
     "dsir_weights",
+    "coralogix_txn",
+    "datadog_semantics",
+    "sumologic_semantics",
 ]
 
 PIPELINE_CONVS = 30_000  # ~600k turns; comparable to sf0.1 lineitem
