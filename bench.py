@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "coralogix_txn",
     "datadog_semantics",
     "sumologic_semantics",
+    "collectd_parser",
+    "grafana_host_info",
 ]
 
 PIPELINE_CONVS = 30_000  # ~600k turns; comparable to sf0.1 lineitem

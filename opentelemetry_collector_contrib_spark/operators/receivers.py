@@ -548,3 +548,128 @@ def statsd_percentiles(
         for p in percentiles
     ]
     return ranked.groupBy("name", "attrs").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# collectd receiver (JSON payload)
+# ---------------------------------------------------------------------------
+
+_COLLECTD_SCHEMA = (
+    "array<struct<time: double, host: string, interval: double, "
+    "plugin: string, plugin_instance: string, type: string, "
+    "type_instance: string, message: string, severity: string, "
+    "dstypes: array<string>, dsnames: array<string>, "
+    "values: array<string>>>"
+)
+
+
+def collectd_parse(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """Parse collectd write_http JSON payloads into one row per value
+    (``receiver/collectdreceiver/collectd.go:20-200``).
+
+    - event records (time+severity+message all present) are skipped
+      (:41-43, ``cd_is_event`` marks them);
+    - per index i: guard ``i < len(dstypes) and i < len(values)`` and
+      value non-null (:74-76);
+    - metric name = ``type[.type_instance][.dsname]`` where the
+      dsname joins only when the record carries >1 dsname (:158-175;
+      the bracket-label extraction from LabelsFromName is not
+      mirrored — fixture names are plain);
+    - dstype derive/counter → monotonic sum, else gauge (:144-153);
+    - value int64-else-float64 (json.Number, :133-139);
+    - ts = time seconds (float) → ns (:45-52).
+    """
+    parsed = F.from_json(F.col(body_col), _COLLECTD_SCHEMA)
+    rec = df.withColumn("_rec", F.explode_outer(parsed))
+    r = F.col("_rec")
+    is_event = (
+        r["time"].isNotNull() & r["severity"].isNotNull() & r["message"].isNotNull()
+    )
+    n_names = F.size(r["dsnames"])
+    out = rec.withColumn("cd_is_event", F.coalesce(is_event, F.lit(True)))
+    out = out.withColumn(
+        "_i",
+        F.explode_outer(
+            F.when(
+                ~F.col("cd_is_event") & (n_names > 0),
+                F.sequence(F.lit(0), n_names - 1),
+            )
+        ),
+    )
+    i = F.col("_i")
+    guard = (
+        i.isNotNull()
+        & (i < F.size(r["dstypes"]))
+        & (i < F.size(r["values"]))
+        & F.element_at(r["values"], i + 1).isNotNull()
+    )
+    dsname = F.element_at(r["dsnames"], i + 1)
+    dstype = F.element_at(r["dstypes"], i + 1)
+    val_str = F.element_at(r["values"], i + 1)
+    name = F.concat_ws(
+        ".",
+        F.when(r["type"] != "", r["type"]),
+        F.when(r["type_instance"] != "", r["type_instance"]),
+        F.when((F.size(r["dsnames"]) > 1) & (dsname != ""), dsname),
+    )
+    val_is_int = val_str.rlike(_INT_RE)
+    return (
+        out.filter(guard | F.col("cd_is_event"))
+        .withColumn("cd_name", F.when(guard, name))
+        .withColumn(
+            "cd_kind",
+            F.when(
+                guard,
+                F.when(dstype.isin("derive", "counter"), "sum").otherwise("gauge"),
+            ),
+        )
+        .withColumn("cd_value", F.when(guard, val_str.try_cast("double")))
+        .withColumn("cd_value_is_int", F.when(guard, F.coalesce(val_is_int, F.lit(False))))
+        .withColumn("cd_host", F.when(guard, r["host"]))
+        .withColumn("cd_plugin", F.when(guard, r["plugin"]))
+        .withColumn("cd_plugin_instance", F.when(guard, r["plugin_instance"]))
+        .withColumn(
+            "cd_dsname",
+            F.when(guard & ~((F.size(r["dsnames"]) > 1) & (dsname != "")), dsname),
+        )
+        .withColumn(
+            "cd_ts_ns",
+            F.when(guard, (r["time"] * F.lit(1e9)).cast("long")),
+        )
+        .drop("_rec", "_i")
+    )
+
+
+# ---------------------------------------------------------------------------
+# grafanacloud connector (traces -> host info metric)
+# ---------------------------------------------------------------------------
+
+def grafana_host_info(
+    df: DataFrame,
+    host_identifiers: list[str],
+    ts_col: str = "ts",
+    flush_interval: str = "1 hour",
+) -> DataFrame:
+    """``connector/grafanacloudconnector/connector.go:72-88`` +
+    ``host_metrics.go:43-71``: per flush interval, one
+    ``traces_host_info`` gauge datapoint (value 1) per DISTINCT host,
+    where the host id is the FIRST present identifier attribute
+    (break-on-first-match). Distinct via groupBy — one shuffle keyed
+    (window, host)."""
+    host = F.coalesce(*[F.col(c) for c in host_identifiers])
+    return (
+        df.withColumn("__host", host)
+        .filter(F.col("__host").isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col), flush_interval)["start"].alias("flush_start"),
+            F.col("__host").alias("grafana_host_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("spans_seen"))
+        .select(
+            "flush_start",
+            F.lit("traces_host_info").alias("metric_name"),
+            "grafana_host_id",
+            F.lit(1).alias("value"),
+            "spans_seen",
+        )
+    )

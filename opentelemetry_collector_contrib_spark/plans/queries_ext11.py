@@ -280,3 +280,117 @@ FROM a
 
 EXT11_QUERIES["sumologic_semantics"] = q_sumologic
 EXT11_ORACLES["sumologic_semantics"] = O_SUMOLOGIC
+
+
+# ---------------------------------------------------------------------------
+# collectd receiver (JSON payload -> per-value metric rows)
+# ---------------------------------------------------------------------------
+
+def q_collectd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import collectd_parse
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    t = (F.lit(1700000000) + u).cast("string")
+    # every 9th record is an EVENT (skipped by the reference); even
+    # event_ids carry a two-value if_octets record, odd a single gauge
+    event_body = F.concat(
+        F.lit('[{"time":'), t,
+        F.lit('.25,"severity":"warning","message":"ev '),
+        e.cast("string"), F.lit('"}]'),
+    )
+    multi_body = F.concat(
+        F.lit('[{"time":'), t, F.lit('.25,"host":"h'), (u % 4).cast("string"),
+        F.lit('","plugin":"interface","plugin_instance":"eth0",'
+              '"type":"if_octets","type_instance":"'), F.col("event_type"),
+        F.lit('","dstypes":["derive","gauge"],"dsnames":["rx","tx"],'
+              '"values":['), (u % 100).cast("string"), F.lit(","),
+        (e % 50).cast("string"), F.lit(".5]}]"),
+    )
+    single_body = F.concat(
+        F.lit('[{"time":'), t, F.lit('.25,"host":"h'), (u % 4).cast("string"),
+        F.lit('","plugin":"cpu","type":"load","type_instance":"",'
+              '"dstypes":["gauge"],"dsnames":["value"],"values":['),
+        (u % 10).cast("string"), F.lit("]}]"),
+    )
+    body = (
+        F.when(e % 9 == 0, event_body)
+        .when(e % 2 == 0, multi_body)
+        .otherwise(single_body)
+    )
+    out = collectd_parse(ev.select("event_id", body.alias("body")))
+    return out.filter(~F.col("cd_is_event")).select(
+        "event_id", "cd_name", "cd_kind", "cd_value", "cd_value_is_int",
+        "cd_host", "cd_plugin", "cd_dsname", "cd_ts_ns",
+    )
+
+
+O_COLLECTD = """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         -- replay the reference's float64 time->ns conversion
+         -- (collectd.go:50 int64(1e9 * time)): same IEEE product,
+         -- truncated — NOT exact integer ns
+         CAST(trunc((1700000000 + user_id + 0.25) * 1e9) AS BIGINT) AS tsns,
+         'h' || CAST(user_id % 4 AS VARCHAR) AS host,
+         CAST(user_id % 100 AS BIGINT) AS rx,
+         CAST(event_id % 50 AS BIGINT) AS tx,
+         CAST(user_id % 10 AS BIGINT) AS lv
+  FROM events WHERE event_id % 9 != 0
+)
+SELECT event_id,
+       'if_octets.' || event_type || '.rx' AS cd_name,
+       'sum' AS cd_kind, CAST(rx AS DOUBLE) AS cd_value,
+       TRUE AS cd_value_is_int, host AS cd_host,
+       'interface' AS cd_plugin, CAST(NULL AS VARCHAR) AS cd_dsname,
+       tsns AS cd_ts_ns
+FROM base WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, 'if_octets.' || event_type || '.tx', 'gauge',
+       tx + 0.5, FALSE, host, 'interface', NULL, tsns
+FROM base WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, 'load', 'gauge', CAST(lv AS DOUBLE), TRUE, host,
+       'cpu', 'value', tsns
+FROM base WHERE event_id % 2 = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# grafanacloud connector (traces -> per-flush distinct-host gauge)
+# ---------------------------------------------------------------------------
+
+def q_grafana_host_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import grafana_host_info
+
+    ev = load(spark, sf_dir, "events")
+    u = F.col("user_id")
+    spans = ev.select(
+        "ts",
+        F.when(u % 2 == 0, F.concat(F.lit("n"), (u % 7).cast("string"))).alias(
+            "k8s_node"
+        ),
+        F.concat(F.lit("h"), (u % 5).cast("string")).alias("host_name"),
+    )
+    return grafana_host_info(
+        spans, host_identifiers=["k8s_node", "host_name"],
+        flush_interval="1 hour",
+    )
+
+
+O_GRAFANA_HOST = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS flush_start,
+       'traces_host_info' AS metric_name,
+       CASE WHEN user_id % 2 = 0 THEN 'n' || CAST(user_id % 7 AS VARCHAR)
+            ELSE 'h' || CAST(user_id % 5 AS VARCHAR) END AS grafana_host_id,
+       1 AS value,
+       count(*) AS spans_seen
+FROM events
+GROUP BY 1, 3
+"""
+
+
+EXT11_QUERIES["collectd_parser"] = q_collectd
+EXT11_ORACLES["collectd_parser"] = O_COLLECTD
+EXT11_QUERIES["grafana_host_info"] = q_grafana_host_info
+EXT11_ORACLES["grafana_host_info"] = O_GRAFANA_HOST

@@ -267,3 +267,55 @@ def test_statsd_percentiles_weighted_empirical(spark):
     out = statsd_percentiles(statsd_parse(df), [50, 90]).collect()[0]
     assert out["p50"] == 10.0
     assert out["p90"] == 30.0
+
+
+# ---------------------------------------------------------------------------
+# collectd + grafanacloud host info
+# ---------------------------------------------------------------------------
+
+def test_collectd_events_skipped_and_index_guard(spark):
+    from opentelemetry_collector_contrib_spark.operators.receivers import (
+        collectd_parse,
+    )
+
+    df = _lines(spark, [
+        '[{"time":1.5,"severity":"warn","message":"ev"}]',     # event
+        '[{"time":2.0,"host":"h","plugin":"p","type":"t","type_instance":"",'
+        '"dstypes":["derive"],"dsnames":["a","b"],"values":[7]}]',  # b has no value
+        '[{"time":2.0,"host":"h","plugin":"p","type":"t","type_instance":"x",'
+        '"dstypes":["gauge","counter"],"dsnames":["a","b"],"values":[1,2]}]',
+    ])
+    rows = collectd_parse(df).collect()
+    ev_rows = [r for r in rows if r["cd_is_event"]]
+    assert len(ev_rows) == 1 and ev_rows[0]["cd_name"] is None
+    data = [r for r in rows if not r["cd_is_event"]]
+    by = {(r["event_id"], r["cd_name"]): r for r in data}
+    # index 1 of row 1 dropped (no value); >1 dsnames -> name grows .a
+    assert set(k[1] for k in by if k[0] == 1) == {"t.a"}
+    assert by[(1, "t.a")]["cd_kind"] == "sum"
+    assert by[(2, "t.x.a")]["cd_kind"] == "gauge"
+    assert by[(2, "t.x.b")]["cd_kind"] == "sum"
+    assert by[(2, "t.x.b")]["cd_value"] == 2.0
+    assert by[(1, "t.a")]["cd_ts_ns"] == 2_000_000_000
+
+
+def test_grafana_host_info_first_identifier_wins(spark):
+    from opentelemetry_collector_contrib_spark.operators.receivers import (
+        grafana_host_info,
+    )
+
+    rows = [
+        ("2024-01-01 00:10:00", "nodeA", "hostX"),
+        ("2024-01-01 00:20:00", None, "hostX"),
+        ("2024-01-01 01:10:00", "nodeA", "hostY"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, k8s_node string, host_name string") \
+        .selectExpr("CAST(ts AS TIMESTAMP) ts", "k8s_node", "host_name")
+    out = grafana_host_info(df, ["k8s_node", "host_name"]).collect()
+    got = {(str(r["flush_start"]), r["grafana_host_id"]): r["spans_seen"] for r in out}
+    assert got == {
+        ("2024-01-01 00:00:00", "nodeA"): 1,
+        ("2024-01-01 00:00:00", "hostX"): 1,
+        ("2024-01-01 01:00:00", "nodeA"): 1,
+    }
+    assert all(r["value"] == 1 for r in out)
