@@ -52,12 +52,20 @@ _INT_RE = r"^[+-]?[0-9]+$"
 _FLOAT_RE = r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"
 
 
-def _canon_attrs(parts: Column) -> Column:
-    """Canonical attribute string: sorted, comma-joined k:v entries —
-    the engine-portable stand-in for the reference's attribute.Set
-    identity (statsd_parser.go:115-119 builds an attribute.NewSet,
-    which is order-insensitive)."""
-    return F.concat_ws(",", F.array_sort(parts))
+def _canon_attrs(parts: Column, sep: str = ":") -> Column:
+    """Canonical attribute string: sorted, comma-joined k<sep>v
+    entries — the engine-portable stand-in for the reference's
+    attribute map identity (statsd_parser.go:115-119 builds an
+    attribute.NewSet; carbon/influx PutStr into a pcommon.Map — both
+    keep only the LAST value for a repeated key). Dedup: reverse,
+    keep each key's first occurrence (= last in append order), sort."""
+    key_of = lambda t: F.substring_index(t, sep, 1)  # noqa: E731
+    rev = F.reverse(parts)
+    keys = F.transform(rev, key_of)
+    deduped = F.filter(
+        rev, lambda t, i: F.array_position(keys, key_of(t)) == i + 1
+    )
+    return F.concat_ws(",", F.array_sort(deduped))
 
 
 def statsd_parse(
@@ -95,7 +103,15 @@ def statsd_parse(
     tags_str = F.array_join(
         F.regexp_extract_all(line, F.lit(r"\|#([^|]*)"), 1), ","
     )
-    container = _last(r"\|c:([^|]*)")
+    # c: parts append ONLY when non-empty (:420-426) — so the
+    # surviving container id is the last NON-empty one
+    c_matches = F.filter(
+        F.regexp_extract_all(line, F.lit(r"\|c:([^|]*)"), 1),
+        lambda m: m != "",
+    )
+    container = F.when(
+        F.size(c_matches) > 0, F.element_at(c_matches, -1)
+    ).otherwise(F.lit(""))
     ts_str = _last(r"\|T([0-9]+)")
 
     value = raw_value.try_cast("double")
@@ -137,7 +153,13 @@ def statsd_parse(
         & (raw_value != "")
         & mtype.isin(*_STATSD_TYPES)
         & value.isNotNull()
-        & ((rate_str == "") | rate.isNotNull())
+        # EVERY @ part must parse (the loop errors on the first bad
+        # one, :387-393; ParseFloat("") fails too) — not just the
+        # last-wins survivor
+        & F.forall(
+            F.regexp_extract_all(line, F.lit(r"\|@([^|]*)"), 1),
+            lambda m: (m != "") & m.try_cast("double").isNotNull(),
+        )
         & ((ts_str == "") | mtype.isin("c", "g"))
         & tags_ok
     )
@@ -262,7 +284,7 @@ def carbon_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
     )
     return (
         df.withColumn("cb_name", name)
-        .withColumn("cb_attrs", _canon_attrs(tag_parts))
+        .withColumn("cb_attrs", _canon_attrs(tag_parts, sep="="))
         .withColumn("cb_value", val_dbl)
         .withColumn("cb_value_is_int", F.coalesce(val_is_int, F.lit(False)))
         .withColumn("cb_ts_ns", ts_ns)
@@ -320,7 +342,7 @@ def prom_text_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
     return (
         df.withColumn("pm_name", name)
         .withColumn("pm_family", family)
-        .withColumn("pm_labels", _canon_attrs(kv))
+        .withColumn("pm_labels", _canon_attrs(kv, sep="="))
         .withColumn("pm_value", value)
         .withColumn("pm_ts_ms", F.when(ts_str != "", ts_str.cast("long")))
         .withColumn("pm_ok", F.coalesce(ok, F.lit(False)))
@@ -407,7 +429,7 @@ def influx_line_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
     stage3 = stage2.select(
         "*",
         F.col("_meas").alias("ifx_measurement"),
-        _canon_attrs(tag_parts).alias("ifx_tags"),
+        _canon_attrs(tag_parts, sep="=").alias("ifx_tags"),
         F.when(F.col("_ts_str") != "", F.col("_ts_str").try_cast("long")).alias(
             "ifx_ts_ns"
         ),
