@@ -52,6 +52,18 @@ _INT_RE = r"^[+-]?[0-9]+$"
 _FLOAT_RE = r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"
 
 
+_LONG_MAX = 9.223372036854775e18  # largest double below int64 max
+
+
+def _sat_long(col: Column) -> Column:
+    """double → int64 with Go's saturating conversion semantics
+    (gc saturates on overflow) — ANSI Spark would instead throw
+    CAST_OVERFLOW and abort the whole batch on one extreme value."""
+    return F.least(F.greatest(col, F.lit(-_LONG_MAX)), F.lit(_LONG_MAX)).cast(
+        "long"
+    )
+
+
 def _canon_attrs(parts: Column, sep: str = ":") -> Column:
     """Canonical attribute string: sorted, comma-joined k<sep>v
     entries — the engine-portable stand-in for the reference's
@@ -160,7 +172,9 @@ def statsd_parse(
             F.regexp_extract_all(line, F.lit(r"\|@([^|]*)"), 1),
             lambda m: (m != "") & m.try_cast("double").isNotNull(),
         )
-        & ((ts_str == "") | mtype.isin("c", "g"))
+        # ParseUint errors on out-of-range timestamps (:434-437); we
+        # bound at int64 (a T beyond 2^63 seconds is year 2.9e11)
+        & ((ts_str == "") | (mtype.isin("c", "g") & ts_str.try_cast("long").isNotNull()))
         & tags_ok
     )
     return (
@@ -170,7 +184,13 @@ def statsd_parse(
         .withColumn("sd_rate", rate)
         .withColumn("sd_attrs", _canon_attrs(kv_parts))
         .withColumn("sd_addition", raw_value.rlike(r"^[+-]"))
-        .withColumn("sd_ts_ns", F.when(ts_str != "", ts_str.cast("long") * F.lit(1000000000)))
+        .withColumn(
+            "sd_ts_ns",
+            F.when(
+                ts_str != "",
+                F.try_multiply(ts_str.try_cast("long"), F.lit(1000000000)),
+            ),
+        )
         .withColumn("sd_ok", F.coalesce(ok, F.lit(False)))
     )
 
@@ -189,7 +209,7 @@ def statsd_counters(parsed: DataFrame, is_monotonic: bool = False) -> DataFrame:
     Emits delta temporality like the reference (GetMetrics resets
     state per flush)."""
     c = parsed.filter(F.col("sd_ok") & (F.col("sd_type") == "c"))
-    inc = (F.col("sd_value") / _effective_rate()).cast("long")
+    inc = _sat_long(F.col("sd_value") / _effective_rate())
     return (
         c.groupBy(F.col("sd_name").alias("name"), F.col("sd_attrs").alias("attrs"))
         .agg(F.sum(inc).alias("counter_value"))
@@ -229,7 +249,7 @@ def statsd_summaries(parsed: DataFrame) -> DataFrame:
     return s.groupBy(
         F.col("sd_name").alias("name"), F.col("sd_attrs").alias("attrs")
     ).agg(
-        F.sum(weight).cast("long").alias("summary_count"),
+        _sat_long(F.sum(weight)).alias("summary_count"),
         F.sum(F.col("sd_value") * weight).alias("summary_sum"),
         F.min("sd_value").alias("summary_min"),
         F.max("sd_value").alias("summary_max"),
@@ -266,13 +286,21 @@ def carbon_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
     tag_parts = F.filter(F.split(rest, ";"), lambda t: t != "")
     tags_ok = F.forall(tag_parts, lambda t: F.instr(t, "=") > 1)
 
-    val_is_int = value_str.rlike(_INT_RE)
+    # int64-else-float64 exactly like strconv: a 20+-digit integer
+    # token FAILS ParseInt and takes the float path (so try_cast long,
+    # not a digits regex — an all-digit overflow is a valid float line)
+    val_long = value_str.try_cast("long")
+    val_is_int = val_long.isNotNull()
     val_dbl = value_str.try_cast("double")
-    ts_is_int = ts_str.rlike(_INT_RE)
+    ts_long = ts_str.try_cast("long")
     ts_dbl = ts_str.try_cast("double")
-    ts_ns = F.when(ts_is_int, ts_str.cast("long") * F.lit(1000000000)).otherwise(
-        (F.floor(ts_dbl).cast("long") * F.lit(1000000000))
-        + ((ts_dbl - F.floor(ts_dbl)) * F.lit(1e9)).cast("long")
+    ts_ns = F.when(
+        ts_long.isNotNull(), F.try_multiply(ts_long, F.lit(1000000000))
+    ).otherwise(
+        F.try_add(
+            F.try_multiply(_sat_long(F.floor(ts_dbl)), F.lit(1000000000)),
+            _sat_long((ts_dbl - F.floor(ts_dbl)) * F.lit(1e9)),
+        )
     )
 
     ok = (
@@ -338,13 +366,16 @@ def prom_text_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
         .otherwise(value_str.try_cast("double"))
     )
     family = F.regexp_replace(name, r"_(bucket|sum|count)$", "")
-    ok = is_sample & value.isNotNull() & labels_ok
+    # an out-of-int64-range timestamp token is a parse error (the
+    # Prometheus text parser rejects the line), not a crash
+    ts_ok = (ts_str == "") | ts_str.try_cast("long").isNotNull()
+    ok = is_sample & value.isNotNull() & labels_ok & ts_ok
     return (
         df.withColumn("pm_name", name)
         .withColumn("pm_family", family)
         .withColumn("pm_labels", _canon_attrs(kv, sep="="))
         .withColumn("pm_value", value)
-        .withColumn("pm_ts_ms", F.when(ts_str != "", ts_str.cast("long")))
+        .withColumn("pm_ts_ms", F.when(ts_str != "", ts_str.try_cast("long")))
         .withColumn("pm_ok", F.coalesce(ok, F.lit(False)))
     )
 
@@ -602,13 +633,19 @@ def collectd_parse(df: DataFrame, body_col: str = "body") -> DataFrame:
     - ts = time seconds (float) → ns (:45-52).
     """
     parsed = F.from_json(F.col(body_col), _COLLECTD_SCHEMA)
-    rec = df.withColumn("_rec", F.explode_outer(parsed))
+    rec = df.withColumn("_body_ok", parsed.isNotNull()).withColumn(
+        "_rec", F.explode_outer(parsed)
+    )
     r = F.col("_rec")
     is_event = (
         r["time"].isNotNull() & r["severity"].isNotNull() & r["message"].isNotNull()
     )
     n_names = F.size(r["dsnames"])
-    out = rec.withColumn("cd_is_event", F.coalesce(is_event, F.lit(True)))
+    out = rec.withColumn(
+        # dead-letter flag: unparseable body or a null record element —
+        # kept as a row (cd_parse_ok false) so on_error routing composes
+        "cd_parse_ok", F.col("_body_ok") & r.isNotNull()
+    ).withColumn("cd_is_event", F.coalesce(is_event, F.lit(False)))
     out = out.withColumn(
         "_i",
         F.explode_outer(
@@ -636,7 +673,7 @@ def collectd_parse(df: DataFrame, body_col: str = "body") -> DataFrame:
     )
     val_is_int = val_str.rlike(_INT_RE)
     return (
-        out.filter(guard | F.col("cd_is_event"))
+        out.filter(guard | F.col("cd_is_event") | ~F.col("cd_parse_ok"))
         .withColumn("cd_name", F.when(guard, name))
         .withColumn(
             "cd_kind",
@@ -656,9 +693,9 @@ def collectd_parse(df: DataFrame, body_col: str = "body") -> DataFrame:
         )
         .withColumn(
             "cd_ts_ns",
-            F.when(guard, (r["time"] * F.lit(1e9)).cast("long")),
+            F.when(guard, _sat_long(r["time"] * F.lit(1e9))),
         )
-        .drop("_rec", "_i")
+        .drop("_rec", "_i", "_body_ok")
     )
 
 

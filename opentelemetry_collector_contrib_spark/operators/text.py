@@ -1519,12 +1519,21 @@ def bpe_encode(
     each merge in priority order as a delimited string replace
     (`` a b `` → `` ab `` on the space-joined symbol string), repeated
     ``passes`` times per merge so adjacent repeats whose shared
-    delimiter was consumed by the previous replacement still merge
-    (leftmost-first, exactly the greedy BPE application order). This
-    is the standard apply-merges-in-rank-order encoder; a merge whose
-    output feeds an EARLIER merge is not revisited (document if your
-    merge table has such chains — rank-ordered tables from
-    bpe_merge_candidates don't).
+    delimiter was consumed by the previous replacement still merge.
+
+    KNOWN DIVERGENCE from leftmost-greedy BPE (documented, pinned by
+    test): for SELF-OVERLAPPING merges — (a, a), or runs where the
+    pattern re-matches across a consumed delimiter — the replace-all
+    pass can pair symbols differently: 'aaaaa' with merge ('a','a')
+    encodes here as [aa, a, aa] where greedy BPE yields [aa, aa, a]
+    (same token multiset size is NOT guaranteed either). Raising
+    ``passes`` cannot fix this; it is inherent to vectorized
+    replace-all. Non-self-overlapping merge tables (distinct adjacent
+    pairs, the common case for top-ranked English merges) encode
+    identically to greedy BPE. A merge whose output feeds an EARLIER
+    merge is likewise not revisited. The DuckDB oracle replays the
+    identical algorithm, so correctness runs check THIS contract, not
+    greedy BPE.
 
     Plan: one codegen'd projection — transform() over the word array
     applies the replace chain per word; NO explode, NO shuffle, NO

@@ -151,7 +151,9 @@ def datadog_semantics(
             return out.withColumn(name, F.coalesce(c(name), derived))
         return out.withColumn(name, derived)
 
-    is_err = c(status_code_col) == "error"
+    # NULL status (unset, the common case) is NOT an error — status2Error
+    # returns 0 for anything but StatusCodeError (:170-172)
+    is_err = F.coalesce(c(status_code_col) == "error", F.lit(False))
     err_msg = F.when(
         is_err,
         F.coalesce(
@@ -260,11 +262,19 @@ def sumologic_translate_attributes(attrs: Column) -> Column:
     entry order — deterministic, and identical whenever a record
     carries at most one source per target (the normal case).
     """
+    entries = _sumo_renamed_entries(attrs)
+    return _sumo_first_wins_map(entries, _sumo_entry_keys(entries))
+
+
+def _sumo_renamed_entries(attrs: Column) -> Column:
+    """Per-entry rename pass (the single source of the translation
+    rule — composed directly above, staged behind select barriers in
+    ``sumologic_semantics``)."""
     pairs = []
     for k, v in SUMO_ATTRIBUTE_TRANSLATIONS.items():
         pairs.extend([F.lit(k), F.lit(v)])
     lookup = F.create_map(*pairs)
-    entries = F.transform(
+    return F.transform(
         F.map_entries(attrs),
         lambda e: F.struct(
             F.when(
@@ -275,12 +285,19 @@ def sumologic_translate_attributes(attrs: Column) -> Column:
             e["value"].alias("value"),
         ),
     )
-    keys = F.transform(entries, lambda e: e["key"])
-    first_wins = F.filter(
-        entries,
-        lambda e, i: F.array_position(keys, e["key"]) == i + 1,
+
+
+def _sumo_entry_keys(entries: Column) -> Column:
+    return F.transform(entries, lambda e: e["key"])
+
+
+def _sumo_first_wins_map(entries: Column, keys: Column) -> Column:
+    return F.map_from_entries(
+        F.filter(
+            entries,
+            lambda e, i: F.array_position(keys, e["key"]) == i + 1,
+        )
     )
-    return F.map_from_entries(first_wins)
 
 
 def sumologic_loglevel(severity_number: Column) -> Column:
@@ -313,39 +330,18 @@ def sumologic_semantics(
         *passthrough,
         sumologic_cloud_namespace(F.col(attrs_col)).alias("_a1"),
     )
-    # rename pass: per-entry target lookup against the STAGED map
-    pairs = []
-    for k, v in SUMO_ATTRIBUTE_TRANSLATIONS.items():
-        pairs.extend([F.lit(k), F.lit(v)])
-    lookup = F.create_map(*pairs)
+    # rename pass: per-entry target lookup against the STAGED map —
+    # same building blocks as sumologic_translate_attributes (single
+    # source of the rename rule)
     s2 = s1.select(
-        "*",
-        F.transform(
-            F.map_entries(F.col("_a1")),
-            lambda e: F.struct(
-                F.when(
-                    F.element_at(lookup, e["key"]).isNotNull()
-                    & ~F.map_contains_key(
-                        F.col("_a1"), F.element_at(lookup, e["key"])
-                    ),
-                    F.element_at(lookup, e["key"]),
-                ).otherwise(e["key"]).alias("key"),
-                e["value"].alias("value"),
-            ),
-        ).alias("_entries"),
+        "*", _sumo_renamed_entries(F.col("_a1")).alias("_entries")
     ).drop("_a1")
     s3 = s2.select(
-        "*",
-        F.transform(F.col("_entries"), lambda e: e["key"]).alias("_keys"),
+        "*", _sumo_entry_keys(F.col("_entries")).alias("_keys")
     )
     out = s3.select(
         "*",
-        F.map_from_entries(
-            F.filter(
-                F.col("_entries"),
-                lambda e, i: F.array_position(F.col("_keys"), e["key"]) == i + 1,
-            )
-        ).alias(out_col),
+        _sumo_first_wins_map(F.col("_entries"), F.col("_keys")).alias(out_col),
         sumologic_loglevel(F.col(severity_num_col)).alias("loglevel"),
     ).drop("_entries", "_keys")
     return out

