@@ -394,3 +394,55 @@ EXT11_QUERIES["collectd_parser"] = q_collectd
 EXT11_ORACLES["collectd_parser"] = O_COLLECTD
 EXT11_QUERIES["grafana_host_info"] = q_grafana_host_info
 EXT11_ORACLES["grafana_host_info"] = O_GRAFANA_HOST
+
+
+# ---------------------------------------------------------------------------
+# webhookevent receiver (body lines -> records, query/header attrs)
+# ---------------------------------------------------------------------------
+
+def q_webhook_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import webhook_events
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    body = F.concat(
+        F.lit("line a "), e.cast("string"), F.lit("\nline b "),
+        F.col("event_type"),
+    )
+    query = F.create_map(
+        F.lit("source"), F.concat(F.lit("s"), (u % 3).cast("string")),
+        F.lit("empty"), F.lit(""),
+    )
+    headers = F.create_map(
+        F.lit("X-Src"), F.concat(F.lit("x"), (u % 2).cast("string")),
+        F.lit("Authorization"), F.lit("secret"),
+    )
+    src = ev.select(
+        "event_id", body.alias("body"), query.alias("query"),
+        headers.alias("headers"),
+    )
+    out = webhook_events(src, header_regex="^X-")
+    return out.select(
+        "event_id", "wh_body", "wh_resource_attrs", "wh_header_attrs"
+    )
+
+
+O_WEBHOOK = """
+WITH base AS (
+  SELECT event_id,
+         'source=s' || CAST(user_id % 3 AS VARCHAR) AS res_attrs,
+         'header.X-Src=x' || CAST(user_id % 2 AS VARCHAR) AS hdr_attrs,
+         'line a ' || CAST(event_id AS VARCHAR) AS l1,
+         'line b ' || event_type AS l2
+  FROM events
+)
+SELECT event_id, l1 AS wh_body, res_attrs AS wh_resource_attrs,
+       hdr_attrs AS wh_header_attrs
+FROM base
+UNION ALL
+SELECT event_id, l2, res_attrs, hdr_attrs FROM base
+"""
+
+
+EXT11_QUERIES["webhook_events"] = q_webhook_events
+EXT11_ORACLES["webhook_events"] = O_WEBHOOK

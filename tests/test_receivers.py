@@ -374,3 +374,21 @@ def test_overflow_lines_never_crash_the_batch(spark):
     assert len(dead) == 1 and dead[0]["event_id"] == 0
     huge = [r for r in cd if r["cd_parse_ok"] and not r["cd_is_event"]][0]
     assert huge["cd_ts_ns"] == 9223372036854774784  # saturated, no crash
+
+
+def test_webhook_events_split_and_attrs(spark):
+    from opentelemetry_collector_contrib_spark.operators.receivers import (
+        webhook_events,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\nb", {"src": "hook", "empty": ""}, {"X-Id": "7", "Auth": "s"})],
+        "event_id long, body string, query map<string,string>, "
+        "headers map<string,string>",
+    )
+    rows = webhook_events(df, header_regex="^X-").collect()
+    assert {r["wh_body"] for r in rows} == {"a", "b"}
+    assert all(r["wh_resource_attrs"] == "src=hook" for r in rows)  # empty dropped
+    assert all(r["wh_header_attrs"] == "header.X-Id=7" for r in rows)  # Auth skipped
+    whole = webhook_events(df, split_logs_at_newline=False).collect()
+    assert len(whole) == 1 and whole[0]["wh_body"] == "a\nb"
