@@ -45,11 +45,44 @@ from pyspark.sql import functions as F
 
 _STATSD_TYPES = ("c", "g", "h", "ms", "d")
 
-# full-line shape: name:value|type with only @/#/c:/T extension parts
-_STATSD_SHAPE = r"^[^|:]+:[^|]*\|(c|g|h|ms|d)(\|(@[^|]*|#[^|]*|c:[^|]*|T[0-9]+))*$"
-
 _INT_RE = r"^[+-]?[0-9]+$"
 _FLOAT_RE = r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
+# tokens Go's strconv.ParseFloat maps to ±Inf / zero WITHOUT an error
+# (range errors on finite tokens DO error — 1e309 / 1e-400 are invalid)
+_INF_TOKEN_RE = r"^[+-]?[iI][nN][fF]([iI][nN][iI][tT][yY])?$"
+_ZERO_TOKEN_RE = r"^[+-]?(0+(\.0*)?|\.0+)([eE][+-]?[0-9]+)?$"
+
+
+def _go_float_ok(token: Column) -> Column:
+    """Whether strconv.ParseFloat(token, 64) would succeed.
+
+    Spark's try_cast is *looser* than Go on range: '1e309' casts to
+    Infinity and '1e-400' to 0.0, while ParseFloat returns ErrRange
+    and the reference rejects the line (statsd_parser.go:388-393,
+    447-450). Accept an infinite/zero result only when the token
+    itself spells it. Known residual divergences (documented, fuzz
+    generator avoids them): Go additionally accepts hex-float
+    ('0x1p-2') and underscored ('1_0.5') literals that try_cast
+    rejects."""
+    d = token.try_cast("double")
+    return (
+        d.isNotNull()
+        & ((F.abs(d) != float("inf")) | token.rlike(_INF_TOKEN_RE))
+        & ((d != 0.0) | token.rlike(_ZERO_TOKEN_RE))
+    )
+
+
+def _prefix_before_empty(parts: Column) -> Column:
+    """Slice *parts* at the first empty element — Go's
+    ``for ; part != ""; part, rest, _ = strings.Cut(rest, sep)`` loop
+    shape: iteration STOPS at the first empty element and everything
+    after it is silently discarded (statsd_parser.go:382-383 for
+    '|' parts, :405-406 for ',' tag elements)."""
+    first_empty = F.array_position(parts, "")
+    return F.when(
+        first_empty > 0, F.slice(parts, F.lit(1), first_empty - 1)
+    ).otherwise(parts)
 
 
 _LONG_MAX = 9.223372036854775e18  # largest double below int64 max
@@ -96,42 +129,85 @@ def statsd_parse(
     v1.3). ``sd_addition`` is the gauge +/- delta flag (value prefix,
     :367-369). With *enable_metric_type* the full type name is added
     as a ``metric_type`` attribute (:448-453).
+
+    Loop-shape fidelity (round-5 ADVICE): the reference's part loop
+    ``Cut``s on '|' and STOPS at the first empty part — ``cpu:1|c|``
+    and ``cpu:1|c||#bad`` are VALID lines whose remainder is
+    discarded (:382-383). Likewise each '#' part's tag list stops at
+    the first empty ',' element: ``#a:1,,b:2`` keeps only ``a:1``
+    and never validates ``b:2`` (:405-406). Out-of-range finite
+    floats ('1e309' value or rate) are ParseFloat range ERRORS, while
+    'inf'/'nan' spellings are accepted — see ``_go_float_ok``.
     """
     line = F.col(line_col)
-    name = F.regexp_extract(line, r"^([^|:]+):", 1)
-    raw_value = F.regexp_extract(line, r"^[^|:]+:([^|]*)\|", 1)
-    mtype = F.regexp_extract(line, r"^[^|]+\|([^|]*)", 1)
-
-    # repeated extension parts follow the reference's sequential loop
-    # (:384-445): a later @rate / c: / T overwrites the earlier one
-    # (last wins), while multiple #tag parts APPEND their kvs
-    def _last(pattern: str) -> Column:
-        all_m = F.regexp_extract_all(line, F.lit(pattern), 1)
-        return F.when(F.size(all_m) > 0, F.element_at(all_m, -1)).otherwise(
-            F.lit("")
-        )
-
-    rate_str = _last(r"\|@([^|]*)")
-    tags_str = F.array_join(
-        F.regexp_extract_all(line, F.lit(r"\|#([^|]*)"), 1), ","
+    has_pipe = F.instr(line, "|") > 0
+    name_value = F.substring_index(line, "|", 1)
+    has_colon = F.instr(name_value, ":") > 0
+    name = F.when(has_colon, F.substring_index(name_value, ":", 1)).otherwise(
+        F.lit("")
     )
+    raw_value = F.when(
+        has_colon,
+        F.substr(name_value, F.instr(name_value, ":") + 1, F.length(name_value)),
+    ).otherwise(F.lit(""))
+
+    all_parts = F.split(line, r"\|")
+    mtype = F.when(F.size(all_parts) >= 2, F.element_at(all_parts, 2)).otherwise(
+        F.lit("")
+    )
+    # extension parts after the type, truncated at the first empty
+    # one (everything past it is valid-but-ignored, :382-383)
+    ext = _prefix_before_empty(
+        F.slice(all_parts, F.lit(3), F.greatest(F.size(all_parts) - 2, F.lit(0)))
+    )
+
+    starts = lambda p, pre: F.startswith(p, F.lit(pre))  # noqa: E731
+    at_tokens = F.transform(
+        F.filter(ext, lambda p: starts(p, "@")),
+        lambda p: F.substr(p, F.lit(2), F.length(p)),
+    )
+    c_tokens = F.transform(
+        F.filter(ext, lambda p: starts(p, "c:")),
+        lambda p: F.substr(p, F.lit(3), F.length(p)),
+    )
+    t_tokens = F.transform(
+        F.filter(ext, lambda p: starts(p, "T")),
+        lambda p: F.substr(p, F.lit(2), F.length(p)),
+    )
+    # every part must be one of the four kinds (default case errors,
+    # :443-445)
+    parts_recognized = F.forall(
+        ext,
+        lambda p: starts(p, "@") | starts(p, "#") | starts(p, "c:") | starts(p, "T"),
+    )
+
+    rate_str = F.when(
+        F.size(at_tokens) > 0, F.element_at(at_tokens, -1)
+    ).otherwise(F.lit(""))
     # c: parts append ONLY when non-empty (:420-426) — so the
     # surviving container id is the last NON-empty one
-    c_matches = F.filter(
-        F.regexp_extract_all(line, F.lit(r"\|c:([^|]*)"), 1),
-        lambda m: m != "",
-    )
+    c_nonempty = F.filter(c_tokens, lambda m: m != "")
     container = F.when(
-        F.size(c_matches) > 0, F.element_at(c_matches, -1)
+        F.size(c_nonempty) > 0, F.element_at(c_nonempty, -1)
     ).otherwise(F.lit(""))
-    ts_str = _last(r"\|T([0-9]+)")
+    ts_str = F.when(F.size(t_tokens) > 0, F.element_at(t_tokens, -1)).otherwise(
+        F.lit("")
+    )
 
     value = raw_value.try_cast("double")
     rate = F.when(rate_str != "", rate_str.try_cast("double"))
 
-    # tags: Cut(tagSet, ":") — key before the FIRST ':', value after;
-    # empty value only legal with enable_simple_tags
-    tag_parts = F.filter(F.split(tags_str, ","), lambda t: t != "")
+    # tags: each '#' part contributes its ','-elements up to the first
+    # empty one (:405-406); multiple # parts APPEND (:384-445 loop).
+    # An empty tag body ('#' alone) contributes nothing (:399-402).
+    tag_parts = F.flatten(
+        F.transform(
+            F.filter(ext, lambda p: starts(p, "#")),
+            lambda p: _prefix_before_empty(
+                F.split(F.substr(p, F.lit(2), F.length(p)), ",")
+            ),
+        )
+    )
     key_of = lambda t: F.substring_index(t, ":", 1)  # noqa: E731
     tags_ok = F.forall(
         tag_parts,
@@ -160,21 +236,27 @@ def statsd_parse(
         kv_parts = F.concat(kv_parts, F.array(F.concat(F.lit("metric_type:"), full)))
 
     ok = (
-        line.rlike(_STATSD_SHAPE)
+        has_pipe
+        & has_colon
         & (name != "")
         & (raw_value != "")
         & mtype.isin(*_STATSD_TYPES)
-        & value.isNotNull()
-        # EVERY @ part must parse (the loop errors on the first bad
-        # one, :387-393; ParseFloat("") fails too) — not just the
+        & _go_float_ok(raw_value)
+        & parts_recognized
+        # EVERY @ part in the effective prefix must ParseFloat (the
+        # loop errors on the first bad one, :387-393) — not just the
         # last-wins survivor
+        & F.forall(at_tokens, _go_float_ok)
+        # every T part must be digits-only ParseUint-able and is only
+        # legal on counters/gauges (:429-440); we bound at int64 (a T
+        # beyond 2^63 seconds is year 2.9e11, documented divergence
+        # from uint64)
         & F.forall(
-            F.regexp_extract_all(line, F.lit(r"\|@([^|]*)"), 1),
-            lambda m: (m != "") & m.try_cast("double").isNotNull(),
+            t_tokens,
+            lambda t: mtype.isin("c", "g")
+            & t.rlike(r"^[0-9]+$")
+            & t.try_cast("long").isNotNull(),
         )
-        # ParseUint errors on out-of-range timestamps (:434-437); we
-        # bound at int64 (a T beyond 2^63 seconds is year 2.9e11)
-        & ((ts_str == "") | (mtype.isin("c", "g") & ts_str.try_cast("long").isNotNull()))
         & tags_ok
     )
     return (
@@ -270,7 +352,12 @@ def carbon_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
     into sec + frac·1e9 ns (:112-118). Path per
     ``plaintext_parser.go ParsePath`` (:40-70): name before the first
     ';' (non-empty), then ``k=v`` tags where '=' must exist at index
-    ≥1 (key non-empty; empty value legal).
+    ≥1 (key non-empty; empty value legal). An EMPTY tag segment is an
+    error — ``ParsePath`` splits the post-';' remainder on ';' without
+    filtering, and any segment with ``IndexByte(tag, '=') < 1`` fails
+    (plaintext_parser.go:59-63): ``name;;k=v`` and ``name;k=v;`` are
+    invalid lines. A remainder that is empty as a whole (``name;``) is
+    legal (:53-56).
     """
     line = F.col(line_col)
     parts = F.split(line, " ")
@@ -283,8 +370,13 @@ def carbon_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
         F.instr(path, ";") > 0,
         F.substr(path, F.instr(path, ";") + 1, F.length(path)),
     ).otherwise(F.lit(""))
-    tag_parts = F.filter(F.split(rest, ";"), lambda t: t != "")
-    tags_ok = F.forall(tag_parts, lambda t: F.instr(t, "=") > 1)
+    raw_segments = F.split(rest, ";")
+    # validate UNFILTERED segments: every one needs '=' at index >=1
+    # (so an empty segment fails), unless the whole remainder is empty
+    tags_ok = (rest == "") | F.forall(
+        raw_segments, lambda t: F.instr(t, "=") > 1
+    )
+    tag_parts = F.filter(raw_segments, lambda t: t != "")
 
     # int64-else-float64 exactly like strconv: a 20+-digit integer
     # token FAILS ParseInt and takes the float path (so try_cast long,
@@ -307,8 +399,11 @@ def carbon_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
         three
         & (name != "")
         & tags_ok
-        & val_dbl.isNotNull()
-        & ts_dbl.isNotNull()
+        # int64-else-float64: when the int path fails, the float token
+        # must ParseFloat without a range error (_go_float_ok — '1e309'
+        # is invalid, 'inf' is legal)
+        & (val_is_int | _go_float_ok(value_str))
+        & (ts_long.isNotNull() | _go_float_ok(ts_str))
     )
     return (
         df.withColumn("cb_name", name)
