@@ -345,3 +345,118 @@ def sumologic_semantics(
         sumologic_loglevel(F.col(severity_num_col)).alias("loglevel"),
     ).drop("_entries", "_keys")
     return out
+
+
+# ---------------------------------------------------------------------------
+# datadogconnector: traces -> APM stats
+# ---------------------------------------------------------------------------
+
+
+def datadog_apm_stats(
+    df: DataFrame,
+    bucket_ns: int = 10_000_000_000,
+    compute_top_level_by_span_kind: bool = True,
+    compute_stats_by_span_kind: bool = True,
+    ignore_resources: list[str] | None = None,
+    trace_col: str = "trace_id",
+    parent_col: str = "parent_span_id",
+    service_col: str = "service",
+    name_col: str = "op_name",
+    resource_col: str = "resource",
+    kind_col: str = "span_kind",
+    env_col: str = "env",
+    hostname_col: str = "hostname",
+    version_col: str = "version",
+    start_col: str = "start_ns",
+    duration_col: str = "duration_ns",
+    error_col: str = "is_error",
+    http_code_col: str = "http_status_code",
+    origin_col: str = "origin",
+) -> DataFrame:
+    """``connector/datadogconnector`` traces→metrics: derive APM stats
+    from spans the way the connector's Concentrator does.
+
+    The connector (``connector_native.go:135-141``) feeds every span
+    through ``stats.Concentrator`` from the datadog-agent (public
+    Apache-2.0: ``pkg/trace/stats/{concentrator,aggregation,
+    statsraw}.go``) and emits per-bucket per-group stats payloads.
+    The semantics mirrored here, with the reference-repo config knobs
+    that gate them (``pkg/datadog/config/traces.go``):
+
+    - **eligibility** — stats are computed for *top-level* and
+      *measured* spans. With ``compute_top_level_by_span_kind``
+      (traces.go:43-48): top-level = root span (no parent) OR kind
+      server/consumer; client/producer spans are *measured*. With
+      ``compute_stats_by_span_kind`` (traces.go:37-41) off, only
+      top-level spans contribute.
+    - **ignore_resources** (traces.go:18-21) — drop spans whose
+      resource matches any of the blacklist regexes before stats.
+    - **time buckets** — a span lands in the 10 s bucket containing
+      its END time: ``btime = end - end % bsize`` (concentrator.go).
+    - **aggregation key** (aggregation.go ``BucketsAggregationKey`` +
+      ``PayloadAggregationKey``) — env, hostname, version, service,
+      operation name, resource, span.kind, HTTP status code
+      (0 when absent), synthetics (origin prefixed ``synthetics``),
+      and whether the span is the trace root.
+    - **grain stats** (statsraw.go) — ``hits``, ``errors`` (error
+      spans), ``duration`` (ns sum), ``top_level_hits`` (hits from
+      top-level spans only; measured-only spans count toward hits
+      but not top-level hits). The DDSketch ok/error latency
+      distributions are represented by the engine's spanmetrics
+      histograms (``operators/aggregate.py``) rather than re-encoded
+      as sketches.
+
+    Spark shape: one zero-shuffle eligibility + key projection fused
+    into the scan, then a single hash aggregate (map-side partial →
+    final) — the same one-exchange plan as ``spanmetrics``. At
+    10^12 turns the group space is bounded by key cardinality, not
+    row count, so the shuffle stays small.
+    """
+    kind = F.lower(F.col(kind_col))
+    is_root = F.col(parent_col).isNull() | (F.col(parent_col) == "")
+    if compute_top_level_by_span_kind:
+        top_level = is_root | kind.isin("server", "consumer")
+    else:
+        # legacy rule (traceutil/toplevel.go): root or service change
+        # vs parent — callers on this path must pre-mark; we keep the
+        # root-only conservative core
+        top_level = is_root
+    measured = (
+        kind.isin("client", "producer")
+        if compute_stats_by_span_kind
+        else F.lit(False)
+    )
+    eligible = top_level | measured
+    if ignore_resources:
+        for rx in ignore_resources:
+            eligible = eligible & ~F.col(resource_col).rlike(rx)
+
+    end_ns = F.col(start_col) + F.col(duration_col)
+    bucket_start = (end_ns - end_ns % F.lit(bucket_ns)).alias("bucket_start")
+    synthetics = F.startswith(
+        F.coalesce(F.col(origin_col), F.lit("")), F.lit("synthetics")
+    )
+    err = F.coalesce(F.col(error_col).cast("boolean"), F.lit(False))
+
+    return (
+        df.where(eligible)
+        .groupBy(
+            bucket_start,
+            F.col(env_col).alias("env"),
+            F.col(hostname_col).alias("hostname"),
+            F.col(version_col).alias("version"),
+            F.col(service_col).alias("service"),
+            F.col(name_col).alias("op_name"),
+            F.col(resource_col).alias("resource"),
+            kind.alias("span_kind"),
+            F.coalesce(F.col(http_code_col), F.lit(0)).alias("status_code"),
+            synthetics.alias("synthetics"),
+            is_root.alias("is_trace_root"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.sum(top_level.cast("long")).alias("top_level_hits"),
+            F.sum(err.cast("long")).alias("errors"),
+            F.sum(F.col(duration_col)).alias("duration_sum"),
+        )
+    )

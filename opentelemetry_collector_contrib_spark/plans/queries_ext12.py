@@ -1,0 +1,137 @@
+"""Round-5 queries: datadogconnector traces→APM-stats derivation —
+the last reference connector without a counterpart.
+
+The span fixture extends the ext11 binary-tree shape (trace =
+``tr<user_id>``, span idx by event order, parent = idx//2) with the
+dimensions the Concentrator aggregates on: service/env/hostname/
+version from user_id residues, deterministic start/duration ns from
+event_id, error + http status from event_type/user_id, and a
+synthetics origin on every 10th event — all arithmetically
+replayable in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import QueryFn, load
+
+
+def _apm_span_fixture(ev: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    idx = F.row_number().over(w)
+    tr = F.concat(F.lit("tr"), F.col("user_id").cast("string"))
+    df = ev.select(
+        "event_id", "user_id", "event_type", tr.alias("trace_id"),
+        idx.alias("idx"),
+    )
+    u, e = F.col("user_id"), F.col("event_id")
+    parent = F.when(
+        F.col("idx") > 1,
+        F.concat(
+            F.col("trace_id"), F.lit("-s"),
+            F.floor(F.col("idx") / 2).cast("string"),
+        ),
+    )
+    kind = (
+        F.when(F.col("idx") % 7 == 0, "server")
+        .when(F.col("idx") % 5 == 0, "consumer")
+        .when(F.col("idx") % 3 == 0, "client")
+        .when(F.col("idx") % 2 == 0, "producer")
+        .otherwise("internal")
+    )
+    return df.select(
+        "trace_id",
+        parent.alias("parent_span_id"),
+        F.concat(F.lit("svc-"), (u % 4).cast("string")).alias("service"),
+        F.concat(F.lit("op-"), F.col("event_type")).alias("op_name"),
+        F.concat(F.lit("res-"), (e % 6).cast("string")).alias("resource"),
+        kind.alias("span_kind"),
+        F.when(u % 2 == 0, "prod").otherwise("staging").alias("env"),
+        F.concat(F.lit("host-"), (u % 3).cast("string")).alias("hostname"),
+        F.concat(F.lit("v"), (u % 2).cast("string")).alias("version"),
+        (e * 10_000_000).alias("start_ns"),
+        ((e % 997 + 1) * 1_000_000).alias("duration_ns"),
+        (F.col("event_type") == "error").alias("is_error"),
+        F.when(u % 3 == 0, (F.lit(500) + u % 3).cast("int")).alias(
+            "http_status_code"
+        ),
+        F.when(e % 10 == 0, F.lit("synthetics-browser"))
+        .otherwise(F.lit("rum"))
+        .alias("origin"),
+    )
+
+
+_SQL_APM_SPANS = """
+s AS (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS idx
+  FROM events
+),
+spans AS (
+  SELECT CASE WHEN idx > 1 THEN 'x' END AS parent_span_id,
+         'svc-' || CAST(user_id % 4 AS VARCHAR) AS service,
+         'op-' || event_type AS op_name,
+         'res-' || CAST(event_id % 6 AS VARCHAR) AS resource,
+         CASE WHEN idx % 7 = 0 THEN 'server'
+              WHEN idx % 5 = 0 THEN 'consumer'
+              WHEN idx % 3 = 0 THEN 'client'
+              WHEN idx % 2 = 0 THEN 'producer'
+              ELSE 'internal' END AS span_kind,
+         CASE WHEN user_id % 2 = 0 THEN 'prod' ELSE 'staging' END AS env,
+         'host-' || CAST(user_id % 3 AS VARCHAR) AS hostname,
+         'v' || CAST(user_id % 2 AS VARCHAR) AS version,
+         event_id * 10000000 AS start_ns,
+         (event_id % 997 + 1) * 1000000 AS duration_ns,
+         event_type = 'error' AS is_error,
+         CASE WHEN user_id % 3 = 0 THEN 500 + user_id % 3 END
+           AS http_status_code,
+         CASE WHEN event_id % 10 = 0 THEN 'synthetics-browser'
+              ELSE 'rum' END AS origin
+  FROM s
+)
+"""
+
+
+def q_datadog_apm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vendor_semantics import datadog_apm_stats
+
+    spans = _apm_span_fixture(load(spark, sf_dir, "events"))
+    return datadog_apm_stats(spans, ignore_resources=[r"^res-5$"])
+
+
+O_DATADOG_APM = f"""
+WITH {_SQL_APM_SPANS},
+eligible AS (
+  SELECT *,
+         parent_span_id IS NULL AS is_trace_root,
+         parent_span_id IS NULL
+           OR span_kind IN ('server', 'consumer') AS top_level,
+         start_ns + duration_ns AS end_ns
+  FROM spans
+  WHERE (parent_span_id IS NULL
+         OR span_kind IN ('server', 'consumer', 'client', 'producer'))
+    AND NOT regexp_matches(resource, '^res-5$')
+)
+SELECT end_ns - end_ns % 10000000000 AS bucket_start,
+       env, hostname, version, service, op_name, resource, span_kind,
+       coalesce(http_status_code, 0) AS status_code,
+       origin LIKE 'synthetics%' AS synthetics,
+       is_trace_root,
+       COUNT(*) AS hits,
+       SUM(CASE WHEN top_level THEN 1 ELSE 0 END) AS top_level_hits,
+       SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS errors,
+       SUM(duration_ns) AS duration_sum
+FROM eligible
+GROUP BY ALL
+"""
+
+
+EXT12_QUERIES: dict[str, QueryFn] = {
+    "datadog_apm_stats": q_datadog_apm_stats,
+}
+
+EXT12_ORACLES: dict[str, str] = {
+    "datadog_apm_stats": O_DATADOG_APM,
+}
