@@ -685,6 +685,7 @@ def pq_adc_top1(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_dp: int = 12,
+    max_scan_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """PQ asymmetric-distance search (the ADC of IVFADC, Jegou et al.
     2011): base vectors live only as m codes; each query scores a
@@ -692,6 +693,15 @@ def pq_adc_top1(
     query sub-vector and the candidate's CODEWORD (codebook lookup) —
     the query side stays exact, the base side is quantized, and the
     scan never touches the original base vectors.
+
+    **Exact-recall oracle twin ONLY.** This is the FLAT scan: every
+    query scores every code — O(n·q) rows through the top-k window.
+    The scale path is ``ivfadc_topk`` below, which prepends the IVF
+    coarse quantizer so each query probes only ``nprobe`` cells via a
+    broadcast equi-join on the cell id. ``max_scan_rows`` is the same
+    fail-fast fence as ``brute_force_topk``'s: one cheap bounded
+    count instead of a cluster-melting full scan when someone grabs
+    the flat form at 100 TB. Pass None to bypass for tests.
 
     Scale story: scoring is a zero-shuffle projection — codebooks are
     literal arrays, so each block's contribution is one element_at
@@ -704,6 +714,15 @@ def pq_adc_top1(
     neighbor = argmax rounded score, ties to the smaller id, self
     excluded.
     """
+    if max_scan_rows is not None:
+        n_c = corpus.select(id_col).limit(max_scan_rows + 1).count()
+        if n_c > max_scan_rows:
+            raise ValueError(
+                f"pq_adc_top1: corpus has >{max_scan_rows} rows; the flat "
+                "ADC scan scores every code per query — use ivfadc_topk "
+                "(IVF-probed candidates) at scale, or raise max_scan_rows "
+                "explicitly"
+            )
     sub = dim // m
     books = pq_train(corpus, dim, m, ksub, iters, id_col, vec_col)
     enc = pq_encode(

@@ -280,6 +280,16 @@ def test_brute_force_guard(spark):
         brute_force_topk(emb, emb, k=1, max_broadcast_rows=10)
 
 
+def test_pq_adc_flat_scan_guard(spark):
+    from opentelemetry_collector_contrib_spark.operators.similarity import (
+        pq_adc_top1,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="ivfadc_topk"):
+        pq_adc_top1(emb, max_scan_rows=10)
+
+
 def test_salted_repartition_salt_cols(spark):
     from opentelemetry_collector_contrib_spark.operators.route import (
         salted_repartition,
