@@ -111,6 +111,14 @@ BENCH_QUERIES = [
     "grafana_host_info",
 ]
 
+# round-5: bench EVERYTHING the registry grades. The curated list
+# above keeps median-of-3 (the cross-round comparison set); every
+# other registry query — cheap parsers, OTTL contexts, streaming
+# twins — runs one warm-up + ONE timed trial so no query ships
+# unmeasured. Computed from the registry so new queries can't be
+# silently dropped.
+REMAINDER_TRIALS = 1
+
 PIPELINE_CONVS = 30_000  # ~600k turns; comparable to sf0.1 lineitem
 
 
@@ -169,6 +177,24 @@ def main() -> int:
             times[name] = round(
                 timed_median(lambda: force(fn(spark, sf_dir)), trials), 3
             )
+        remainder = [n for n in sorted(Q.QUERIES) if n not in set(BENCH_QUERIES)]
+        for name in remainder:
+            fn = Q.QUERIES[name]
+            if name.startswith("stream_"):
+                # streaming twins: one COLD trial — their wall clock is
+                # microbatch scheduling + state-store commits (fixed
+                # cost), not JIT, so a warm-up run would double the
+                # bench for no measurement value
+                t0 = time.time()
+                force(fn(spark, sf_dir))
+                times[name] = round(time.time() - t0, 3)
+            else:
+                times[name] = round(
+                    timed_median(
+                        lambda: force(fn(spark, sf_dir)), REMAINDER_TRIALS
+                    ),
+                    3,
+                )
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
 
@@ -182,6 +208,8 @@ def main() -> int:
                 "queries": times,
                 "sf": sf,
                 "trials": trials,
+                "remainder_trials": REMAINDER_TRIALS,
+                "n_queries": len(times),
                 "fixture_sec": round(fixture_sec, 3),
                 "pipeline_turns": total_turns,
                 "pipeline_turns_per_sec": round(total_turns / pipeline_sec, 1),
