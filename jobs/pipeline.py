@@ -41,6 +41,15 @@ def main(argv: list[str] | None = None) -> int:
         help="skip ts-day partitions already committed in _lineage.jsonl",
     )
     ap.add_argument(
+        "--poll-days", type=int, default=0,
+        help="write in poll cycles of N ts-days each: the filelog "
+        "poll-cycle analog (reference checkpoints per-file offsets "
+        "every poll, pkg/stanza/fileconsumer/file.go:144-151) — each "
+        "cycle commits its days to the lineage manifest, so a killed "
+        "driver loses at most the in-flight cycle and --resume "
+        "reprocesses only pending days; 0 = single write job",
+    )
+    ap.add_argument(
         "--sink", choices=["parquet", "noop"], default="parquet",
         help="noop: execute the full pipeline but skip the disk sink "
         "(isolates compute scaling from single-box disk/memory bandwidth)",
@@ -70,6 +79,31 @@ def main(argv: list[str] | None = None) -> int:
         )
         observed.write.format("noop").mode("overwrite").save()
         counts = {r: n for r, n in obs.get.items() if n > 0}
+    elif args.poll_days > 0:
+        from pyspark.sql import functions as F
+
+        from opentelemetry_collector_contrib_spark.plans.pipeline import PipelineOutput
+
+        # One tiny distinct-agg to enumerate days (bounded by the
+        # calendar, not the data); on a ts-day-partitioned Iceberg
+        # input each cycle's day filter partition-prunes the scan.
+        days = [
+            str(r[0])
+            for r in out.routed.select("ts_day").distinct().orderBy("ts_day").collect()
+        ]
+        counts = {}
+        for i in range(0, len(days), args.poll_days):
+            chunk = days[i : i + args.poll_days]
+            cycle = PipelineOutput(
+                routed=out.routed.filter(F.col("ts_day").cast("string").isin(chunk)),
+                aggregates=out.aggregates,
+            )
+            c = write_pipeline(
+                cycle, args.out, salt_buckets=args.salt, lineage=lineage,
+                resume=args.resume, write_metrics=False,
+            )
+            for k, v in c.items():
+                counts[k] = counts.get(k, 0) + v
     else:
         counts = write_pipeline(
             out, args.out, salt_buckets=args.salt, lineage=lineage, resume=args.resume,
