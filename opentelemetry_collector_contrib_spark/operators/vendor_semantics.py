@@ -32,6 +32,7 @@ connected-components lesson).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -266,12 +267,16 @@ def sumologic_translate_attributes(attrs: Column) -> Column:
     return _sumo_first_wins_map(entries, _sumo_entry_keys(entries))
 
 
-def _sumo_renamed_entries(attrs: Column) -> Column:
+def _sumo_renamed_entries(
+    attrs: Column, table: dict[str, str] | None = None
+) -> Column:
     """Per-entry rename pass (the single source of the translation
     rule — composed directly above, staged behind select barriers in
-    ``sumologic_semantics``)."""
+    ``sumologic_semantics``). ``table`` defaults to the OT→Sumo
+    attribute table; the docker resource rename reuses the same
+    insert-without-overwrite walk with its own table."""
     pairs = []
-    for k, v in SUMO_ATTRIBUTE_TRANSLATIONS.items():
+    for k, v in (table or SUMO_ATTRIBUTE_TRANSLATIONS).items():
         pairs.extend([F.lit(k), F.lit(v)])
     lookup = F.create_map(*pairs)
     return F.transform(
@@ -460,3 +465,272 @@ def datadog_apm_stats(
             F.sum(F.col(duration_col)).alias("duration_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sumologic translate_telegraf_metrics / translate_docker_metrics
+# (the processor's remaining config-gated stages, previously declared
+# out of scope — now covered so the sub-processor chain is complete)
+# ---------------------------------------------------------------------------
+
+# translate_telegraf_metrics_processor.go:18-75 (verbatim table)
+SUMO_TELEGRAF_METRIC_TRANSLATIONS: dict[str, str] = {
+    "cpu_usage_active": "CPU_Total",
+    "cpu_usage_idle": "CPU_Idle",
+    "cpu_usage_iowait": "CPU_IOWait",
+    "cpu_usage_irq": "CPU_Irq",
+    "cpu_usage_nice": "CPU_Nice",
+    "cpu_usage_softirq": "CPU_SoftIrq",
+    "cpu_usage_steal": "CPU_Stolen",
+    "cpu_usage_System": "CPU_Sys",
+    "cpu_usage_user": "CPU_User",
+    "system_load1": "CPU_LoadAvg_1min",
+    "system_load5": "CPU_LoadAvg_5min",
+    "system_load15": "CPU_LoadAvg_15min",
+    "disk_used": "Disk_Used",
+    "disk_used_percent": "Disk_UsedPercent",
+    "disk_inodes_free": "Disk_InodesAvailable",
+    "diskio_reads": "Disk_Reads",
+    "diskio_read_bytes": "Disk_ReadBytes",
+    "diskio_writes": "Disk_Writes",
+    "diskio_write_bytes": "Disk_WriteBytes",
+    "mem_total": "Mem_Total",
+    "mem_free": "Mem_free",
+    "mem_available": "Mem_ActualFree",
+    "mem_used": "Mem_ActualUsed",
+    "mem_used_percent": "Mem_UsedPercent",
+    "mem_available_percent": "Mem_FreePercent",
+    "procstat_num_threads": "Proc_Threads",
+    "procstat_memory_vms": "Proc_VMSize",
+    "procstat_memory_rss": "Proc_RSSize",
+    "procstat_cpu_usage": "Proc_CPU",
+    "procstat_major_faults": "Proc_MajorFaults",
+    "procstat_minor_faults": "Proc_MinorFaults",
+    "net_bytes_sent": "Net_OutBytes",
+    "net_bytes_recv": "Net_InBytes",
+    "net_packets_sent": "Net_OutPackets",
+    "net_packets_recv": "Net_InPackets",
+    "netstat_tcp_close": "TCP_Close",
+    "netstat_tcp_close_wait": "TCP_CloseWait",
+    "netstat_tcp_closing": "TCP_Closing",
+    "netstat_tcp_established": "TCP_Established",
+    "netstat_tcp_listen": "TCP_Listen",
+    "netstat_tcp_time_wait": "TCP_TimeWait",
+}
+
+# translate_docker_metrics_processor.go:19-71 (verbatim table)
+SUMO_DOCKER_METRIC_TRANSLATIONS: dict[str, str] = {
+    "container.cpu.percent": "cpu_percentage",
+    "container.cpu.usage.system": "system_cpu_usage",
+    "container.cpu.usage.percpu": "cpu_usage.percpu_usage",
+    "container.cpu.usage.total": "cpu_usage.total_usage",
+    "container.cpu.usage.kernelmode": "cpu_usage.usage_in_kernelmode",
+    "container.cpu.usage.usermode": "cpu_usage.usage_in_usermode",
+    "container.cpu.throttling_data.periods": "throttling_data.periods",
+    "container.cpu.throttling_data.throttled_periods":
+        "throttling_data.throttled_periods",
+    "container.cpu.throttling_data.throttled_time":
+        "throttling_data.throttled_time",
+    "container.memory.usage.limit": "limit",
+    "container.memory.usage.max": "max_usage",
+    "container.memory.percent": "memory_percentage",
+    "container.memory.usage.total": "usage",
+    "container.memory.active_anon": "stats.active_anon",
+    "container.memory.active_file": "stats.active_file",
+    "container.memory.cache": "stats.cache",
+    "container.memory.hierarchical_memory_limit":
+        "stats.hierarchical_memory_limit",
+    "container.memory.inactive_anon": "stats.inactive_anon",
+    "container.memory.inactive_file": "stats.inactive_file",
+    "container.memory.mapped_file": "stats.mapped_file",
+    "container.memory.pgfault": "stats.pgfault",
+    "container.memory.pgmajfault": "stats.pgmajfault",
+    "container.memory.pgpgin": "stats.pgpgin",
+    "container.memory.pgpgout": "stats.pgpgout",
+    "container.memory.rss": "stats.rss",
+    "container.memory.rss_huge": "stats.rss_huge",
+    "container.memory.unevictable": "stats.unevictable",
+    "container.memory.writeback": "stats.writeback",
+    "container.memory.total_active_anon": "stats.total_active_anon",
+    "container.memory.total_active_file": "stats.total_active_file",
+    "container.memory.total_cache": "stats.total_cache",
+    "container.memory.total_inactive_anon": "stats.total_inactive_anon",
+    "container.memory.total_mapped_file": "stats.total_mapped_file",
+    "container.memory.total_pgfault": "stats.total_pgfault",
+    "container.memory.total_pgmajfault": "stats.total_pgmajfault",
+    "container.memory.total_pgpgin": "stats.total_pgpgin",
+    "container.memory.total_pgpgout": "stats.total_pgpgout",
+    "container.memory.total_rss": "stats.total_rss",
+    "container.memory.total_rss_huge": "stats.total_rss_huge",
+    "container.memory.total_unevictable": "stats.total_unevictable",
+    "container.memory.total_writeback": "stats.total_writeback",
+    "container.blockio.io_merged_recursive": "io_merged_recursive",
+    "container.blockio.io_queued_recursive": "io_queue_recursive",
+    "container.blockio.io_service_bytes_recursive":
+        "io_service_bytes_recursive",
+    "container.blockio.io_service_time_recursive":
+        "io_service_time_recursive",
+    "container.blockio.io_serviced_recursive": "io_serviced_recursive",
+    "container.blockio.io_time_recursive": "io_time_recursive",
+    "container.blockio.io_wait_time_recursive": "io_wait_time_recursive",
+    "container.blockio.sectors_recursive": "sectors_recursive",
+}
+
+# translate_docker_metrics_processor.go:73-77
+SUMO_DOCKER_RESOURCE_TRANSLATIONS: dict[str, str] = {
+    "container.id": "container.FullID",
+    "container.image.name": "container.ImageName",
+    "container.name": "container.Name",
+}
+
+
+def _metric_rename(name: Column, table: dict[str, str]) -> Column:
+    pairs = []
+    for k, v in table.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.coalesce(F.element_at(F.create_map(*pairs), name), name)
+
+
+def sumologic_translate_telegraf_metric(name: Column) -> Column:
+    """Telegraf → Sumo metric-name rename
+    (translate_telegraf_metrics_processor.go:119-125): rename when the
+    name is in the table, otherwise pass through unchanged."""
+    return _metric_rename(name, SUMO_TELEGRAF_METRIC_TRANSLATIONS)
+
+
+def sumologic_translate_docker_metric(name: Column) -> Column:
+    """Docker-stats → Sumo metric-name rename
+    (translate_docker_metrics_processor.go:121-127)."""
+    return _metric_rename(name, SUMO_DOCKER_METRIC_TRANSLATIONS)
+
+
+def sumologic_translate_docker_resource_attrs(attrs: Column) -> Column:
+    """Docker resource-attribute key rename
+    (translate_docker_metrics_processor.go:129-159): ``container.id``/
+    ``container.image.name``/``container.name`` → Sumo keys, but only
+    when the target key is NOT already present in the original map;
+    among entries landing on one result key the first in entry order
+    wins (the Go loop's ``result.Get`` guards). Same walk as the
+    OT→Sumo attribute translation, different table — zero-shuffle map
+    surgery."""
+    entries = _sumo_renamed_entries(attrs, SUMO_DOCKER_RESOURCE_TRANSLATIONS)
+    return _sumo_first_wins_map(entries, _sumo_entry_keys(entries))
+
+
+# ---------------------------------------------------------------------------
+# sumologic nesting processor (nest_attributes)
+# ---------------------------------------------------------------------------
+
+
+def sumologic_nest_attributes(
+    attrs: Column,
+    separator: str = ".",
+    include: tuple[str, ...] = (),
+    exclude: tuple[str, ...] = (),
+    squash_single_values: bool = False,
+) -> Column:
+    """Sumologic ``nest_attributes``: flat dotted keys → nested
+    object, returned as a compact JSON string
+    (``processor/sumologicprocessor/nesting_processor.go:122-199``).
+
+    Semantics mirrored exactly, pinned by the reference's unit-test
+    table in ``tests/test_round5_sumologic.py``:
+
+    - a key is only nested when it has a prefix in ``include`` (if
+      non-empty) and no prefix in ``exclude`` (:203-227); skipped keys
+      pass through flat;
+    - conflicts between a scalar and a deeper path put the scalar
+      under the ``""`` key of the map that replaces it (:146-152,
+      169-175 — the "overwrite map with simple value" test);
+    - ``squash_single_values`` collapses single-child maps into one
+      ``a.b``-joined key (:229-292);
+    - entry order is preserved (pcommon.Map insertion order → JSON
+      member order).
+
+    Spark re-expression: the construction is recursive document
+    surgery (same class as the XML write editors), so it runs as ONE
+    Arrow-batched pandas UDF over ``map_entries`` — a zero-shuffle
+    projection; no per-row JVM↔Python round trips. At 100 TB this
+    scales as a narrow map stage.
+    """
+    import json
+
+    from pyspark.sql.functions import pandas_udf
+
+    allow = tuple(include)
+    deny = tuple(exclude)
+    sep = separator
+
+    def _should_translate(k: str) -> bool:
+        if allow and not any(k.startswith(p) for p in allow):
+            return False
+        if any(k.startswith(p) for p in deny):
+            return False
+        return True
+
+    def _nest(entries) -> dict:
+        root: dict = {}
+        for k, v in entries:
+            if not _should_translate(k):
+                root[k] = v
+                continue
+            keys = k.split(sep) if sep else [k]
+            parent, pkey = None, None
+            cur = root
+            for i, kk in enumerate(keys):
+                if not isinstance(cur, dict):
+                    # former scalar moves under "" (go :146-152)
+                    cur = {"": cur}
+                    parent[pkey] = cur
+                if kk in cur:
+                    parent, pkey, cur = cur, kk, cur[kk]
+                elif i == len(keys) - 1:
+                    cur[kk] = None
+                    parent, pkey, cur = cur, kk, None
+                else:
+                    cur[kk] = {}
+                    parent, pkey, cur = cur, kk, cur[kk]
+            if isinstance(cur, dict):
+                # value lands under "" of the existing map (:169-178)
+                cur[""] = v
+            else:
+                parent[pkey] = v
+        return root
+
+    def _squash_value(v):
+        # returns (new_value, key_suffix) — go squashAttribute (:247-283)
+        if not isinstance(v, dict):
+            return v, ""
+        if len(v) == 1:
+            ((k, child),) = v.items()
+            child2, suffix = _squash_value(child)
+            return child2, (k if suffix == "" else k + sep + suffix)
+        out = {}
+        for k, child in v.items():
+            child2, suffix = _squash_value(child)
+            out[k if suffix == "" else k + sep + suffix] = child2
+        return out, ""
+
+    def _squash(m: dict) -> dict:
+        v, key = _squash_value(m)
+        return {key: v} if key != "" else v
+
+    @pandas_udf("string")
+    def _nest_udf(entries: pd.Series) -> pd.Series:
+        out = []
+        for ents in entries:
+            if ents is None:
+                out.append(None)
+                continue
+            pairs = [
+                (e["key"], e["value"]) if isinstance(e, dict)
+                else (e[0], e[1])
+                for e in ents
+            ]
+            m = _nest(pairs)
+            if squash_single_values:
+                m = _squash(m)
+            out.append(json.dumps(m, separators=(",", ":")))
+        return pd.Series(out)
+
+    return _nest_udf(F.map_entries(attrs))

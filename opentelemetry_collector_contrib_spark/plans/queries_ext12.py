@@ -128,10 +128,217 @@ GROUP BY ALL
 """
 
 
+# ---------------------------------------------------------------------------
+# sumologic remaining sub-processors: telegraf/docker rename tables +
+# attribute nesting (round 5 — closes the processor's config-gated
+# stages that r4 had declared out of scope)
+# ---------------------------------------------------------------------------
+
+_TD_NAMES = [
+    "cpu_usage_active",
+    "mem_used_percent",
+    "diskio_reads",
+    "container.cpu.percent",
+    "container.memory.usage.total",
+    "custom_metric",
+]
+# expected outputs per fixture slot (verbatim from the reference tables)
+_TD_TELEGRAF = [
+    "CPU_Total",
+    "Mem_UsedPercent",
+    "Disk_Reads",
+    "container.cpu.percent",
+    "container.memory.usage.total",
+    "custom_metric",
+]
+_TD_DOCKER = [
+    "cpu_usage_active",
+    "mem_used_percent",
+    "diskio_reads",
+    "cpu_percentage",
+    "usage",
+    "custom_metric",
+]
+
+
+def _canon_attrs(attrs) -> F.Column:
+    return F.concat_ws(
+        ",",
+        F.array_sort(
+            F.transform(
+                F.map_entries(attrs),
+                lambda kv: F.concat(kv["key"], F.lit("="), kv["value"]),
+            )
+        ),
+    )
+
+
+def q_sumologic_telegraf_docker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vendor_semantics import (
+        sumologic_translate_docker_metric,
+        sumologic_translate_docker_resource_attrs,
+        sumologic_translate_telegraf_metric,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    name = F.element_at(
+        F.array(*[F.lit(n) for n in _TD_NAMES]), (e % 6 + 1).cast("int")
+    )
+    base = F.create_map(
+        F.lit("container.id"), F.concat(F.lit("id"), (u % 4).cast("string")),
+        F.lit("host"), F.concat(F.lit("h"), (u % 3).cast("string")),
+    )
+    # every 5th user already carries the rename TARGET — exercises the
+    # keep-source-key branch (translate_docker_metrics_processor.go:136-146)
+    w1 = F.when(
+        u % 5 == 0,
+        F.map_concat(
+            base, F.create_map(F.lit("container.FullID"), F.lit("pre"))
+        ),
+    ).otherwise(base)
+    attrs = F.when(
+        e % 2 == 0,
+        F.map_concat(
+            w1,
+            F.create_map(
+                F.lit("container.name"),
+                F.concat(F.lit("n"), (e % 3).cast("string")),
+            ),
+        ),
+    ).otherwise(w1)
+    src = ev.select("event_id", name.alias("name"), attrs.alias("attrs"))
+    return src.select(
+        "event_id",
+        sumologic_translate_telegraf_metric(F.col("name")).alias(
+            "telegraf_name"
+        ),
+        sumologic_translate_docker_metric(F.col("name")).alias("docker_name"),
+        _canon_attrs(
+            sumologic_translate_docker_resource_attrs(F.col("attrs"))
+        ).alias("attrs_str"),
+    )
+
+
+def _sql_case(expr: str, values: list[str]) -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN '{v}'" for i, v in enumerate(values)
+    )
+    return f"CASE {expr} {arms} END"
+
+
+O_SUMO_TELEGRAF_DOCKER = f"""
+WITH a AS (
+  SELECT event_id,
+         CAST(user_id % 4 AS VARCHAR) AS u4,
+         CAST(user_id % 3 AS VARCHAR) AS u3,
+         user_id % 5 = 0 AS pre,
+         event_id % 2 = 0 AS has_name,
+         CAST(event_id % 3 AS VARCHAR) AS e3,
+         CAST(event_id % 6 AS INT) AS nm
+  FROM events
+)
+SELECT event_id,
+       {_sql_case('nm', _TD_TELEGRAF)} AS telegraf_name,
+       {_sql_case('nm', _TD_DOCKER)} AS docker_name,
+       array_to_string(list_sort(list_filter([
+         CASE WHEN pre THEN 'container.id=id' || u4
+              ELSE 'container.FullID=id' || u4 END,
+         'host=h' || u3,
+         CASE WHEN pre THEN 'container.FullID=pre' END,
+         CASE WHEN has_name THEN 'container.Name=n' || e3 END
+       ], x -> x IS NOT NULL)), ',') AS attrs_str
+FROM a
+"""
+
+
+def q_sumologic_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vendor_semantics import sumologic_nest_attributes
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    base = F.create_map(
+        F.lit("kubernetes.container.name"),
+        F.concat(F.lit("c"), (u % 5).cast("string")),
+        F.lit("kubernetes.host.name"),
+        F.concat(F.lit("h"), (u % 4).cast("string")),
+        F.lit("kubernetes.host.address"),
+        F.concat(F.lit("10.0.0."), (e % 7).cast("string")),
+        F.lit("another_attr"),
+        F.lit("42"),
+    )
+    # every 3rd event carries a scalar at a prefix of an existing path —
+    # exercises the ""-key collision rule (nesting_processor.go:169-178)
+    a1 = F.when(
+        e % 3 == 0,
+        F.map_concat(
+            base, F.create_map(F.lit("kubernetes.container"), F.lit("plain"))
+        ),
+    ).otherwise(base)
+    a2 = F.when(
+        e % 4 == 0,
+        F.map_concat(
+            a1,
+            F.create_map(
+                F.lit("sumo.logic.schema"),
+                F.concat(F.lit("s"), (e % 5).cast("string")),
+            ),
+        ),
+    ).otherwise(a1)
+    src = ev.select("event_id", a2.alias("attrs"))
+    return src.select(
+        "event_id",
+        sumologic_nest_attributes(F.col("attrs")).alias("nested"),
+        sumologic_nest_attributes(
+            F.col("attrs"), squash_single_values=True
+        ).alias("squashed"),
+    )
+
+
+O_SUMO_NESTING = """
+WITH a AS (
+  SELECT event_id,
+         CAST(user_id % 5 AS VARCHAR) AS c,
+         CAST(user_id % 4 AS VARCHAR) AS h,
+         CAST(event_id % 7 AS VARCHAR) AS ip,
+         event_id % 3 = 0 AS coll,
+         event_id % 4 = 0 AS sumo,
+         CAST(event_id % 5 AS VARCHAR) AS s
+  FROM events
+)
+SELECT event_id,
+       '{"kubernetes":{"container":{"name":"c' || c || '"'
+         || CASE WHEN coll THEN ',"":"plain"' ELSE '' END
+         || '},"host":{"name":"h' || h
+         || '","address":"10.0.0.' || ip
+         || '"}},"another_attr":"42"'
+         || CASE WHEN sumo
+                 THEN ',"sumo":{"logic":{"schema":"s' || s || '"}}'
+                 ELSE '' END
+         || '}' AS nested,
+       '{"kubernetes":{'
+         || CASE WHEN coll
+                 THEN '"container":{"name":"c' || c || '","":"plain"}'
+                 ELSE '"container.name":"c' || c || '"' END
+         || ',"host":{"name":"h' || h
+         || '","address":"10.0.0.' || ip
+         || '"}},"another_attr":"42"'
+         || CASE WHEN sumo
+                 THEN ',"sumo.logic.schema":"s' || s || '"'
+                 ELSE '' END
+         || '}' AS squashed
+FROM a
+"""
+
+
 EXT12_QUERIES: dict[str, QueryFn] = {
     "datadog_apm_stats": q_datadog_apm_stats,
+    "sumologic_telegraf_docker": q_sumologic_telegraf_docker,
+    "sumologic_nesting": q_sumologic_nesting,
 }
 
 EXT12_ORACLES: dict[str, str] = {
     "datadog_apm_stats": O_DATADOG_APM,
+    "sumologic_telegraf_docker": O_SUMO_TELEGRAF_DOCKER,
+    "sumologic_nesting": O_SUMO_NESTING,
 }

@@ -1,0 +1,216 @@
+"""Round-5: the sumologic processor's remaining sub-processors —
+translate_telegraf_metrics, translate_docker_metrics, nest_attributes.
+
+The nesting cases port the reference's unit-test table
+(processor/sumologicprocessor/nesting_processor_test.go:14-246) with
+string values (this engine's attribute model is map<string,string>;
+the Go table's bool/nested-map inputs carry the same key semantics).
+"""
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.vendor_semantics import (
+    SUMO_DOCKER_METRIC_TRANSLATIONS,
+    SUMO_TELEGRAF_METRIC_TRANSLATIONS,
+    sumologic_nest_attributes,
+    sumologic_translate_docker_metric,
+    sumologic_translate_docker_resource_attrs,
+    sumologic_translate_telegraf_metric,
+)
+
+
+def _nest_one(spark, entries, **kw):
+    """Run the nest UDF on one attribute map built from ordered pairs."""
+    pairs = []
+    for k, v in entries:
+        pairs.extend([F.lit(k), F.lit(v)])
+    df = spark.range(1).select(
+        sumologic_nest_attributes(F.create_map(*pairs), **kw).alias("j")
+    )
+    return json.loads(df.collect()[0]["j"])
+
+
+def test_nest_sample(spark):
+    # nesting_processor_test.go:22-43 "sample nesting"
+    got = _nest_one(
+        spark,
+        [
+            ("kubernetes.container_name", "xyz"),
+            ("kubernetes.host.name", "the host"),
+            ("kubernetes.host.address", "127.0.0.1"),
+            ("kubernetes.namespace_name", "sumologic"),
+            ("another_attr", "42"),
+        ],
+    )
+    assert got == {
+        "kubernetes": {
+            "container_name": "xyz",
+            "host": {"name": "the host", "address": "127.0.0.1"},
+            "namespace_name": "sumologic",
+        },
+        "another_attr": "42",
+    }
+
+
+def test_nest_scalar_vs_map_collision(spark):
+    # :77-90 "overwrite map with simple value" — scalar lands under ""
+    got = _nest_one(spark, [("sumo.logic", "true"), ("sumo", "false")])
+    assert got == {"sumo": {"logic": "true", "": "false"}}
+    # reverse entry order reaches the same shape via the
+    # former-scalar-moves-under-"" branch (:146-152)
+    got2 = _nest_one(spark, [("sumo", "false"), ("sumo.logic", "true")])
+    assert got2 == {"sumo": {"": "false", "logic": "true"}}
+
+
+def test_nest_allowlist(spark):
+    # :92-113 "allowlist"
+    got = _nest_one(
+        spark,
+        [
+            ("kubernetes.container_name", "xyz"),
+            ("kubernetes.host.name", "the host"),
+            ("kubernetes.host.address", "127.0.0.1"),
+            ("kubernetes.namespace_name", "sumologic"),
+            ("another_attr", "42"),
+        ],
+        include=("kubernetes.container", "kubernetes.host.name"),
+    )
+    assert got == {
+        "kubernetes": {
+            "container_name": "xyz",
+            "host": {"name": "the host"},
+        },
+        "kubernetes.host.address": "127.0.0.1",
+        "kubernetes.namespace_name": "sumologic",
+        "another_attr": "42",
+    }
+
+
+def test_nest_denylist(spark):
+    # :115-134 "denylist"
+    got = _nest_one(
+        spark,
+        [
+            ("kubernetes.container_name", "xyz"),
+            ("kubernetes.host.name", "the host"),
+            ("kubernetes.host.address", "127.0.0.1"),
+            ("kubernetes.namespace_name", "sumologic"),
+            ("another_attr", "42"),
+        ],
+        exclude=("kubernetes.container", "kubernetes.host"),
+    )
+    assert got == {
+        "kubernetes.container_name": "xyz",
+        "kubernetes.host.name": "the host",
+        "kubernetes.host.address": "127.0.0.1",
+        "kubernetes": {"namespace_name": "sumologic"},
+        "another_attr": "42",
+    }
+
+
+def test_nest_allow_and_deny(spark):
+    # :136-161 "denylist and allowlist"
+    got = _nest_one(
+        spark,
+        [
+            ("kubernetes.container_name", "xyz"),
+            ("kubernetes.host.name", "the host"),
+            ("kubernetes.host.naming_convention", "random"),
+            ("kubernetes.host.address", "127.0.0.1"),
+            ("kubernetes.namespace_name", "sumologic"),
+            ("another_attr", "42"),
+            ("and_end", "fin"),
+        ],
+        include=("kubernetes.host.",),
+        exclude=("kubernetes.host.naming",),
+    )
+    assert got == {
+        "kubernetes.container_name": "xyz",
+        "kubernetes": {
+            "host": {"name": "the host", "address": "127.0.0.1"},
+        },
+        "kubernetes.host.naming_convention": "random",
+        "kubernetes.namespace_name": "sumologic",
+        "another_attr": "42",
+        "and_end": "fin",
+    }
+
+
+def test_nest_squash(spark):
+    # :188-203 "squash from example" (flat-key input producing the
+    # same nested intermediate) + :205-233 "many-value maps"
+    got = _nest_one(
+        spark,
+        [("k8s.pods.a", "A"), ("k8s.pods.b", "B")],
+        squash_single_values=True,
+    )
+    assert got == {"k8s.pods": {"a": "A", "b": "B"}}
+
+    got2 = _nest_one(
+        spark,
+        [
+            ("k8s.pods.a.b.c", "A"),
+            ("k8s.pods.b", "B"),
+            ("sumo.logic.schema", "processor"),
+        ],
+        squash_single_values=True,
+    )
+    assert got2 == {
+        "k8s.pods": {"a.b.c": "A", "b": "B"},
+        "sumo.logic.schema": "processor",
+    }
+
+
+def test_telegraf_docker_metric_rename(spark):
+    rows = spark.createDataFrame(
+        [("cpu_usage_active",), ("netstat_tcp_close_wait",), ("whatever",),
+         ("container.cpu.percent",), ("container.blockio.sectors_recursive",)],
+        "name string",
+    ).select(
+        sumologic_translate_telegraf_metric(F.col("name")).alias("t"),
+        sumologic_translate_docker_metric(F.col("name")).alias("d"),
+    ).collect()
+    assert [r["t"] for r in rows] == [
+        "CPU_Total", "TCP_CloseWait", "whatever",
+        "container.cpu.percent", "container.blockio.sectors_recursive",
+    ]
+    assert [r["d"] for r in rows] == [
+        "cpu_usage_active", "netstat_tcp_close_wait", "whatever",
+        "cpu_percentage", "sectors_recursive",
+    ]
+
+
+def test_table_sizes_match_reference():
+    # translate_telegraf_metrics_processor.go has 41 entries,
+    # translate_docker_metrics_processor.go has 49
+    assert len(SUMO_TELEGRAF_METRIC_TRANSLATIONS) == 41
+    assert len(SUMO_DOCKER_METRIC_TRANSLATIONS) == 49
+
+
+def test_docker_resource_attr_rename(spark):
+    def run(entries):
+        pairs = []
+        for k, v in entries:
+            pairs.extend([F.lit(k), F.lit(v)])
+        out = spark.range(1).select(
+            F.to_json(
+                sumologic_translate_docker_resource_attrs(F.create_map(*pairs))
+            ).alias("j")
+        )
+        return json.loads(out.collect()[0]["j"])
+
+    # plain rename
+    assert run([("container.id", "abc"), ("other", "x")]) == {
+        "container.FullID": "abc",
+        "other": "x",
+    }
+    # target already present in the ORIGINAL map → keep source key
+    # (translate_docker_metrics_processor.go:136-146)
+    assert run([("container.id", "abc"), ("container.FullID", "pre")]) == {
+        "container.id": "abc",
+        "container.FullID": "pre",
+    }
