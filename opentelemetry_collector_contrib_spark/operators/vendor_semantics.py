@@ -734,3 +734,124 @@ def sumologic_nest_attributes(
         return pd.Series(out)
 
     return _nest_udf(F.map_entries(attrs))
+
+
+# ---------------------------------------------------------------------------
+# sumologic aggregate_attributes
+# ---------------------------------------------------------------------------
+
+
+def sumologic_aggregate_attributes(
+    df: DataFrame,
+    aggregations: list[tuple[str, list[str]]],
+    attrs_col: str = "attrs",
+    out_col: str = "attrs",
+    agg_col: str = "aggregated",
+) -> DataFrame:
+    """Sumologic ``aggregate_attributes``
+    (``processor/sumologicprocessor/aggregate_attributes_processor.go``
+    :111-159): for each ``(attribute, prefixes)`` pair, every key with
+    one of the prefixes is MOVED under ``attribute`` as a sub-map with
+    the prefix trimmed (getNewKey :165-171). Prefix passes run in
+    order, each over the keys the earlier passes left behind, so the
+    collected names are prefix-major; a later duplicate trimmed key
+    overwrites the earlier value (pcommon PutEmpty). The aggregated
+    attribute is only added when something matched (:153-158).
+
+    Spark re-expression: the flat remainder stays ``out_col``
+    (map<string,string>) and the one-level sub-maps land in
+    ``agg_col`` (map<string,map<string,string>>) — a typed column, no
+    JSON detour. Everything is array/map surgery on ``map_entries``:
+    zero shuffle, whole-stage codegen, no Python. Each aggregation
+    round is staged behind a select barrier (the lambda-staging
+    lesson: nested higher-order lambdas re-evaluate upstream
+    expressions per element).
+
+    Divergence (flat data model): a later aggregation's prefix cannot
+    match an EARLIER aggregation's result attribute (whose value is a
+    sub-map) — same declared model boundary as ``nest_attributes``
+    input values; no reference config does this.
+    """
+    passthrough = [c for c in df.columns if c != attrs_col]
+    cur = df.select(
+        *passthrough, F.map_entries(F.col(attrs_col)).alias("_rem")
+    )
+    # NOTE: higher-order-function lambdas must be UNARY here — PySpark
+    # infers lambda arity from the full Python signature, so a default
+    # arg used to capture loop state would receive the (element, index)
+    # lambda variables instead. Capture via closure factories.
+    def _match_fn(p: str, earlier: tuple[str, ...]):
+        def fn(e):
+            c = e["key"].startswith(p)
+            for q in earlier:
+                c = c & ~e["key"].startswith(q)
+            return c
+
+        return fn
+
+    def _trim_fn(n: int):
+        def fn(e):
+            return F.struct(
+                e["key"].substr(F.lit(n + 1), F.length(e["key"])).alias(
+                    "key"
+                ),
+                e["value"].alias("value"),
+            )
+
+        return fn
+
+    def _no_prefix_fn(ps: tuple[str, ...]):
+        def fn(e):
+            c = e["key"].startswith(ps[0])
+            for p in ps[1:]:
+                c = c | e["key"].startswith(p)
+            return ~c
+
+        return fn
+
+    for idx, (_attribute, prefixes) in enumerate(aggregations):
+        rem = F.col("_rem")
+        parts = []
+        for j, p in enumerate(prefixes):
+            parts.append(
+                F.transform(
+                    F.filter(rem, _match_fn(p, tuple(prefixes[:j]))),
+                    _trim_fn(len(p)),
+                )
+            )
+        matched = parts[0] if len(parts) == 1 else F.concat(*parts)
+        cur = cur.select(
+            "*",
+            matched.alias(f"_m{idx}"),
+            F.filter(rem, _no_prefix_fn(tuple(prefixes))).alias("_rem2"),
+        ).drop("_rem").withColumnRenamed("_rem2", "_rem")
+
+    agg_entries = []
+    for idx, (attribute, _prefixes) in enumerate(aggregations):
+        rev = F.reverse(F.col(f"_m{idx}"))
+        keys = F.transform(rev, lambda e: e["key"])
+        # keep the LAST value per trimmed key (PutEmpty overwrite)
+        dedup = F.map_from_entries(
+            F.reverse(
+                F.filter(
+                    rev,
+                    lambda e, i: F.array_position(keys, e["key"]) == i + 1,
+                )
+            )
+        )
+        agg_entries.append(
+            F.struct(
+                F.lit(attribute).alias("key"),
+                F.when(F.size(F.col(f"_m{idx}")) > 0, dedup).alias("value"),
+            )
+        )
+    out = cur.select(
+        *passthrough,
+        F.map_from_entries(F.col("_rem")).alias(out_col),
+        F.map_from_entries(
+            F.filter(
+                F.array(*agg_entries), lambda e: e["value"].isNotNull()
+            )
+        ).alias(agg_col),
+    )
+    return out

@@ -331,14 +331,106 @@ FROM a
 """
 
 
+def q_sumologic_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vendor_semantics import sumologic_aggregate_attributes
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    base = F.create_map(
+        F.lit("pod_name"), F.concat(F.lit("pn"), (u % 5).cast("string")),
+        F.lit("pod_id"), F.concat(F.lit("pi"), (e % 7).cast("string")),
+        F.lit("service_name"), F.concat(F.lit("svc"), (u % 3).cast("string")),
+        F.lit("host"), F.concat(F.lit("h"), (u % 4).cast("string")),
+    )
+    a1 = F.when(
+        e % 3 == 0,
+        F.map_concat(
+            base, F.create_map(F.lit("pod_status"), F.lit("Running"))
+        ),
+    ).otherwise(base)
+    a2 = F.when(
+        e % 2 == 0,
+        F.map_concat(
+            a1,
+            F.create_map(
+                F.lit("container_image"),
+                F.concat(F.lit("img"), (e % 5).cast("string")),
+            ),
+        ),
+    ).otherwise(a1)
+    # container_name trims to the same key as service_name — exercises
+    # the PutEmpty last-wins overwrite inside one aggregation
+    a3 = F.when(
+        e % 5 == 0,
+        F.map_concat(
+            a2,
+            F.create_map(
+                F.lit("container_name"),
+                F.concat(F.lit("cn"), (u % 2).cast("string")),
+            ),
+        ),
+    ).otherwise(a2)
+    src = ev.select("event_id", a3.alias("attrs"))
+    out = sumologic_aggregate_attributes(
+        src,
+        [("pods", ["pod_"]), ("svc", ["service_", "container_"]),
+         ("none", ["zzz_"])],
+    )
+
+    def canon_sub(name: str):
+        sub = F.element_at(F.col("aggregated"), name)
+        return F.when(sub.isNotNull(), _canon_attrs(sub))
+
+    return out.select(
+        "event_id",
+        _canon_attrs(F.col("attrs")).alias("attrs_str"),
+        canon_sub("pods").alias("pods_str"),
+        canon_sub("svc").alias("svc_str"),
+        canon_sub("none").alias("none_str"),
+    )
+
+
+O_SUMO_AGGREGATE = """
+WITH a AS (
+  SELECT event_id,
+         CAST(user_id % 5 AS VARCHAR) AS pn,
+         CAST(event_id % 7 AS VARCHAR) AS pi,
+         CAST(user_id % 3 AS VARCHAR) AS sv,
+         CAST(user_id % 4 AS VARCHAR) AS h,
+         event_id % 3 = 0 AS has_status,
+         event_id % 2 = 0 AS has_image,
+         event_id % 5 = 0 AS has_cname,
+         CAST(event_id % 5 AS VARCHAR) AS im,
+         CAST(user_id % 2 AS VARCHAR) AS cn
+  FROM events
+)
+SELECT event_id,
+       'host=h' || h AS attrs_str,
+       array_to_string(list_sort(list_filter([
+         'id=pi' || pi,
+         'name=pn' || pn,
+         CASE WHEN has_status THEN 'status=Running' END
+       ], x -> x IS NOT NULL)), ',') AS pods_str,
+       array_to_string(list_sort(list_filter([
+         CASE WHEN has_image THEN 'image=img' || im END,
+         CASE WHEN has_cname THEN 'name=cn' || cn
+              ELSE 'name=svc' || sv END
+       ], x -> x IS NOT NULL)), ',') AS svc_str,
+       CAST(NULL AS VARCHAR) AS none_str
+FROM a
+"""
+
+
 EXT12_QUERIES: dict[str, QueryFn] = {
     "datadog_apm_stats": q_datadog_apm_stats,
     "sumologic_telegraf_docker": q_sumologic_telegraf_docker,
     "sumologic_nesting": q_sumologic_nesting,
+    "sumologic_aggregate": q_sumologic_aggregate,
 }
 
 EXT12_ORACLES: dict[str, str] = {
     "datadog_apm_stats": O_DATADOG_APM,
     "sumologic_telegraf_docker": O_SUMO_TELEGRAF_DOCKER,
     "sumologic_nesting": O_SUMO_NESTING,
+    "sumologic_aggregate": O_SUMO_AGGREGATE,
 }

@@ -214,3 +214,81 @@ def test_docker_resource_attr_rename(spark):
         "container.id": "abc",
         "container.FullID": "pre",
     }
+
+
+def _agg_one(spark, entries, aggregations):
+    from opentelemetry_collector_contrib_spark.operators.vendor_semantics import (
+        sumologic_aggregate_attributes,
+    )
+
+    pairs = []
+    for k, v in entries:
+        pairs.extend([F.lit(k), F.lit(v)])
+    df = spark.range(1).select(F.create_map(*pairs).alias("attrs"))
+    out = sumologic_aggregate_attributes(df, aggregations)
+    row = out.collect()[0]
+    return dict(row["attrs"]), {
+        k: dict(v) for k, v in row["aggregated"].items()
+    }
+
+
+def test_aggregate_three_values_one_key(spark):
+    # aggregate_attributes_processor_test.go:22-40
+    rem, agg = _agg_one(
+        spark,
+        [("pod_first", "first"), ("pod_second", "second"),
+         ("pod_third", "third")],
+        [("pods", ["pod_"])],
+    )
+    assert rem == {}
+    assert agg == {"pods": {"first": "first", "second": "second",
+                            "third": "third"}}
+
+
+def test_aggregate_six_values_two_keys(spark):
+    # :42-73 (int/bool values carried as strings in this data model)
+    rem, agg = _agg_one(
+        spark,
+        [("pod_first", "first"), ("pod_second", "second"),
+         ("pod_third", "third"), ("sono_ichi", "1"), ("sono_ni", "2"),
+         ("a totally unrelevant key", "true")],
+        [("pods", ["pod_"]), ("counts", ["sono_"])],
+    )
+    assert rem == {"a totally unrelevant key": "true"}
+    assert agg == {
+        "pods": {"first": "first", "second": "second", "third": "third"},
+        "counts": {"ichi": "1", "ni": "2"},
+    }
+
+
+def test_aggregate_three_prefixes_one_key(spark):
+    # :75-100
+    rem, agg = _agg_one(
+        spark,
+        [("A_12", "A12"), ("A_23", "A23"), ("C_2", "C2"), ("B_3", "B3"),
+         ("C_88", "C88"), ("B_53", "B53")],
+        [("id", ["B_", "A_", "C_"])],
+    )
+    assert rem == {}
+    assert agg == {"id": {"2": "C2", "3": "B3", "12": "A12", "23": "A23",
+                          "53": "B53", "88": "C88"}}
+
+
+def test_aggregate_no_match_adds_nothing(spark):
+    # :153-158 — attribute only added when something matched
+    rem, agg = _agg_one(
+        spark, [("host", "h1")], [("pods", ["pod_"])]
+    )
+    assert rem == {"host": "h1"}
+    assert agg == {}
+
+
+def test_aggregate_trimmed_key_collision_last_wins(spark):
+    # pcommon PutEmpty overwrite: later collected value replaces earlier
+    rem, agg = _agg_one(
+        spark,
+        [("service_name", "svc"), ("container_name", "cn")],
+        [("svc", ["service_", "container_"])],
+    )
+    assert rem == {}
+    assert agg == {"svc": {"name": "cn"}}
