@@ -855,3 +855,83 @@ def sumologic_aggregate_attributes(
         ).alias(agg_col),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# sumologic log_fields_conversion (the full four-field form)
+# ---------------------------------------------------------------------------
+
+
+def _id_hex_or_empty(id_col: Column, nbytes: int) -> Column:
+    """spanIDToHexOrEmptyString / traceIDToHexOrEmptyString
+    (log_fields_conversion_processor.go:34-50): lowercase hex of the
+    binary id, or '' for an empty (all-zero / missing) id."""
+    h = F.lower(F.hex(id_col))
+    return F.when(
+        id_col.isNull() | (h == "0" * (2 * nbytes)), F.lit("")
+    ).otherwise(h)
+
+
+def sumologic_log_fields(
+    df: DataFrame,
+    attrs_col: str = "attrs",
+    severity_num_col: str = "severity_number",
+    severity_text_col: str = "severity_text",
+    span_id_col: str = "span_id",
+    trace_id_col: str = "trace_id",
+    out_col: str = "attrs",
+) -> DataFrame:
+    """Sumologic ``field_attributes`` log-fields conversion
+    (log_fields_conversion_processor.go:92-114): copy record fields
+    into attributes —
+
+    - severity number → level name under ``loglevel``, only when the
+      severity is set (≠ UNSPECIFIED) and ``loglevel`` is absent;
+    - severity text → ``severitytext`` when absent;
+    - span id / trace id → lowercase hex (or '' when the id is empty)
+      under ``spanid`` / ``traceid`` when absent.
+
+    Each field is insert-if-missing against the reference's constant
+    attribute names. Zero-shuffle map surgery.
+    """
+    attrs = F.col(attrs_col)
+    sev = F.col(severity_num_col).cast("int")
+    entries = [
+        F.when(
+            sev.isNotNull()
+            & (sev != 0)
+            & ~F.map_contains_key(attrs, "loglevel"),
+            F.struct(
+                F.lit("loglevel").alias("key"),
+                sumologic_loglevel(sev).alias("value"),
+            ),
+        ),
+        F.when(
+            ~F.map_contains_key(attrs, "severitytext"),
+            F.struct(
+                F.lit("severitytext").alias("key"),
+                F.col(severity_text_col).alias("value"),
+            ),
+        ),
+        F.when(
+            ~F.map_contains_key(attrs, "spanid"),
+            F.struct(
+                F.lit("spanid").alias("key"),
+                _id_hex_or_empty(F.col(span_id_col), 8).alias("value"),
+            ),
+        ),
+        F.when(
+            ~F.map_contains_key(attrs, "traceid"),
+            F.struct(
+                F.lit("traceid").alias("key"),
+                _id_hex_or_empty(F.col(trace_id_col), 16).alias("value"),
+            ),
+        ),
+    ]
+    added = F.map_from_entries(
+        F.filter(F.array(*entries), lambda e: e.isNotNull())
+    )
+    passthrough = [c for c in df.columns if c != attrs_col]
+    return df.select(
+        *passthrough, F.map_concat(attrs, added).alias(out_col)
+    )

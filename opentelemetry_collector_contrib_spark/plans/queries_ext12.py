@@ -421,11 +421,80 @@ FROM a
 """
 
 
+def q_sumologic_log_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vendor_semantics import sumologic_log_fields
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    base = F.create_map(
+        F.lit("app"), F.concat(F.lit("a"), (u % 3).cast("string"))
+    )
+    a1 = F.when(
+        u % 7 == 0,
+        F.map_concat(
+            base, F.create_map(F.lit("loglevel"), F.lit("preset"))
+        ),
+    ).otherwise(base)
+    attrs = F.when(
+        e % 11 == 0,
+        F.map_concat(
+            a1, F.create_map(F.lit("severitytext"), F.lit("pre"))
+        ),
+    ).otherwise(a1)
+    src = ev.select(
+        "event_id",
+        attrs.alias("attrs"),
+        (e % 25).cast("int").alias("severity_number"),
+        F.concat(F.lit("T"), (e % 4).cast("string")).alias("severity_text"),
+        F.unhex(F.lpad(F.lower(F.hex(e % 256)), 16, "0")).alias("span_id"),
+        F.unhex(F.lpad(F.lower(F.hex(u % 1000)), 32, "0")).alias("trace_id"),
+    )
+    out = sumologic_log_fields(src)
+    return out.select("event_id", _canon_attrs(F.col("attrs")).alias("attrs_str"))
+
+
+def _sumo_levels_list() -> str:
+    levels = ["UNSPECIFIED"]
+    for name in ("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL"):
+        levels += [name, f"{name}2", f"{name}3", f"{name}4"]
+    return "[" + ", ".join(f"'{x}'" for x in levels) + "]"
+
+
+O_SUMO_LOG_FIELDS = f"""
+WITH a AS (
+  SELECT event_id,
+         CAST(user_id % 3 AS VARCHAR) AS app,
+         user_id % 7 = 0 AS preset_level,
+         event_id % 11 = 0 AS preset_text,
+         CAST(event_id % 25 AS INT) AS sev,
+         CAST(event_id % 4 AS VARCHAR) AS tx,
+         CAST(event_id % 256 AS BIGINT) AS sid,
+         CAST(user_id % 1000 AS BIGINT) AS tid
+  FROM events
+)
+SELECT event_id,
+       array_to_string(list_sort(list_filter([
+         'app=a' || app,
+         CASE WHEN preset_level THEN 'loglevel=preset'
+              WHEN sev <> 0 THEN 'loglevel=' || ({_sumo_levels_list()})[sev + 1]
+         END,
+         CASE WHEN preset_text THEN 'severitytext=pre'
+              ELSE 'severitytext=T' || tx END,
+         'spanid=' || CASE WHEN sid = 0 THEN ''
+              ELSE lower(lpad(to_hex(sid), 16, '0')) END,
+         'traceid=' || CASE WHEN tid = 0 THEN ''
+              ELSE lower(lpad(to_hex(tid), 32, '0')) END
+       ], x -> x IS NOT NULL)), ',') AS attrs_str
+FROM a
+"""
+
+
 EXT12_QUERIES: dict[str, QueryFn] = {
     "datadog_apm_stats": q_datadog_apm_stats,
     "sumologic_telegraf_docker": q_sumologic_telegraf_docker,
     "sumologic_nesting": q_sumologic_nesting,
     "sumologic_aggregate": q_sumologic_aggregate,
+    "sumologic_log_fields": q_sumologic_log_fields,
 }
 
 EXT12_ORACLES: dict[str, str] = {
@@ -433,4 +502,5 @@ EXT12_ORACLES: dict[str, str] = {
     "sumologic_telegraf_docker": O_SUMO_TELEGRAF_DOCKER,
     "sumologic_nesting": O_SUMO_NESTING,
     "sumologic_aggregate": O_SUMO_AGGREGATE,
+    "sumologic_log_fields": O_SUMO_LOG_FIELDS,
 }

@@ -292,3 +292,39 @@ def test_aggregate_trimmed_key_collision_last_wins(spark):
     )
     assert rem == {}
     assert agg == {"svc": {"name": "cn"}}
+
+
+def test_log_fields_conversion(spark):
+    # log_fields_conversion_processor.go:92-114 — insert-if-missing of
+    # loglevel/severitytext/spanid/traceid; empty ids render as ''
+    from opentelemetry_collector_contrib_spark.operators.vendor_semantics import (
+        sumologic_log_fields,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # sev set, ids set
+            ({"app": "x"}, 9, "Info", bytes.fromhex("0102030405060708"),
+             bytes.fromhex("0102030405060708090a0b0c0d0e0f10")),
+            # sev unspecified -> no loglevel; all-zero ids -> ''
+            ({"app": "y"}, 0, "t", bytes(8), bytes(16)),
+            # preset loglevel + severitytext survive (insert-if-missing)
+            ({"loglevel": "preset", "severitytext": "pre"}, 17, "Err",
+             bytes.fromhex("ffffffffffffffff"), bytes(16)),
+        ],
+        "attrs map<string,string>, severity_number int, severity_text string,"
+        " span_id binary, trace_id binary",
+    )
+    rows = [dict(r["attrs"]) for r in sumologic_log_fields(df).collect()]
+    assert rows[0] == {
+        "app": "x", "loglevel": "INFO", "severitytext": "Info",
+        "spanid": "0102030405060708",
+        "traceid": "0102030405060708090a0b0c0d0e0f10",
+    }
+    assert rows[1] == {
+        "app": "y", "severitytext": "t", "spanid": "", "traceid": "",
+    }
+    assert rows[2] == {
+        "loglevel": "preset", "severitytext": "pre",
+        "spanid": "ffffffffffffffff", "traceid": "",
+    }
