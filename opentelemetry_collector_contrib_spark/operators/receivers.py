@@ -881,3 +881,220 @@ def webhook_events(
         )
         out = out.withColumn("wh_header_attrs", _canon_attrs(matched, sep="="))
     return out
+
+
+# ---------------------------------------------------------------------------
+# wavefront receiver (line protocol)
+# ---------------------------------------------------------------------------
+
+# first '"' not preceded by '\' closes the value; '\"' (whatever
+# produced the backslash) is always treated as escaped — exactly the
+# reference's byte scan (wavefront_parser.go:160-180)
+_WF_QUOTED = r'^"((?:[^"]|(?<=\\)")*)(?<!\\)"'
+
+
+def wavefront_parse(
+    df: DataFrame,
+    line_col: str = "body",
+    max_tags: int = 12,
+    extract_collectd_tags: bool = False,
+    collectd_rounds: int = 4,
+    default_ts_ns: int | None = None,
+) -> DataFrame:
+    """Parse Wavefront metric lines
+    (``receiver/wavefrontreceiver/wavefront_parser.go:57-214``):
+    ``<name> <value> [<ts>] source=<src> [tags...]``.
+
+    Reference semantics mirrored, pinned by the Go test table in
+    ``tests/test_round5_wavefront.py``:
+
+    - SplitN(' ', 3): name (surrounding double quotes stripped,
+      :203-214; empty name invalid), value (int64-else-float64 typed
+      datapoint), rest;
+    - timestamp = first token of rest when it ParseInts; otherwise the
+      token must contain '=' (timestamp omitted → receive time,
+      supplied here as ``default_ts_ns``) or the line is invalid
+      (:70-88);
+    - tags: space-separated ``k=v`` with optionally double-quoted
+      values; a quoted value ends at the first NON-escaped '"' and
+      unescapes ``\\"`` and ``\\n`` only (:144-199); a pair without
+      '=' or a partially-quoted value invalidates the line; repeated
+      keys keep the last value (pcommon PutStr);
+    - ``extract_collectd_tags``: repeatedly pull ``[k=v,...]`` groups
+      out of the metric name (internal/collectd LabelsFromName) and
+      inject them as attributes; '..' collapses to '.' only when the
+      ORIGINAL name had no '..' (:121-145).
+
+    Spark re-expression: the reference's per-line byte scan becomes a
+    bounded unrolled loop of codegen'd Column stages — each stage
+    consumes one tag pair from the remainder (quote-aware via one
+    anchored regex), staged behind select barriers. Zero Python, zero
+    shuffle. Divergence (documented): tags beyond ``max_tags`` and
+    bracket groups beyond ``collectd_rounds`` dead-letter the line
+    instead of parsing unboundedly; sub-second receive time is a
+    caller-supplied constant.
+    """
+    line = F.col(line_col)
+    parts = F.split(line, " ", 3)
+    three = F.size(parts) == 3
+    raw_name = F.get(parts, 0)
+    name = F.when(
+        (F.length(raw_name) >= 2)
+        & raw_name.startswith('"')
+        & raw_name.endswith('"'),
+        F.substring(raw_name, 2, F.length(raw_name) - 2),
+    ).otherwise(raw_name)
+    value_str = F.get(parts, 1)
+    rest = F.coalesce(F.get(parts, 2), F.lit(""))
+
+    rest2 = F.split(rest, " ", 2)
+    ts_str = F.get(rest2, 0)
+    ts_long = ts_str.try_cast("long")
+    has_ts = ts_long.isNotNull()
+    ts_omitted = ~has_ts & (F.instr(ts_str, "=") > 0)
+    tags0 = F.when(
+        has_ts, F.coalesce(F.get(rest2, 1), F.lit(""))
+    ).otherwise(rest)
+    ts_ns = F.when(has_ts, F.try_multiply(ts_long, F.lit(1_000_000_000)))
+    if default_ts_ns is not None:
+        ts_ns = ts_ns.otherwise(F.lit(default_ts_ns))
+
+    val_long = value_str.try_cast("long")
+    val_is_int = F.coalesce(val_long.isNotNull(), F.lit(False))
+
+    cur = df.select(
+        "*",
+        name.alias("_wf_name"),
+        value_str.try_cast("double").alias("_wf_val"),
+        val_is_int.alias("_wf_is_int"),
+        ts_ns.alias("_wf_ts"),
+        tags0.alias("_wf_r"),
+        (
+            three
+            & (name != "")
+            & (has_ts | ts_omitted)
+            & (val_is_int | _go_float_ok(value_str))
+        ).alias("_wf_ok"),
+    )
+
+    tok_cols = []
+    for i in range(max_tags):
+        r1 = F.ltrim(F.col("_wf_r"))
+        done = r1 == ""
+        eq = F.instr(r1, "=")
+        key = F.substring(r1, 1, eq - 1)
+        v0 = F.substr(r1, eq + 1, F.length(r1))
+        quoted = v0.startswith('"') & (F.length(v0) > 1)
+        q_ok = v0.rlike(_WF_QUOTED)
+        q_raw = F.regexp_extract(v0, _WF_QUOTED, 1)
+        q_val = F.replace(
+            F.replace(q_raw, F.lit('\\"'), F.lit('"')),
+            F.lit("\\n"),
+            F.lit("\n"),
+        )
+        q_rem = F.substr(v0, F.length(q_raw) + 3, F.length(v0))
+        sp = F.instr(v0, " ")
+        u_val = F.when(sp == 0, v0).otherwise(F.substring(v0, 1, sp - 1))
+        u_rem = F.when(sp == 0, F.lit("")).otherwise(
+            F.substr(v0, sp + 1, F.length(v0))
+        )
+        stage_err = ~done & ((eq == 0) | (quoted & ~q_ok))
+        value = F.when(quoted, q_val).otherwise(u_val)
+        token = F.when(
+            F.col("_wf_ok") & ~done & ~stage_err,
+            F.concat(key, F.lit("="), value),
+        )
+        new_r = F.when(
+            done | stage_err, F.lit("")
+        ).otherwise(F.when(quoted, q_rem).otherwise(u_rem))
+        cur = cur.select(
+            "*",
+            token.alias(f"_wf_t{i}"),
+            new_r.alias("_wf_r2"),
+            (F.col("_wf_ok") & ~stage_err).alias("_wf_ok2"),
+        ).drop("_wf_r", "_wf_ok").withColumnsRenamed(
+            {"_wf_r2": "_wf_r", "_wf_ok2": "_wf_ok"}
+        )
+        tok_cols.append(f"_wf_t{i}")
+    # leftover after max_tags pairs → dead-letter (documented bound)
+    cur = cur.withColumn(
+        "_wf_ok", F.col("_wf_ok") & (F.ltrim(F.col("_wf_r")) == "")
+    )
+
+    cd_tok_cols = []
+    if extract_collectd_tags:
+        had_dotdot = F.instr(F.col("_wf_name"), "..") > 0
+        cur = cur.withColumn("_wf_dd", had_dotdot)
+        for i in range(collectd_rounds):
+            nm = F.col("_wf_name")
+            pat = r"^([^\[]*)\[([^\]]*)\](.*)$"
+            has = nm.rlike(r"^[^\[]*\[[^\]]*\]")
+            dims = F.regexp_extract(nm, pat, 2)
+            pieces = F.split(dims, ",")
+            # each piece: '=' present, none after the first
+            # (labels.go:36-39; '=' at index 0 is legal)
+            valid = F.forall(
+                pieces,
+                lambda p: (F.instr(p, "=") > 0)
+                & (
+                    F.instr(
+                        F.substr(p, F.instr(p, "=") + 1, F.length(p)), "="
+                    )
+                    == 0
+                ),
+            )
+            extract = has & valid
+            new_name = F.when(
+                extract,
+                F.concat(
+                    F.regexp_extract(nm, pat, 1), F.regexp_extract(nm, pat, 3)
+                ),
+            ).otherwise(nm)
+            toks = F.when(extract, pieces)
+            cur = cur.select(
+                "*", toks.alias(f"_wf_cd{i}"), new_name.alias("_wf_name2")
+            ).drop("_wf_name").withColumnRenamed("_wf_name2", "_wf_name")
+            cd_tok_cols.append(f"_wf_cd{i}")
+        # one more VALID group left → bound exceeded, dead-letter
+        nm = F.col("_wf_name")
+        more = nm.rlike(r"^[^\[]*\[[^\]]*\]") & F.forall(
+            F.split(F.regexp_extract(nm, r"^([^\[]*)\[([^\]]*)\](.*)$", 2), ","),
+            lambda p: (F.instr(p, "=") > 0)
+            & (
+                F.instr(F.substr(p, F.instr(p, "=") + 1, F.length(p)), "=")
+                == 0
+            ),
+        )
+        cur = cur.withColumn("_wf_ok", F.col("_wf_ok") & ~more).withColumn(
+            "_wf_name",
+            F.when(
+                ~F.col("_wf_dd"), F.replace(nm, F.lit(".."), F.lit("."))
+            ).otherwise(nm),
+        ).drop("_wf_dd")
+
+    all_toks = F.concat(
+        F.filter(
+            F.array(*[F.col(c) for c in tok_cols]), lambda x: x.isNotNull()
+        ),
+        F.flatten(
+            F.filter(
+                F.array(*[F.col(c) for c in cd_tok_cols]),
+                lambda x: x.isNotNull(),
+            )
+        )
+        if cd_tok_cols
+        else F.array().cast("array<string>"),
+    )
+    out = cur.select(
+        "*",
+        F.col("_wf_name").alias("wf_name"),
+        F.col("_wf_val").alias("wf_value"),
+        F.col("_wf_is_int").alias("wf_value_is_int"),
+        F.col("_wf_ts").alias("wf_ts_ns"),
+        _canon_attrs(all_toks, sep="=").alias("wf_attrs"),
+        F.coalesce(F.col("_wf_ok"), F.lit(False)).alias("wf_ok"),
+    )
+    return out.drop(
+        "_wf_name", "_wf_val", "_wf_is_int", "_wf_ts", "_wf_r", "_wf_ok",
+        *tok_cols, *cd_tok_cols,
+    )

@@ -489,12 +489,81 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# wavefront receiver line protocol
+# ---------------------------------------------------------------------------
+
+_WF_DEFAULT_TS_NS = 1_700_000_999 * 1_000_000_000
+
+
+def q_wavefront_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import wavefront_parse
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    name_tok = F.when(
+        e % 13 == 0,
+        F.concat(F.lit('"wf,'), F.col("event_type"), F.lit('"')),
+    ).otherwise(F.concat(F.lit("wf."), F.col("event_type")))
+    val_tok = F.when(
+        e % 2 == 0, (u % 100).cast("string")
+    ).otherwise(F.concat((u % 100).cast("string"), F.lit(".5")))
+    ts_part = F.when(
+        e % 3 != 0,
+        F.concat((F.lit(1700000000) + u).cast("string"), F.lit(" ")),
+    ).otherwise(F.lit(""))
+    tags = F.concat(
+        F.lit("source=s"), (u % 4).cast("string"),
+        F.when(
+            e % 5 == 0,
+            F.concat(F.lit(' k="v '), (e % 3).cast("string"), F.lit(' x"')),
+        ).otherwise(F.lit("")),
+        F.when(e % 7 == 0, F.lit(" env=prod")).otherwise(F.lit("")),
+        F.when(e % 11 == 0, F.lit(" junk")).otherwise(F.lit("")),
+    )
+    body = F.concat(name_tok, F.lit(" "), val_tok, F.lit(" "), ts_part, tags)
+    out = wavefront_parse(
+        ev.select("event_id", body.alias("body")),
+        default_ts_ns=_WF_DEFAULT_TS_NS,
+    )
+    return out.select(
+        "event_id", "wf_name", "wf_value", "wf_value_is_int", "wf_ts_ns",
+        "wf_attrs", "wf_ok",
+    )
+
+
+O_WAVEFRONT = f"""
+WITH a AS (
+  SELECT event_id,
+         CASE WHEN event_id % 13 = 0 THEN 'wf,' || event_type
+              ELSE 'wf.' || event_type END AS wf_name,
+         CAST(user_id % 100 AS DOUBLE)
+           + CASE WHEN event_id % 2 = 0 THEN 0 ELSE 0.5 END AS wf_value,
+         event_id % 2 = 0 AS wf_value_is_int,
+         CASE WHEN event_id % 3 <> 0
+              THEN (1700000000 + user_id) * 1000000000
+              ELSE {_WF_DEFAULT_TS_NS} END AS wf_ts_ns,
+         array_to_string(list_sort(list_filter([
+           CASE WHEN event_id % 7 = 0 THEN 'env=prod' END,
+           CASE WHEN event_id % 5 = 0
+                THEN 'k=v ' || CAST(event_id % 3 AS VARCHAR) || ' x' END,
+           'source=s' || CAST(user_id % 4 AS VARCHAR)
+         ], x -> x IS NOT NULL)), ',') AS wf_attrs,
+         event_id % 11 <> 0 AS wf_ok
+  FROM events
+)
+SELECT event_id, wf_name, wf_value, wf_value_is_int, wf_ts_ns, wf_attrs, wf_ok
+FROM a
+"""
+
+
 EXT12_QUERIES: dict[str, QueryFn] = {
     "datadog_apm_stats": q_datadog_apm_stats,
     "sumologic_telegraf_docker": q_sumologic_telegraf_docker,
     "sumologic_nesting": q_sumologic_nesting,
     "sumologic_aggregate": q_sumologic_aggregate,
     "sumologic_log_fields": q_sumologic_log_fields,
+    "wavefront_parser": q_wavefront_parser,
 }
 
 EXT12_ORACLES: dict[str, str] = {
@@ -503,4 +572,5 @@ EXT12_ORACLES: dict[str, str] = {
     "sumologic_nesting": O_SUMO_NESTING,
     "sumologic_aggregate": O_SUMO_AGGREGATE,
     "sumologic_log_fields": O_SUMO_LOG_FIELDS,
+    "wavefront_parser": O_WAVEFRONT,
 }
