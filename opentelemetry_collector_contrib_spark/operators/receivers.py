@@ -1098,3 +1098,255 @@ def wavefront_parse(
         "_wf_name", "_wf_val", "_wf_is_int", "_wf_ts", "_wf_r", "_wf_ok",
         *tok_cols, *cd_tok_cols,
     )
+
+
+# ---------------------------------------------------------------------------
+# splunk_hec receiver (event JSON at rest)
+# ---------------------------------------------------------------------------
+
+# internal/splunk/common.go:39 (verbatim)
+_HEC_METRIC_NAME_RE = r"^metric_name:([A-Za-z.:][A-Za-z0-9_.:\\-]*)$"
+_HEC_NUMERIC_RE = r"^(DOUBLE|FLOAT|DECIMAL|BIGINT|INT|SMALLINT|TINYINT)"
+
+
+def _hec_variant(line: Column) -> Column:
+    return F.try_parse_json(line)
+
+
+def _hec_ts_ns(t: Column) -> Column:
+    """convertTimestamp (splunkhec_to_metricdata.go:137-152): epoch
+    magnitude decides the unit — ≥1e16 ns, ≥1e13 µs, ≥1e10 ms, else
+    seconds."""
+    t = F.coalesce(t, F.lit(0.0))
+    return _sat_long(
+        F.when(t >= 1e16, t)
+        .when(t >= 1e13, t * 1e3)
+        .when(t >= 1e10, t * 1e6)
+        .otherwise(t * 1e9)
+    )
+
+
+def _hec_value_repr(val: Column) -> Column:
+    """Engine-portable value identity: bare text for JSON strings,
+    compact JSON otherwise (``to_json`` on variant sorts object keys —
+    the same ordering pcommon's convertToAttributeMap produces,
+    splunk_to_logdata.go:155-168)."""
+    return F.when(
+        F.schema_of_variant(val) == "STRING",
+        F.try_variant_get(val, "$", "string"),
+    ).otherwise(F.to_json(val))
+
+
+def _hec_flat(val: Column) -> Column:
+    """isFlatJSONField (receiver.go:542-555): objects are not flat;
+    arrays are flat only when every element is a scalar."""
+    t = F.schema_of_variant(val)
+    elems = F.try_variant_get(val, "$", "array<variant>")
+    return F.when(t.startswith("OBJECT"), F.lit(False)).when(
+        t.startswith("ARRAY"),
+        F.forall(
+            elems,
+            lambda e: ~F.schema_of_variant(e).startswith("OBJECT")
+            & ~F.schema_of_variant(e).startswith("ARRAY"),
+        ),
+    ).otherwise(F.lit(True))
+
+
+def splunkhec_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
+    """Parse Splunk HEC event JSON into log records
+    (``receiver/splunkhecreceiver/splunk_to_logdata.go:31-73`` +
+    the request validation in ``receiver.go:410-446``).
+
+    Per event: resource attributes from host/source/sourcetype/index
+    (reference default names ``host.name`` / ``com.splunk.source`` /
+    ``com.splunk.sourcetype`` / ``com.splunk.index``, factory.go:43-48,
+    only when non-empty), body from ``event`` (bare string or
+    sorted-key compact JSON — pcommon sorts map keys on conversion),
+    record attributes from ``fields`` (flat-check per
+    isFlatJSONField), timestamp via the epoch-magnitude heuristic.
+
+    Invalid events (``sh_ok`` false): unparsable JSON, a non-string
+    metadata field (json.Unmarshal type error), an unparsable string
+    ``time`` (common.go UnmarshalJSON ParseFloat error), a non-flat
+    field, or a missing/null ``event`` on a non-metric record
+    (receiver.go eventRequired). ``sh_is_metric`` mirrors
+    Event.IsMetric (common.go:68-71) — route those rows to
+    ``splunkhec_metrics``.
+
+    Vectorized variant path — zero Python, zero shuffle.
+    """
+    line = F.col(line_col)
+    v = _hec_variant(line)
+
+    def meta(name: str) -> tuple[Column, Column]:
+        fv = F.try_variant_get(v, f"$.{name}", "variant")
+        t = F.schema_of_variant(fv)
+        val = F.coalesce(
+            F.when(t == "STRING", F.try_variant_get(fv, "$", "string")),
+            F.lit(""),
+        )
+        ok = t.isNull() | t.isin("VOID", "STRING")
+        return val, ok
+
+    host, host_ok = meta("host")
+    source, source_ok = meta("source")
+    stype, stype_ok = meta("sourcetype")
+    index, index_ok = meta("index")
+
+    tv = F.try_variant_get(v, "$.time", "variant")
+    ttype = F.schema_of_variant(tv)
+    t_str = F.try_variant_get(tv, "$", "string")
+    t_num = F.when(ttype.rlike(_HEC_NUMERIC_RE), F.try_variant_get(tv, "$", "double")).when(
+        ttype == "STRING", t_str.try_cast("double")
+    )
+    time_ok = ~F.coalesce(
+        (ttype == "STRING") & ~_go_float_ok(t_str), F.lit(False)
+    )
+
+    ev = F.try_variant_get(v, "$.event", "variant")
+    ev_type = F.schema_of_variant(ev)
+    has_event = ev_type.isNotNull() & (ev_type != "VOID")
+    body = F.when(has_event, _hec_value_repr(ev))
+
+    fm = F.from_json(
+        F.get_json_object(line, "$.fields"), "map<string,variant>"
+    )
+    ents = F.map_entries(fm)
+    flat_ok = F.coalesce(
+        F.forall(ents, lambda e: _hec_flat(e["value"])), F.lit(True)
+    )
+    attrs = F.transform(
+        ents, lambda e: F.concat(e["key"], F.lit("="), _hec_value_repr(e["value"]))
+    )
+
+    is_metric = F.coalesce(
+        (F.when(ev_type == "STRING", F.try_variant_get(ev, "$", "string"))
+         == "metric")
+        | F.exists(
+            ents,
+            lambda e: e["key"].rlike(_HEC_METRIC_NAME_RE)
+            & ~F.regexp_extract(e["key"], _HEC_METRIC_NAME_RE, 1).contains(
+                "metric_name"
+            ),
+        )
+        | F.map_contains_key(fm, "metric_name"),
+        F.lit(False),
+    )
+
+    res_toks = F.filter(
+        F.array(
+            F.when(host != "", F.concat(F.lit("host.name="), host)),
+            F.when(source != "", F.concat(F.lit("com.splunk.source="), source)),
+            F.when(stype != "", F.concat(F.lit("com.splunk.sourcetype="), stype)),
+            F.when(index != "", F.concat(F.lit("com.splunk.index="), index)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+    ok = (
+        v.isNotNull()
+        & host_ok & source_ok & stype_ok & index_ok
+        & time_ok
+        & flat_ok
+        & (is_metric | has_event)
+    )
+    return df.select(
+        "*",
+        host.alias("sh_host"),
+        source.alias("sh_source"),
+        stype.alias("sh_sourcetype"),
+        index.alias("sh_index"),
+        F.array_join(res_toks, ",").alias("sh_resource_attrs"),
+        _hec_ts_ns(t_num).alias("sh_ts_ns"),
+        body.alias("sh_body"),
+        _canon_attrs(attrs, sep="=").alias("sh_attrs"),
+        is_metric.alias("sh_is_metric"),
+        F.coalesce(ok, F.lit(False)).alias("sh_ok"),
+    )
+
+
+def splunkhec_metrics(df: DataFrame, line_col: str = "body") -> DataFrame:
+    """Explode Splunk HEC metric events into gauge datapoints
+    (``splunkhec_to_metricdata.go:21-101``).
+
+    Metric values: the explicit ``metric_name``/``_value`` pair
+    (common.go:87-89 — the name must be a JSON string) plus every
+    ``metric_name:<name>`` field whose extracted name fits the
+    reference regex and does not itself contain ``metric_name``
+    (common.go:75-97). JSON numbers become double gauges (encoding/
+    json decodes every number as float64); string values best-effort
+    ParseFloat (convertString:91-101); anything else is dropped
+    (``shm_dropped``). Datapoint attributes = fields minus
+    ``metric_name*``/``_value`` minus empty keys and null values,
+    stringified (buildAttributes:155-169).
+    """
+    line = F.col(line_col)
+    fm = F.from_json(
+        F.get_json_object(line, "$.fields"), "map<string,variant>"
+    )
+    tv = F.try_variant_get(_hec_variant(line), "$.time", "variant")
+    ttype = F.schema_of_variant(tv)
+    t_num = F.when(ttype.rlike(_HEC_NUMERIC_RE), F.try_variant_get(tv, "$", "double")).when(
+        ttype == "STRING",
+        F.try_variant_get(tv, "$", "string").try_cast("double"),
+    )
+    ents = F.map_entries(fm)
+    attr_toks = F.filter(
+        F.transform(
+            ents,
+            lambda e: F.when(
+                ~e["key"].startswith("metric_name")
+                & (e["key"] != "_value")
+                & (e["key"] != "")
+                & (F.schema_of_variant(e["value"]) != "VOID"),
+                F.concat(e["key"], F.lit("="), _hec_value_repr(e["value"])),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    explicit = F.when(
+        F.map_contains_key(fm, "metric_name")
+        & (F.schema_of_variant(F.element_at(fm, "metric_name")) == "STRING"),
+        F.array(
+            F.struct(
+                F.try_variant_get(
+                    F.element_at(fm, "metric_name"), "$", "string"
+                ).alias("name"),
+                F.element_at(fm, "_value").alias("value"),
+            )
+        ),
+    )
+    by_field = F.filter(
+        F.transform(
+            ents,
+            lambda e: F.struct(
+                F.regexp_extract(e["key"], _HEC_METRIC_NAME_RE, 1).alias(
+                    "name"
+                ),
+                e["value"].alias("value"),
+            ),
+        ),
+        lambda s: (s["name"] != "") & ~s["name"].contains("metric_name"),
+    )
+    pairs = F.coalesce(explicit, by_field)
+    out = df.select(
+        "*",
+        _hec_ts_ns(t_num).alias("shm_ts_ns"),
+        F.array_join(attr_toks, ",").alias("shm_attrs"),
+        F.explode(pairs).alias("_shm_pair"),
+    )
+    val = F.col("_shm_pair")["value"]
+    vtype = F.schema_of_variant(val)
+    num = F.when(vtype.rlike(_HEC_NUMERIC_RE), F.try_variant_get(val, "$", "double")).when(
+        vtype == "STRING",
+        F.when(
+            _go_float_ok(F.try_variant_get(val, "$", "string")),
+            F.try_variant_get(val, "$", "string").try_cast("double"),
+        ),
+    )
+    return out.select(
+        "*",
+        F.col("_shm_pair")["name"].alias("shm_name"),
+        num.alias("shm_value"),
+        num.isNull().alias("shm_dropped"),
+    ).drop("_shm_pair")

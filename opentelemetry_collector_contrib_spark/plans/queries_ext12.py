@@ -557,6 +557,163 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# splunk_hec receiver: event JSON -> logs, metric events -> gauges
+# ---------------------------------------------------------------------------
+
+
+def q_splunkhec_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import splunkhec_parse
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    time_part = (
+        F.when(
+            e % 3 == 0,
+            F.concat(F.lit('"time":'), (F.lit(1700000000) + u).cast("string"),
+                     F.lit(",")),
+        )
+        .when(
+            e % 3 == 1,
+            F.concat(F.lit('"time":"'),
+                     (F.lit(1700000000) + u).cast("string"), F.lit('",')),
+        )
+        .otherwise(F.lit(""))
+    )
+    event_part = F.when(e % 11 == 0, F.lit('"event":null')).when(
+        e % 2 == 0,
+        F.concat(F.lit('"event":"msg '), (e % 7).cast("string"), F.lit('"')),
+    ).otherwise(
+        F.concat(
+            F.lit('"event":{"b":"x'), (u % 2).cast("string"),
+            F.lit('","a":'), (u % 9).cast("string"), F.lit("}"),
+        )
+    )
+    fields_part = F.when(
+        e % 7 != 0,
+        F.concat(
+            F.lit(',"fields":{"foo":"f'), (e % 4).cast("string"),
+            F.lit('","num":'), (u % 5).cast("string"), F.lit("}"),
+        ),
+    ).otherwise(F.lit(""))
+    meta_part = F.concat(
+        F.lit('"host":"h'), (u % 4).cast("string"), F.lit('",'),
+        F.when(
+            e % 5 != 0,
+            F.concat(F.lit('"source":"src'), (u % 3).cast("string"),
+                     F.lit('",')),
+        ).otherwise(F.lit("")),
+        F.lit('"sourcetype":"st'), (u % 2).cast("string"), F.lit('",'),
+        F.when(u % 6 == 0, F.lit('"index":"idx",')).otherwise(F.lit("")),
+    )
+    body = F.concat(
+        F.lit("{"), meta_part, time_part, event_part, fields_part, F.lit("}")
+    )
+    out = splunkhec_parse(ev.select("event_id", body.alias("body")))
+    return out.select(
+        "event_id", "sh_resource_attrs", "sh_ts_ns", "sh_body", "sh_attrs",
+        "sh_is_metric", "sh_ok",
+    )
+
+
+O_SPLUNKHEC_LOGS = """
+WITH a AS (
+  SELECT event_id,
+         CAST(user_id % 4 AS VARCHAR) AS h,
+         CAST(user_id % 3 AS VARCHAR) AS src,
+         CAST(user_id % 2 AS VARCHAR) AS st,
+         user_id % 6 = 0 AS has_idx,
+         event_id % 5 <> 0 AS has_src,
+         CAST(event_id % 3 AS INT) AS tmode,
+         1700000000 + user_id AS tsec,
+         event_id % 11 = 0 AS ev_null,
+         event_id % 2 = 0 AS ev_str,
+         CAST(event_id % 7 AS VARCHAR) AS msg,
+         CAST(user_id % 2 AS VARCHAR) AS xb,
+         CAST(user_id % 9 AS VARCHAR) AS xa,
+         event_id % 7 <> 0 AS has_fields,
+         CAST(event_id % 4 AS VARCHAR) AS foo,
+         CAST(user_id % 5 AS VARCHAR) AS num
+  FROM events
+)
+SELECT event_id,
+       'host.name=h' || h
+         || CASE WHEN has_src THEN ',com.splunk.source=src' || src
+                 ELSE '' END
+         || ',com.splunk.sourcetype=st' || st
+         || CASE WHEN has_idx THEN ',com.splunk.index=idx' ELSE '' END
+         AS sh_resource_attrs,
+       CASE WHEN tmode IN (0, 1)
+            THEN CAST(trunc(CAST(tsec AS DOUBLE) * 1e9) AS BIGINT)
+            ELSE 0 END AS sh_ts_ns,
+       CASE WHEN ev_null THEN NULL
+            WHEN ev_str THEN 'msg ' || msg
+            ELSE '{"a":' || xa || ',"b":"x' || xb || '"}' END AS sh_body,
+       CASE WHEN has_fields THEN 'foo=f' || foo || ',num=' || num
+            ELSE '' END AS sh_attrs,
+       FALSE AS sh_is_metric,
+       NOT ev_null AS sh_ok
+FROM a
+"""
+
+
+def q_splunkhec_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import splunkhec_metrics
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    value = (
+        F.when(e % 5 == 0, F.lit('"bad"'))
+        .when(e % 5 == 1, F.lit('"7.5"'))
+        .otherwise(F.concat((u % 50).cast("string"), F.lit(".25")))
+    )
+    body = F.when(
+        e % 2 == 0,
+        F.concat(
+            F.lit('{"time":'), (F.lit(1700000000) + u).cast("string"),
+            F.lit(',"event":"metric","fields":{"metric_name":"m'),
+            (u % 3).cast("string"), F.lit('","_value":'), value,
+            F.lit(',"dim":"d'), (e % 3).cast("string"), F.lit('"}}'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"time":'), (F.lit(1700000000) + u).cast("string"),
+            F.lit(',"event":"x","fields":{"metric_name:cpu.c'),
+            (u % 2).cast("string"), F.lit('":'), value,
+            F.lit(',"k0":"v0"}}'),
+        ),
+    )
+    out = splunkhec_metrics(ev.select("event_id", body.alias("body")))
+    return out.select(
+        "event_id", "shm_name", "shm_value", "shm_dropped", "shm_attrs",
+        "shm_ts_ns",
+    )
+
+
+O_SPLUNKHEC_METRICS = """
+WITH a AS (
+  SELECT event_id,
+         CAST(user_id % 3 AS VARCHAR) AS m,
+         CAST(user_id % 2 AS VARCHAR) AS c,
+         CAST(event_id % 3 AS VARCHAR) AS d,
+         event_id % 2 = 0 AS explicit,
+         CAST(event_id % 5 AS INT) AS vmode,
+         CAST(user_id % 50 AS DOUBLE) + 0.25 AS vnum,
+         1700000000 + user_id AS tsec
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN explicit THEN 'm' || m ELSE 'cpu.c' || c END AS shm_name,
+       CASE WHEN vmode = 0 THEN NULL
+            WHEN vmode = 1 THEN 7.5
+            ELSE vnum END AS shm_value,
+       vmode = 0 AS shm_dropped,
+       CASE WHEN explicit THEN 'dim=d' || d ELSE 'k0=v0' END AS shm_attrs,
+       CAST(trunc(CAST(tsec AS DOUBLE) * 1e9) AS BIGINT) AS shm_ts_ns
+FROM a
+"""
+
+
 EXT12_QUERIES: dict[str, QueryFn] = {
     "datadog_apm_stats": q_datadog_apm_stats,
     "sumologic_telegraf_docker": q_sumologic_telegraf_docker,
@@ -564,6 +721,8 @@ EXT12_QUERIES: dict[str, QueryFn] = {
     "sumologic_aggregate": q_sumologic_aggregate,
     "sumologic_log_fields": q_sumologic_log_fields,
     "wavefront_parser": q_wavefront_parser,
+    "splunkhec_logs": q_splunkhec_logs,
+    "splunkhec_metrics": q_splunkhec_metrics,
 }
 
 EXT12_ORACLES: dict[str, str] = {
@@ -573,4 +732,6 @@ EXT12_ORACLES: dict[str, str] = {
     "sumologic_aggregate": O_SUMO_AGGREGATE,
     "sumologic_log_fields": O_SUMO_LOG_FIELDS,
     "wavefront_parser": O_WAVEFRONT,
+    "splunkhec_logs": O_SPLUNKHEC_LOGS,
+    "splunkhec_metrics": O_SPLUNKHEC_METRICS,
 }
