@@ -735,3 +735,143 @@ EXT12_ORACLES: dict[str, str] = {
     "splunkhec_logs": O_SPLUNKHEC_LOGS,
     "splunkhec_metrics": O_SPLUNKHEC_METRICS,
 }
+
+
+# ---------------------------------------------------------------------------
+# zipkin v2 JSON span translation
+# ---------------------------------------------------------------------------
+
+
+def q_zipkin_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zipkin import zipkin_v2_parse
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    hx = lambda c: F.lower(F.hex(c))  # noqa: E731
+    trace = hx(F.lit(1000000) + u)
+    sid = hx(e + 1)
+    parent = F.when(e % 9 == 0, sid).otherwise(hx(F.floor(e / 2) + 1))
+    kind_part = (
+        F.when(e % 4 == 0, F.lit('"kind":"SERVER",'))
+        .when(e % 4 == 1, F.lit('"kind":"CLIENT",'))
+        .otherwise(F.lit(""))
+    )
+    span_kind_tag = F.when(
+        e % 4 == 2, F.lit(',"span.kind":"internal"')
+    ).otherwise(F.lit(""))
+    status_tag = F.when(
+        e % 11 == 0, F.lit(',"otel.status_code":"STATUS_CODE_ERROR"')
+    ).otherwise(F.lit(""))
+    ts_part = F.when(
+        e % 7 != 0,
+        F.concat(
+            F.lit('"timestamp":'),
+            (F.lit(1700000000000000) + e).cast("string"), F.lit(","),
+        ),
+    ).otherwise(F.lit(""))
+    local_ep = F.concat(
+        F.lit('"localEndpoint":{'),
+        F.when(
+            u % 5 != 0,
+            F.concat(F.lit('"serviceName":"svc'), (u % 3).cast("string"),
+                     F.lit('",')),
+        ).otherwise(F.lit("")),
+        F.lit('"ipv4":"10.0.0.'), (u % 7).cast("string"), F.lit('",'),
+        F.lit('"port":'), (u % 4).cast("string"), F.lit("},"),
+    )
+    remote_ep = F.when(
+        e % 2 == 0,
+        F.concat(F.lit('"remoteEndpoint":{"serviceName":"peer'),
+                 (u % 2).cast("string"), F.lit('"},')),
+    ).otherwise(F.lit(""))
+    annos = F.when(
+        e % 5 == 0,
+        F.concat(
+            F.lit('"annotations":[{"timestamp":'),
+            (F.lit(1700000000000005) + e).cast("string"),
+            F.lit(',"value":"wake"}],'),
+        ),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit('{"traceId":"'), trace, F.lit('","id":"'), sid, F.lit('",'),
+        F.when(
+            e % 3 != 0,
+            F.concat(F.lit('"parentId":"'), parent, F.lit('",')),
+        ).otherwise(F.lit("")),
+        F.lit('"name":"op-'), F.col("event_type"), F.lit('",'),
+        kind_part, ts_part,
+        F.lit('"duration":'), (e % 997 + 1).cast("string"), F.lit(","),
+        local_ep, remote_ep, annos,
+        F.lit('"tags":{"http.method":"GET","host.name":"h'),
+        (u % 4).cast("string"),
+        F.lit('","otel.library.name":"lib'), (u % 2).cast("string"),
+        F.lit('"'), span_kind_tag, status_tag, F.lit("}}"),
+    )
+    out = zipkin_v2_parse(ev.select("event_id", body.alias("body")))
+    return out.select(
+        "event_id", "zk_trace_id", "zk_span_id", "zk_parent_id", "zk_name",
+        "zk_kind", "zk_status_code", "zk_start_ns", "zk_end_ns",
+        "zk_service", "zk_resource_attrs", "zk_scope_name", "zk_attrs",
+        "zk_events", "zk_ok",
+    )
+
+
+O_ZIPKIN_V2 = """
+WITH a AS (
+  SELECT event_id, user_id, event_type,
+         lpad(lower(to_hex(1000000 + user_id)), 32, '0') AS tid,
+         lpad(lower(to_hex(event_id + 1)), 16, '0') AS sid,
+         lpad(lower(to_hex(event_id // 2 + 1)), 16, '0') AS pid,
+         event_id % 3 <> 0 AS has_parent,
+         event_id % 9 = 0 AS self_parent,
+         CAST(event_id % 4 AS INT) AS kmode,
+         event_id % 11 = 0 AS is_err,
+         event_id % 7 <> 0 AS has_ts,
+         1700000000000000 + event_id AS ts_us,
+         event_id % 997 + 1 AS dur_us,
+         user_id % 5 <> 0 AS has_svc,
+         CAST(user_id % 3 AS VARCHAR) AS svc,
+         CAST(user_id % 7 AS VARCHAR) AS ip,
+         CAST(user_id % 4 AS INT) AS port,
+         event_id % 2 = 0 AS has_peer,
+         CAST(user_id % 2 AS VARCHAR) AS peer,
+         CAST(user_id % 4 AS VARCHAR) AS hn,
+         CAST(user_id % 2 AS VARCHAR) AS lib,
+         event_id % 5 = 0 AS has_anno,
+         1700000000000005 + event_id AS anno_us
+  FROM events
+)
+SELECT event_id, tid AS zk_trace_id, sid AS zk_span_id,
+       CASE WHEN has_parent AND NOT self_parent THEN pid END
+         AS zk_parent_id,
+       'op-' || event_type AS zk_name,
+       CASE kmode WHEN 0 THEN 'server' WHEN 1 THEN 'client'
+            WHEN 2 THEN 'internal' ELSE 'unspecified' END AS zk_kind,
+       CASE WHEN is_err THEN 2 ELSE 0 END AS zk_status_code,
+       CASE WHEN has_ts THEN ts_us * 1000 ELSE 0 END AS zk_start_ns,
+       CASE WHEN has_ts THEN (ts_us + dur_us) * 1000
+            ELSE dur_us * 1000 END AS zk_end_ns,
+       CASE WHEN has_svc THEN 'svc' || svc
+            ELSE 'OTLPResourceNoServiceName' END AS zk_service,
+       CASE WHEN has_svc THEN 'host.name=h' || hn || ',service.name=svc' || svc
+            ELSE '' END AS zk_resource_attrs,
+       'lib' || lib AS zk_scope_name,
+       array_to_string(list_sort(list_filter([
+         'http.method=GET',
+         'net.host.ip=10.0.0.' || ip,
+         CASE WHEN port > 0
+              THEN 'net.host.port=' || CAST(port AS VARCHAR) END,
+         CASE WHEN has_peer THEN 'peer.service=peer' || peer END,
+         CASE WHEN NOT has_ts
+              THEN 'otel.zipkin.absentField.startTime=true' END
+       ], x -> x IS NOT NULL)), ',') AS zk_attrs,
+       CASE WHEN has_anno
+            THEN CAST(anno_us * 1000 AS VARCHAR) || '|wake||0'
+            ELSE '' END AS zk_events,
+       TRUE AS zk_ok
+FROM a
+"""
+
+
+EXT12_QUERIES["zipkin_v2_spans"] = q_zipkin_v2
+EXT12_ORACLES["zipkin_v2_spans"] = O_ZIPKIN_V2
