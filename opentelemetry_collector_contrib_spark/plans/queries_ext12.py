@@ -875,3 +875,165 @@ FROM a
 
 EXT12_QUERIES["zipkin_v2_spans"] = q_zipkin_v2
 EXT12_ORACLES["zipkin_v2_spans"] = O_ZIPKIN_V2
+
+
+# ---------------------------------------------------------------------------
+# grafana faro payloads -> logfmt log records
+# ---------------------------------------------------------------------------
+
+
+def q_faro_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.faro import faro_to_logs
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    ms = F.lpad((e % 1000).cast("string"), 3, "0")
+    ts = F.concat(F.lit("2021-09-30T10:46:17."), ms, F.lit("Z"))
+    log_level = F.when(e % 3 == 0, F.lit('"level":"warn",')).otherwise(
+        F.lit("")
+    )
+    log_part = F.concat(
+        F.lit('"logs":[{"message":"msg '), (e % 7).cast("string"),
+        F.lit(' x",'), log_level,
+        F.lit('"context":{"component":"C'), (u % 5).cast("string"),
+        F.lit('"},"timestamp":"'), ts,
+        F.lit('","trace":{"trace_id":"t'), u.cast("string"),
+        F.lit('","span_id":"s'), e.cast("string"), F.lit('"}}]'),
+    )
+    exc_part = F.when(
+        e % 3 == 0,
+        F.concat(
+            F.lit(',"exceptions":[{"type":"Error","value":"id: '),
+            e.cast("string"),
+            F.lit(' broke at https://x.io/a","timestamp":"'), ts,
+            F.lit('","stacktrace":{"frames":[{"function":"fn",'
+                  '"filename":"/static/js/app.chunk.js","lineno":'),
+            (e % 100).cast("string"), F.lit(',"colno":'),
+            (u % 50).cast("string"),
+            F.lit('}]},"trace":{"trace_id":"t'), u.cast("string"),
+            F.lit('"},"context":{"component":"EB"}}]'),
+        ),
+    ).otherwise(F.lit(""))
+    mes_part = F.when(
+        e % 2 == 0,
+        F.concat(
+            F.lit(',"measurements":[{"type":"page load","values":{"ttfb":'),
+            (u % 30).cast("string"), F.lit(',"lcp":'),
+            (u % 30).cast("string"), F.lit('.25},"timestamp":"'), ts,
+            F.lit('"}]'),
+        ),
+    ).otherwise(F.lit(""))
+    ev_part = F.concat(
+        F.lit(',"events":[{"name":"evt","domain":"browser",'
+              '"attributes":{"k":"v'), (e % 4).cast("string"),
+        F.lit('"},"timestamp":"'), ts, F.lit('"}]'),
+    )
+    meta_part = F.concat(
+        F.lit(',"meta":{"app":{"name":"app'), (u % 3).cast("string"),
+        F.when(
+            u % 4 == 0, F.lit('","namespace":"ns')
+        ).otherwise(F.lit('","namespace":"')),
+        F.lit('","version":"v'), (u % 2).cast("string"),
+        F.lit('","environment":"'),
+        F.when(u % 2 == 0, F.lit("prod")).otherwise(F.lit("dev")),
+        F.lit('"},"user":{"id":"'), u.cast("string"),
+        F.lit('"},"session":{"id":"s'), (e % 9).cast("string"),
+        F.lit('"},"browser":{"name":"chrome","mobile":'),
+        F.when(e % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit('},"view":{"name":"vw"}}'),
+    )
+    body = F.concat(
+        F.lit("{"), log_part, exc_part, mes_part, ev_part, meta_part,
+        F.lit("}"),
+    )
+    out = faro_to_logs(ev.select("event_id", body.alias("body")))
+    return out.select(
+        "event_id", "fr_kind", "fr_body", "fr_drained",
+        "fr_resource_attrs", "fr_ok",
+    )
+
+
+O_FARO_LOGS = """
+WITH a AS (
+  SELECT event_id,
+         CAST(user_id AS VARCHAR) AS u,
+         CAST(event_id AS VARCHAR) AS e,
+         CAST(event_id % 7 AS VARCHAR) AS msg,
+         CAST(user_id % 5 AS VARCHAR) AS comp,
+         CAST(event_id % 4 AS VARCHAR) AS evk,
+         CAST(user_id % 3 AS VARCHAR) AS app,
+         CAST(user_id % 2 AS VARCHAR) AS ver,
+         user_id % 4 = 0 AS has_ns,
+         user_id % 2 = 0 AS is_prod,
+         CAST(event_id % 9 AS VARCHAR) AS sess,
+         event_id % 2 = 0 AS mobile,
+         event_id % 3 = 0 AS has_exc,
+         event_id % 2 = 0 AS has_mes,
+         CAST(event_id % 100 AS VARCHAR) AS lineno,
+         CAST(user_id % 50 AS VARCHAR) AS colno,
+         CAST(user_id % 30 AS BIGINT) AS mv,
+         event_id % 3 = 0 AS is_warn,
+         CAST(event_id % 1000 AS INT) AS msi
+  FROM a_events
+), b AS (
+  SELECT *,
+         '2021-09-30T10:46:17'
+           || CASE WHEN msi = 0 THEN ''
+                   ELSE '.' || rtrim(lpad(CAST(msi AS VARCHAR), 3, '0'), '0')
+              END || 'Z' AS ts,
+         'app_name=app' || app
+           || CASE WHEN has_ns THEN ' app_namespace=ns' ELSE '' END
+           || ' app_version=v' || ver
+           || ' app_environment=' || CASE WHEN is_prod THEN 'prod'
+                                          ELSE 'dev' END
+           || ' user_id=' || u
+           || ' session_id=s' || sess
+           || ' browser_name=chrome browser_mobile='
+           || CASE WHEN mobile THEN 'true' ELSE 'false' END
+           || ' view_name=vw' AS meta,
+         'service.name=app' || app || ',service.version=v' || ver
+           || ',deployment.environment='
+           || CASE WHEN is_prod THEN 'prod' ELSE 'dev' END
+           || CASE WHEN has_ns THEN ',service.namespace=ns' ELSE '' END
+           AS res
+  FROM a
+)
+SELECT event_id, 'log' AS fr_kind,
+       'timestamp=' || ts || ' kind=log level='
+         || CASE WHEN is_warn THEN 'warn' ELSE 'info' END
+         || ' message="msg ' || msg || ' x" context_component=C' || comp
+         || ' traceID=t' || u || ' spanID=s' || e || ' ' || meta AS fr_body,
+       CAST(NULL AS VARCHAR) AS fr_drained, res AS fr_resource_attrs,
+       TRUE AS fr_ok
+FROM b
+UNION ALL
+SELECT event_id, 'exception',
+       'timestamp=' || ts || ' kind=exception level=error type=Error'
+         || ' value="id: ' || e || ' broke at https://x.io/a"'
+         || ' stacktrace="Error: id: ' || e
+         || ' broke at https://x.io/a\\n  at fn'
+         || ' (/static/js/app.chunk.js:' || lineno || ':' || colno || ')"'
+         || ' traceID=t' || u || ' context_component=EB ' || meta,
+       'id <ID> broke at <URL>', res, TRUE
+FROM b WHERE has_exc
+UNION ALL
+SELECT event_id, 'measurement',
+       'timestamp=' || ts || ' kind=measurement level=info'
+         || ' type="page load" lcp=' || printf('%f', mv + 0.25)
+         || ' ttfb=' || printf('%f', CAST(mv AS DOUBLE))
+         || ' value_lcp=' || CAST(mv AS VARCHAR) || '.25'
+         || ' value_ttfb=' || CAST(mv AS VARCHAR)
+         || ' ' || meta,
+       NULL, res, TRUE
+FROM b WHERE has_mes
+UNION ALL
+SELECT event_id, 'event',
+       'timestamp=' || ts || ' kind=event level=info event_name=evt'
+         || ' event_domain=browser event_data_k=v' || evk || ' ' || meta,
+       NULL, res, TRUE
+FROM b
+"""
+
+
+EXT12_QUERIES["faro_logs"] = q_faro_logs
+EXT12_ORACLES["faro_logs"] = O_FARO_LOGS.replace("a_events", "events")
