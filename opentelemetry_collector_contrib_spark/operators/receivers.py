@@ -1350,3 +1350,191 @@ def splunkhec_metrics(df: DataFrame, line_col: str = "body") -> DataFrame:
         num.alias("shm_value"),
         num.isNull().alias("shm_dropped"),
     ).drop("_shm_pair")
+
+
+# ---------------------------------------------------------------------------
+# cloudflare receiver (Logpush NDJSON at rest)
+# ---------------------------------------------------------------------------
+
+
+def cloudflare_logs_parse(
+    df: DataFrame,
+    line_col: str = "body",
+    timestamp_field: str = "EdgeStartTimestamp",
+    timestamp_format: str = "rfc3339",
+    separator: str = ".",
+    attributes: dict[str, str] | None = None,
+) -> DataFrame:
+    """Parse Cloudflare Logpush records (one NDJSON object per row —
+    ``receiver/cloudflarereceiver/logs.go:210-419``).
+
+    - ``ZoneName`` (string) → the ``cloudflare.zone`` resource
+      attribute (:231-247);
+    - timestamp from ``timestamp_field`` in ``unix`` / ``unixnano`` /
+      ``rfc3339`` format (config defaults, config.go:41-43). The
+      reference's parse-failure branches ``continue`` the record loop
+      AFTER the record was appended (:255-312) — the record survives
+      EMPTY (no severity, no attributes); mirrored via ``cf_emptied``
+      with nulled attrs. An absent field only warns — the rest of the
+      record still processes;
+    - ``EdgeResponseStatus`` (string-parsed / numeric) → severity
+      Info/Info2/Warn/Error by century (:406-419), severity text =
+      the pdata short name;
+    - every field (or only the ``attributes`` config mapping, renamed)
+      becomes a record attribute; nested objects flatten with
+      ``separator`` (:339-392); arrays are unsupported and skipped.
+      JSON numbers keep their literal text in the canonical attr
+      string (encoding/json decodes every number as float64 —
+      PutDouble; text form preserves int-vs-double identity).
+
+    Divergences (documented): object flattening is unrolled two
+    levels (the reference recurses unboundedly; Logpush fields nest at
+    most two), deeper values are skipped; the observed-now timestamp
+    is the caller's concern.
+
+    Vectorized variant path — zero Python, zero shuffle.
+    """
+    line = F.col(line_col)
+    fm = F.from_json(line, "map<string,variant>")
+
+    def vget(key: str) -> Column:
+        return F.element_at(fm, key)
+
+    zone_v = vget("ZoneName")
+    zone = F.when(
+        F.schema_of_variant(zone_v) == "STRING",
+        F.try_variant_get(zone_v, "$", "string"),
+    ).otherwise(F.lit(""))
+
+    tv = vget(timestamp_field)
+    ttype = F.schema_of_variant(tv)
+    t_present = ttype.isNotNull()
+    is_num = ttype.rlike(_HEC_NUMERIC_RE)
+    t_str = F.try_variant_get(tv, "$", "string")
+    if timestamp_format in ("unix", "unixnano"):
+        # int/float truncate; strings must ParseInt exactly (:258-299)
+        num = F.when(is_num, _sat_long(F.try_variant_get(tv, "$", "double")))
+        from_str = F.when(
+            (ttype == "STRING") & t_str.rlike(r"^-?\d+$"),
+            t_str.try_cast("long"),
+        )
+        val = F.coalesce(num, from_str)
+        mult = 1_000_000_000 if timestamp_format == "unix" else 1
+        ts_ns = F.try_multiply(val, F.lit(mult))
+        ts_bad = t_present & val.isNull()
+    else:
+        # try_to_timestamp: ANSI mode aborts the batch on one bad line
+        parsed = F.when(ttype == "STRING", F.try_to_timestamp(t_str))
+        ts_ns = F.unix_micros(parsed) * 1000
+        ts_bad = t_present & parsed.isNull()
+
+    st = vget("EdgeResponseStatus")
+    st_type = F.schema_of_variant(st)
+    code = F.when(
+        st_type.rlike(_HEC_NUMERIC_RE),
+        _sat_long(F.try_variant_get(st, "$", "double")),
+    ).when(
+        (st_type == "STRING")
+        & F.try_variant_get(st, "$", "string").rlike(r"^-?\d+$"),
+        F.try_variant_get(st, "$", "string").try_cast("long"),
+    )
+    sev_num = (
+        F.when(code < 300, 9)       # Info
+        .when(code < 400, 10)       # Info2
+        .when(code < 500, 13)       # Warn
+        .when(code < 600, 17)       # Error
+    )
+    sev_text = F.element_at(
+        F.create_map(
+            F.lit(9), F.lit("Info"), F.lit(10), F.lit("Info2"),
+            F.lit(13), F.lit("Warn"), F.lit(17), F.lit("Error"),
+        ),
+        sev_num,
+    )
+
+    def scalar_tok(key: Column, val: Column) -> Column:
+        t = F.schema_of_variant(val)
+        return F.when(
+            (t == "STRING"),
+            F.concat(key, F.lit("="), F.try_variant_get(val, "$", "string")),
+        ).when(
+            t.rlike(_HEC_NUMERIC_RE) | (t == "BOOLEAN"),
+            F.concat(key, F.lit("="), F.to_json(val)),
+        )
+
+    def flat_tokens(e: Column) -> Column:
+        """One field → array of attr tokens (flattening one object
+        level inline, a second level nested)."""
+        if attributes is not None:
+            pairs = []
+            for k, v in attributes.items():
+                pairs.extend([F.lit(k), F.lit(v)])
+            mapped = F.element_at(F.create_map(*pairs), e["key"])
+            name = mapped
+            gate = mapped.isNotNull()
+        else:
+            name = e["key"]
+            gate = F.lit(True)
+        t = F.schema_of_variant(e["value"])
+        inner = F.from_json(F.to_json(e["value"]), "map<string,variant>")
+        lvl2 = F.flatten(
+            F.transform(
+                F.map_entries(inner),
+                lambda i: F.when(
+                    F.schema_of_variant(i["value"]).startswith("OBJECT"),
+                    F.transform(
+                        F.map_entries(
+                            F.from_json(
+                                F.to_json(i["value"]), "map<string,variant>"
+                            )
+                        ),
+                        lambda j: scalar_tok(
+                            F.concat(
+                                name, F.lit(separator), i["key"],
+                                F.lit(separator), j["key"],
+                            ),
+                            j["value"],
+                        ),
+                    ),
+                ).otherwise(
+                    F.array(
+                        scalar_tok(
+                            F.concat(name, F.lit(separator), i["key"]),
+                            i["value"],
+                        )
+                    )
+                ),
+            )
+        )
+        toks = F.when(
+            ~gate, F.array().cast("array<string>")
+        ).when(
+            t.startswith("OBJECT"), lvl2
+        ).otherwise(F.array(scalar_tok(name, e["value"])))
+        return F.filter(toks, lambda x: x.isNotNull())
+
+    attr_toks = F.flatten(
+        F.transform(
+            F.map_entries(
+                F.coalesce(fm, F.from_json(F.lit("{}"), "map<string,variant>"))
+            ),
+            flat_tokens,
+        )
+    )
+    emptied = F.coalesce(ts_bad, F.lit(False))
+    staged = df.select(
+        "*",
+        zone.alias("cf_zone"),
+        F.when(~emptied, ts_ns).alias("cf_ts_ns"),
+        F.when(~emptied, sev_num).alias("cf_sev_num"),
+        F.when(~emptied, sev_text).alias("cf_sev_text"),
+        F.when(~emptied, attr_toks).alias("_cf_toks"),
+        emptied.alias("cf_emptied"),
+        fm.isNotNull().alias("cf_ok"),
+    )
+    return staged.select(
+        "*",
+        _canon_attrs(F.coalesce(F.col("_cf_toks"),
+                                F.array().cast("array<string>")),
+                     sep="=").alias("cf_attrs"),
+    ).drop("_cf_toks")

@@ -1037,3 +1037,101 @@ FROM b
 
 EXT12_QUERIES["faro_logs"] = q_faro_logs
 EXT12_ORACLES["faro_logs"] = O_FARO_LOGS.replace("a_events", "events")
+
+
+# ---------------------------------------------------------------------------
+# cloudflare Logpush records
+# ---------------------------------------------------------------------------
+
+
+def q_cloudflare_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import cloudflare_logs_parse
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    ts = F.when(
+        e % 17 == 0, F.lit("notatime")
+    ).otherwise(
+        F.concat(
+            F.lit("2023-03-03T05:29:"),
+            F.lpad((F.lit(5) + e % 50).cast("string"), 2, "0"), F.lit("Z"),
+        )
+    )
+    status = F.element_at(
+        F.array(F.lit(200), F.lit(301), F.lit(404), F.lit(503)),
+        (e % 4 + 1).cast("int"),
+    )
+    body = F.concat(
+        F.lit('{"ClientIP":"10.0.'), (u % 7).cast("string"), F.lit("."),
+        (e % 13).cast("string"),
+        F.lit('","ClientRequestMethod":"'),
+        F.when(e % 2 == 0, F.lit("GET")).otherwise(F.lit("POST")),
+        F.lit('","EdgeResponseStatus":'), status.cast("string"),
+        F.lit(',"EdgeStartTimestamp":"'), ts, F.lit('"'),
+        F.when(
+            e % 2 == 0,
+            F.concat(F.lit(',"Req":{"host":"h'), (u % 4).cast("string"),
+                     F.lit('.com"}')),
+        ).otherwise(F.lit("")),
+        F.when(
+            u % 5 != 0,
+            F.concat(F.lit(',"ZoneName":"z'), (u % 3).cast("string"),
+                     F.lit('.com"')),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    out = cloudflare_logs_parse(ev.select("event_id", body.alias("body")))
+    return out.select(
+        "event_id", "cf_zone", "cf_ts_ns", "cf_sev_num", "cf_sev_text",
+        "cf_attrs", "cf_emptied", "cf_ok",
+    )
+
+
+O_CLOUDFLARE = """
+WITH a AS (
+  SELECT event_id,
+         CAST(user_id % 7 AS VARCHAR) AS ip1,
+         CAST(event_id % 13 AS VARCHAR) AS ip2,
+         event_id % 2 = 0 AS is_get,
+         CAST(event_id % 4 AS INT) AS sm,
+         event_id % 17 = 0 AS bad_ts,
+         5 + event_id % 50 AS sec,
+         event_id % 2 = 0 AS has_req,
+         CAST(user_id % 4 AS VARCHAR) AS rh,
+         user_id % 5 <> 0 AS has_zone,
+         CAST(user_id % 3 AS VARCHAR) AS z
+  FROM events
+), b AS (
+  SELECT *,
+         (['200','301','404','503'])[sm + 1] AS status,
+         ([9, 10, 13, 17])[sm + 1] AS sev,
+         (['Info','Info2','Warn','Error'])[sm + 1] AS sevtext,
+         '2023-03-03T05:29:' || lpad(CAST(sec AS VARCHAR), 2, '0') || 'Z'
+           AS tss
+  FROM a
+)
+SELECT event_id,
+       CASE WHEN has_zone THEN 'z' || z || '.com' ELSE '' END AS cf_zone,
+       CASE WHEN bad_ts THEN NULL
+            ELSE (1677821340 + sec) * 1000000000 END AS cf_ts_ns,
+       CASE WHEN bad_ts THEN NULL ELSE sev END AS cf_sev_num,
+       CASE WHEN bad_ts THEN NULL ELSE sevtext END AS cf_sev_text,
+       CASE WHEN bad_ts THEN '' ELSE
+         'ClientIP=10.0.' || ip1 || '.' || ip2
+         || ',ClientRequestMethod=' || CASE WHEN is_get THEN 'GET'
+                                            ELSE 'POST' END
+         || ',EdgeResponseStatus=' || status
+         || ',EdgeStartTimestamp=' || tss
+         || CASE WHEN has_req THEN ',Req.host=h' || rh || '.com'
+                 ELSE '' END
+         || CASE WHEN has_zone THEN ',ZoneName=z' || z || '.com'
+                 ELSE '' END
+       END AS cf_attrs,
+       bad_ts AS cf_emptied,
+       TRUE AS cf_ok
+FROM b
+"""
+
+
+EXT12_QUERIES["cloudflare_logs"] = q_cloudflare_logs
+EXT12_ORACLES["cloudflare_logs"] = O_CLOUDFLARE
