@@ -1538,3 +1538,205 @@ def cloudflare_logs_parse(
                                 F.array().cast("array<string>")),
                      sep="=").alias("cf_attrs"),
     ).drop("_cf_toks")
+
+
+# ---------------------------------------------------------------------------
+# awsfirehose receiver: cwlogs + cwmetrics record formats
+# ---------------------------------------------------------------------------
+
+
+def cwlogs_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
+    """Parse CloudWatch Logs subscription records (one decompressed
+    JSON record per row — gzip is transport framing;
+    ``receiver/awsfirehosereceiver/internal/unmarshaler/cwlog/
+    unmarshaler.go:58-155``).
+
+    DATA_MESSAGE records require owner/logGroup/logStream (:131-141)
+    and explode one row per log event (ms → ns timestamp, message as
+    body). CONTROL_MESSAGE records produce no rows (:87-96); any other
+    messageType is invalid. Resource attributes: cloud.provider=aws,
+    cloud.account.id, the aws.log.group/stream.names single-element
+    slices (rendered as JSON arrays) plus the two deprecated
+    cloudwatch string attrs (:99-110).
+    """
+    line = F.col(line_col)
+    z = F.from_json(
+        line,
+        "messageType string, owner string, logGroup string,"
+        " logStream string,"
+        " logEvents array<struct<id:string,timestamp:long,message:string>>",
+    )
+    is_data = z["messageType"] == "DATA_MESSAGE"
+    is_control = z["messageType"] == "CONTROL_MESSAGE"
+    ok = F.coalesce(
+        is_control
+        | (
+            is_data
+            & (z["owner"] != "") & z["owner"].isNotNull()
+            & (z["logGroup"] != "") & z["logGroup"].isNotNull()
+            & (z["logStream"] != "") & z["logStream"].isNotNull()
+        ),
+        F.lit(False),
+    )
+    res = F.concat_ws(
+        ",",
+        F.lit("cloud.provider=aws"),
+        F.concat(F.lit("cloud.account.id="), z["owner"]),
+        F.concat(F.lit('aws.log.group.names=["'), z["logGroup"], F.lit('"]')),
+        F.concat(F.lit('aws.log.stream.names=["'), z["logStream"], F.lit('"]')),
+        F.concat(F.lit("aws.cloudwatch.log_group_name="), z["logGroup"]),
+        F.concat(F.lit("aws.cloudwatch.log_stream_name="), z["logStream"]),
+    )
+    events = F.when(
+        ok & is_data, z["logEvents"]
+    ).otherwise(
+        F.expr("array()").cast(
+            "array<struct<id:string,timestamp:long,message:string>>"
+        )
+    )
+    out = df.select(
+        "*",
+        res.alias("cl_resource_attrs"),
+        ok.alias("cl_ok"),
+        F.explode(F.coalesce(events, F.expr("array()").cast(
+            "array<struct<id:string,timestamp:long,message:string>>"
+        ))).alias("_cl_ev"),
+    )
+    ev = F.col("_cl_ev")
+    return out.select(
+        "*",
+        F.try_multiply(ev["timestamp"], F.lit(1_000_000)).alias("cl_ts_ns"),
+        ev["message"].alias("cl_body"),
+    ).drop("_cl_ev")
+
+
+def cwmetrics_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
+    """Parse CloudWatch Metric Stream JSON data (one NDJSON datum per
+    row — the reference splits each Firehose record on newlines;
+    ``cwmetricstream/unmarshaler.go:54-230`` + ``cwmetric.go``).
+
+    Valid datums need metric_name/namespace/unit plus a ``value``
+    OBJECT (isValid :167-170; the value setter accepts any object and
+    ignores non-float fields, cwmetric.go:58-90). Output per datum:
+    one summary datapoint — count/sum, quantile 0=min / 1=max, plus a
+    quantile per ``p<float>`` field (value divided by 100; unparsable
+    p-keys skipped, :118-144) — quantile tokens canon-sorted (the
+    reference appends p* in random map order). Dimensions become
+    datapoint attributes with ``InstanceId`` renamed to
+    service.instance.id (:210-218); the resource carries cloud./
+    service. identity, with ``AWS/``-prefixed namespaces split into
+    service namespace + name (:185-207).
+    """
+    line = F.col(line_col)
+    z = F.from_json(
+        line,
+        "metric_stream_name string, account_id string, region string,"
+        " namespace string, metric_name string, dimensions map<string,string>,"
+        " timestamp long, unit string",
+    )
+    val = F.from_json(F.get_json_object(line, "$.value"), "map<string,variant>")
+    val_is_obj = F.get_json_object(line, "$.value").startswith("{")
+    ok = F.coalesce(
+        (z["metric_name"] != "") & (z["namespace"] != "") & (z["unit"] != "")
+        & val_is_obj & val.isNotNull(),
+        F.lit(False),
+    )
+
+    def num_field(name: str) -> Column:
+        v = F.element_at(val, name)
+        return F.coalesce(
+            F.when(
+                F.schema_of_variant(v).rlike(_HEC_NUMERIC_RE),
+                F.try_variant_get(v, "$", "double"),
+            ),
+            F.lit(0.0),
+        )
+
+    # p<float> fields -> quantile tokens; min/max pinned at 0 and 1
+    pq = F.filter(
+        F.transform(
+            F.map_entries(
+                F.coalesce(val, F.from_json(F.lit("{}"), "map<string,variant>"))
+            ),
+            lambda e: F.when(
+                e["key"].startswith("p")
+                & (F.length(e["key"]) > 1)
+                & F.substr(e["key"], F.lit(2), F.length(e["key"]))
+                .try_cast("double").isNotNull()
+                & F.schema_of_variant(e["value"]).rlike(_HEC_NUMERIC_RE),
+                F.concat(
+                    (
+                        F.substr(e["key"], F.lit(2), F.length(e["key"]))
+                        .try_cast("double") / 100.0
+                    ).cast("string"),
+                    F.lit(":"),
+                    F.try_variant_get(e["value"], "$", "double").cast("string"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    quantiles = F.array_join(
+        F.array_sort(
+            F.concat(
+                F.array(
+                    F.concat(F.lit("0.0:"), num_field("min").cast("string")),
+                    F.concat(F.lit("1.0:"), num_field("max").cast("string")),
+                ),
+                pq,
+            )
+        ),
+        ",",
+    )
+    dims = F.filter(
+        F.transform(
+            F.map_entries(
+                F.coalesce(
+                    z["dimensions"],
+                    F.from_json(F.lit("{}"), "map<string,string>"),
+                )
+            ),
+            lambda e: F.concat(
+                F.when(e["key"] == "InstanceId", F.lit("service.instance.id"))
+                .otherwise(e["key"]),
+                F.lit("="),
+                e["value"],
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    ns = z["namespace"]
+    aws_split = F.lower(F.substring_index(ns, "/", 1)) == "aws"
+    has_delim = F.instr(ns, "/") > 0
+    svc_ns = F.when(has_delim & aws_split, F.substring_index(ns, "/", 1))
+    svc_name = F.when(
+        has_delim & aws_split,
+        F.substr(ns, F.instr(ns, "/") + 1, F.length(ns)),
+    ).otherwise(ns)
+    res = F.concat_ws(
+        ",",
+        F.lit("cloud.provider=aws"),
+        F.concat(F.lit("cloud.account.id="), z["account_id"]),
+        F.concat(F.lit("cloud.region="), z["region"]),
+        F.when(
+            svc_ns.isNotNull(),
+            F.concat(F.lit("service.namespace="), svc_ns),
+        ),
+        F.concat(F.lit("service.name="), svc_name),
+        F.concat(
+            F.lit("aws.cloudwatch.metric_stream_name="),
+            z["metric_stream_name"],
+        ),
+    )
+    return df.select(
+        "*",
+        z["metric_name"].alias("cm_name"),
+        z["unit"].alias("cm_unit"),
+        F.try_multiply(z["timestamp"], F.lit(1_000_000)).alias("cm_ts_ns"),
+        _sat_long(num_field("count")).alias("cm_count"),
+        num_field("sum").alias("cm_sum"),
+        F.when(ok, quantiles).alias("cm_quantiles"),
+        _canon_attrs(dims, sep="=").alias("cm_attrs"),
+        res.alias("cm_resource_attrs"),
+        ok.alias("cm_ok"),
+    )

@@ -1135,3 +1135,147 @@ FROM b
 
 EXT12_QUERIES["cloudflare_logs"] = q_cloudflare_logs
 EXT12_ORACLES["cloudflare_logs"] = O_CLOUDFLARE
+
+
+# ---------------------------------------------------------------------------
+# awsfirehose cwlogs / cwmetrics
+# ---------------------------------------------------------------------------
+
+
+def q_cwlogs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import cwlogs_parse
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    mtype = F.when(e % 13 == 0, F.lit("CONTROL_MESSAGE")).otherwise(
+        F.lit("DATA_MESSAGE")
+    )
+    owner = F.when(e % 17 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("o"), (u % 4).cast("string"))
+    )
+    body = F.concat(
+        F.lit('{"messageType":"'), mtype,
+        F.lit('","owner":"'), owner,
+        F.lit('","logGroup":"g'), (u % 3).cast("string"),
+        F.lit('","logStream":"s'), (e % 5).cast("string"),
+        F.lit('","logEvents":[{"id":"1","timestamp":'),
+        (F.lit(1677821345000) + e).cast("string"),
+        F.lit(',"message":"m'), (e % 7).cast("string"),
+        F.lit('-1"},{"id":"2","timestamp":'),
+        (F.lit(1677821345001) + e).cast("string"),
+        F.lit(',"message":"m'), (e % 7).cast("string"),
+        F.lit('-2"}]}'),
+    )
+    out = cwlogs_parse(ev.select("event_id", body.alias("body")))
+    return out.select(
+        "event_id", "cl_ts_ns", "cl_body", "cl_resource_attrs", "cl_ok"
+    )
+
+
+O_CWLOGS = """
+WITH a AS (
+  SELECT event_id,
+         CAST(user_id % 4 AS VARCHAR) AS o,
+         CAST(user_id % 3 AS VARCHAR) AS g,
+         CAST(event_id % 5 AS VARCHAR) AS s,
+         CAST(event_id % 7 AS VARCHAR) AS m,
+         1677821345000 + event_id AS ts
+  FROM events
+  WHERE event_id % 13 <> 0 AND event_id % 17 <> 0
+), b AS (
+  SELECT event_id, o, g, s, m, ts, 1 AS idx FROM a
+  UNION ALL
+  SELECT event_id, o, g, s, m, ts + 1, 2 FROM a
+)
+SELECT event_id, ts * 1000000 AS cl_ts_ns,
+       'm' || m || '-' || CAST(idx AS VARCHAR) AS cl_body,
+       'cloud.provider=aws,cloud.account.id=o' || o
+         || ',aws.log.group.names=["g' || g || '"]'
+         || ',aws.log.stream.names=["s' || s || '"]'
+         || ',aws.cloudwatch.log_group_name=g' || g
+         || ',aws.cloudwatch.log_stream_name=s' || s AS cl_resource_attrs,
+       TRUE AS cl_ok
+FROM b
+"""
+
+
+def q_cwmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import cwmetrics_parse
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    ns = F.when(u % 2 == 0, F.lit("AWS/EC2")).otherwise(
+        F.concat(F.lit("Custom"), (u % 3).cast("string"))
+    )
+    unit = F.when(e % 11 == 0, F.lit("")).otherwise(F.lit("Percent"))
+    p95 = F.when(
+        e % 2 == 0,
+        F.concat(F.lit(',"p95":'), (u % 50 + 4).cast("string")),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit('{"metric_stream_name":"ms'), (u % 2).cast("string"),
+        F.lit('","account_id":"a'), (u % 4).cast("string"),
+        F.lit('","region":"r'), (u % 3).cast("string"),
+        F.lit('","namespace":"'), ns,
+        F.lit('","metric_name":"MN'), (e % 5).cast("string"),
+        F.lit('","dimensions":{"InstanceId":"i-'), (u % 9).cast("string"),
+        F.lit('","dim":"d'), (e % 3).cast("string"),
+        F.lit('"},"timestamp":'), (F.lit(1611929698000) + e).cast("string"),
+        F.lit(',"value":{"max":'), (u % 50 + 5).cast("string"),
+        F.lit(',"min":'), (u % 50).cast("string"),
+        F.lit(',"sum":'), (u % 50 * 4 + 2).cast("string"),
+        F.lit(',"count":4'), p95,
+        F.lit('},"unit":"'), unit, F.lit('"}'),
+    )
+    out = cwmetrics_parse(ev.select("event_id", body.alias("body")))
+    return out.select(
+        "event_id", "cm_name", "cm_unit", "cm_ts_ns", "cm_count", "cm_sum",
+        "cm_quantiles", "cm_attrs", "cm_resource_attrs", "cm_ok",
+    )
+
+
+O_CWMETRICS = """
+WITH a AS (
+  SELECT event_id,
+         CAST(user_id % 2 AS VARCHAR) AS ms,
+         CAST(user_id % 4 AS VARCHAR) AS acct,
+         CAST(user_id % 3 AS VARCHAR) AS reg,
+         user_id % 2 = 0 AS is_aws,
+         CAST(user_id % 3 AS VARCHAR) AS cns,
+         CAST(event_id % 5 AS VARCHAR) AS mn,
+         CAST(user_id % 9 AS VARCHAR) AS inst,
+         CAST(event_id % 3 AS VARCHAR) AS dim,
+         1611929698000 + event_id AS ts,
+         CAST(user_id % 50 AS DOUBLE) AS v,
+         event_id % 2 = 0 AS has_p95,
+         event_id % 11 = 0 AS no_unit
+  FROM events
+)
+SELECT event_id,
+       'MN' || mn AS cm_name,
+       CASE WHEN no_unit THEN '' ELSE 'Percent' END AS cm_unit,
+       ts * 1000000 AS cm_ts_ns,
+       4 AS cm_count,
+       v * 4 + 2 AS cm_sum,
+       CASE WHEN no_unit THEN NULL ELSE
+         '0.0:' || CAST(v AS VARCHAR)
+         || CASE WHEN has_p95
+                 THEN ',0.95:' || CAST(v + 4 AS VARCHAR) ELSE '' END
+         || ',1.0:' || CAST(v + 5 AS VARCHAR)
+       END AS cm_quantiles,
+       'dim=d' || dim || ',service.instance.id=i-' || inst AS cm_attrs,
+       'cloud.provider=aws,cloud.account.id=a' || acct
+         || ',cloud.region=r' || reg
+         || CASE WHEN is_aws THEN ',service.namespace=AWS,service.name=EC2'
+                 ELSE ',service.name=Custom' || cns END
+         || ',aws.cloudwatch.metric_stream_name=ms' || ms
+         AS cm_resource_attrs,
+       NOT no_unit AS cm_ok
+FROM a
+"""
+
+
+EXT12_QUERIES["cwlogs_records"] = q_cwlogs
+EXT12_ORACLES["cwlogs_records"] = O_CWLOGS
+EXT12_QUERIES["cwmetrics_stream"] = q_cwmetrics
+EXT12_ORACLES["cwmetrics_stream"] = O_CWMETRICS
