@@ -1740,3 +1740,149 @@ def cwmetrics_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
         res.alias("cm_resource_attrs"),
         ok.alias("cm_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# azureeventhub receiver: azure resource-logs common schema
+# ---------------------------------------------------------------------------
+
+_AZURE_REC = (
+    "records array<struct<time:string,timeStamp:string,resourceId:string,"
+    "tenantId:string,operationName:string,operationVersion:string,"
+    "category:string,resultType:string,resultSignature:string,"
+    "resultDescription:string,durationMs:string,callerIpAddress:string,"
+    "correlationId:string,Level:string,location:string>>"
+)
+
+
+def azure_resource_logs_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
+    """Parse Azure Monitor resource-log batches (one Event Hub message
+    ``{"records": [...]}`` per row —
+    ``pkg/translator/azure/resourcelogs_to_logs.go:82-222``).
+
+    Per record: timestamp from ``time`` else ``timeStamp`` (ISO8601;
+    an unparsable value SKIPS the record, :111-115), severity from
+    ``Level`` (the word table Informational/Warning/Error/Critical →
+    9/13/17/21, else a positive integer passes through; text = the
+    literal, :166-185), attributes per extractRawAttributes
+    (:188-216): azure.category/operation.name always, optional
+    azure.* fields only when non-empty, ``durationMs`` as an int when
+    it ParseInts, ``identity``/``properties`` carried as sorted
+    compact JSON, cloud.provider=azure, cloud.region from location,
+    net.sock.peer.addr from callerIpAddress. Resource identity =
+    ``azure.resource.id`` (:100-104).
+
+    Vectorized from_json + explode; zero Python.
+    """
+    line = F.col(line_col)
+    z = F.from_json(line, _AZURE_REC)
+    # identity/properties keep arbitrary shape — variant side-channel
+    idx_props = F.from_json(
+        F.get_json_object(line, "$.records"),
+        "array<struct<identity:variant,properties:variant>>",
+    )
+    recs = F.coalesce(
+        F.zip_with(
+            z["records"], idx_props,
+            lambda r, v: F.struct(
+                r.alias("r"),
+                v["identity"].alias("identity"),
+                v["properties"].alias("properties"),
+            ),
+        ),
+        F.expr("array()").cast(
+            "array<struct<r:struct<time:string,timeStamp:string,"
+            "resourceId:string,tenantId:string,operationName:string,"
+            "operationVersion:string,category:string,resultType:string,"
+            "resultSignature:string,resultDescription:string,"
+            "durationMs:string,callerIpAddress:string,correlationId:string,"
+            "Level:string,location:string>,identity:variant,"
+            "properties:variant>>"
+        ),
+    )
+    out = df.select(
+        "*",
+        z.isNotNull().alias("az_ok"),
+        F.explode(recs).alias("_az"),
+    )
+    r = F.col("_az")["r"]
+    ident = F.col("_az")["identity"]
+    props = F.col("_az")["properties"]
+
+    ts_str = F.when(
+        r["time"].isNotNull() & (r["time"] != ""), r["time"]
+    ).otherwise(r["timeStamp"])
+    ts = F.try_to_timestamp(ts_str)
+    ts_ns = F.unix_micros(ts) * 1000
+    ts_ok = ts.isNotNull()
+
+    level = r["Level"]
+    word_sev = F.element_at(
+        F.create_map(
+            F.lit("Informational"), F.lit(9), F.lit("Warning"), F.lit(13),
+            F.lit("Error"), F.lit(17), F.lit("Critical"), F.lit(21),
+        ),
+        level,
+    )
+    num = level.try_cast("long")
+    sev_num = F.coalesce(
+        word_sev, F.when(num > 0, num.cast("int"))
+    )
+    sev_text = F.when(level.isNotNull(), level)
+
+    def opt(key: str, v: Column) -> Column:
+        return F.when(
+            v.isNotNull() & (v != ""), F.concat(F.lit(key + "="), v)
+        )
+
+    dur = r["durationMs"].try_cast("long")
+    var_json = lambda v: F.when(  # noqa: E731
+        F.schema_of_variant(v) == "STRING",
+        F.try_variant_get(v, "$", "string"),
+    ).otherwise(F.to_json(v))
+    attrs = F.filter(
+        F.array(
+            F.concat(F.lit("azure.category="), F.coalesce(r["category"], F.lit(""))),
+            opt("azure.correlation.id", r["correlationId"]),
+            F.when(
+                r["durationMs"].isNotNull() & dur.isNotNull(),
+                F.concat(F.lit("azure.duration="), dur.cast("string")),
+            ),
+            F.when(
+                ident.isNotNull(),
+                F.concat(F.lit("azure.identity="), var_json(ident)),
+            ),
+            F.concat(
+                F.lit("azure.operation.name="),
+                F.coalesce(r["operationName"], F.lit("")),
+            ),
+            opt("azure.operation.version", r["operationVersion"]),
+            F.when(
+                props.isNotNull(),
+                F.concat(F.lit("azure.properties="), var_json(props)),
+            ),
+            opt("azure.result.description", r["resultDescription"]),
+            opt("azure.result.signature", r["resultSignature"]),
+            opt("azure.result.type", r["resultType"]),
+            opt("azure.tenant.id", r["tenantId"]),
+            opt("cloud.region", r["location"]),
+            F.lit("cloud.provider=azure"),
+            opt("net.sock.peer.addr", r["callerIpAddress"]),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    staged = out.select(
+        "*",
+        F.coalesce(r["resourceId"], F.lit("")).alias("az_resource_id"),
+        F.when(ts_ok, ts_ns).alias("az_ts_ns"),
+        F.when(ts_ok, sev_num).alias("az_sev_num"),
+        F.when(ts_ok, sev_text).alias("az_sev_text"),
+        F.when(ts_ok, attrs).alias("_az_toks"),
+        ts_ok.alias("az_ts_ok"),
+    )
+    return staged.select(
+        "*", _canon_attrs(
+            F.coalesce(F.col("_az_toks"), F.array().cast("array<string>")),
+            sep="=",
+        ).alias("az_attrs"),
+    ).drop("_az", "_az_toks")

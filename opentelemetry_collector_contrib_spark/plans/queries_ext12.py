@@ -1279,3 +1279,100 @@ EXT12_QUERIES["cwlogs_records"] = q_cwlogs
 EXT12_ORACLES["cwlogs_records"] = O_CWLOGS
 EXT12_QUERIES["cwmetrics_stream"] = q_cwmetrics
 EXT12_ORACLES["cwmetrics_stream"] = O_CWMETRICS
+
+
+# ---------------------------------------------------------------------------
+# azure resource logs (event hub batches)
+# ---------------------------------------------------------------------------
+
+
+def q_azure_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import azure_resource_logs_parse
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    ts1 = F.concat(
+        F.lit("2022-11-11T04:48:"),
+        F.lpad((F.lit(5) + e % 50).cast("string"), 2, "0"), F.lit("Z"),
+    )
+    ts2 = F.when(e % 7 == 0, F.lit("garbage")).otherwise(
+        F.concat(
+            F.lit("2022-11-11T04:49:"),
+            F.lpad((F.lit(5) + e % 50).cast("string"), 2, "0"), F.lit("Z"),
+        )
+    )
+    level = F.element_at(
+        F.array(F.lit("Informational"), F.lit("Warning"), F.lit("Error"),
+                F.lit("Critical"), F.lit("3")),
+        (e % 5 + 1).cast("int"),
+    )
+    rec = lambda ts: F.concat(  # noqa: E731
+        F.lit('{"time":"'), ts,
+        F.lit('","resourceId":"/SUB/'), (u % 4).cast("string"),
+        F.lit("/RG/r"), (u % 3).cast("string"),
+        F.lit('","operationName":"Op'), (e % 5).cast("string"),
+        F.lit('","category":"Cat'), (u % 2).cast("string"),
+        F.lit('","Level":"'), level,
+        F.lit('","durationMs":"'), (u % 100).cast("string"),
+        F.lit('","properties":{"a":'), (u % 9).cast("string"), F.lit("}"),
+        F.when(e % 2 == 0, F.lit(',"location":"eastus"')).otherwise(F.lit("")),
+        F.when(e % 3 == 0, F.lit(',"resultType":"Success"')).otherwise(
+            F.lit("")
+        ),
+        F.lit("}"),
+    )
+    body = F.concat(
+        F.lit('{"records":['), rec(ts1), F.lit(","), rec(ts2), F.lit("]}")
+    )
+    out = azure_resource_logs_parse(ev.select("event_id", body.alias("body")))
+    # the reference drops records whose timestamp does not parse
+    return out.filter(F.col("az_ts_ok")).select(
+        "event_id", "az_resource_id", "az_ts_ns", "az_sev_num",
+        "az_sev_text", "az_attrs",
+    )
+
+
+O_AZURE_LOGS = """
+WITH a AS (
+  SELECT event_id,
+         CAST(user_id % 4 AS VARCHAR) AS sub,
+         CAST(user_id % 3 AS VARCHAR) AS rg,
+         CAST(event_id % 5 AS VARCHAR) AS op,
+         CAST(user_id % 2 AS VARCHAR) AS cat,
+         CAST(event_id % 5 AS INT) AS lm,
+         CAST(user_id % 100 AS VARCHAR) AS dur,
+         CAST(user_id % 9 AS VARCHAR) AS pa,
+         event_id % 2 = 0 AS has_loc,
+         event_id % 3 = 0 AS has_rt,
+         event_id % 7 = 0 AS rec2_bad,
+         5 + event_id % 50 AS sec
+  FROM events
+), lv AS (
+  SELECT *,
+         (['Informational','Warning','Error','Critical','3'])[lm + 1]
+           AS level,
+         ([9, 13, 17, 21, 3])[lm + 1] AS sev,
+         'azure.category=Cat' || cat
+           || ',azure.duration=' || dur
+           || ',azure.operation.name=Op' || op
+           || ',azure.properties={"a":' || pa || '}'
+           || CASE WHEN has_rt THEN ',azure.result.type=Success'
+                   ELSE '' END
+           || ',cloud.provider=azure'
+           || CASE WHEN has_loc THEN ',cloud.region=eastus' ELSE '' END
+           AS attrs,
+         '/SUB/' || sub || '/RG/r' || rg AS rid
+  FROM a
+)
+SELECT event_id, rid AS az_resource_id,
+       (1668142080 + sec) * 1000000000 AS az_ts_ns,
+       sev AS az_sev_num, level AS az_sev_text, attrs AS az_attrs
+FROM lv
+UNION ALL
+SELECT event_id, rid, (1668142140 + sec) * 1000000000, sev, level, attrs
+FROM lv WHERE NOT rec2_bad
+"""
+
+
+EXT12_QUERIES["azure_resource_logs"] = q_azure_logs
+EXT12_ORACLES["azure_resource_logs"] = O_AZURE_LOGS
