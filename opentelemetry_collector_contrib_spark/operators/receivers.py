@@ -1886,3 +1886,236 @@ def azure_resource_logs_parse(df: DataFrame, line_col: str = "body") -> DataFram
             sep="=",
         ).alias("az_attrs"),
     ).drop("_az", "_az_toks")
+
+
+# ---------------------------------------------------------------------------
+# datadog receiver: /api/v1/series JSON metrics
+# ---------------------------------------------------------------------------
+
+# translator/metrics_translator.go:17-78 (semconv v1.30 values, verbatim)
+DD_KNOWN_RESOURCE_ATTRS: dict[str, str] = {
+    "env": "deployment.environment.name",
+    "service": "service.name",
+    "version": "service.version",
+    "container_id": "container.id",
+    "container_name": "container.name",
+    "image_name": "container.image.name",
+    "image_tag": "container.image.tags",
+    "runtime": "container.runtime",
+    "cloud_provider": "cloud.provider",
+    "region": "cloud.region",
+    "zone": "cloud.availability_zone",
+    "task_family": "aws.ecs.task.family",
+    "task_arn": "aws.ecs.task.arn",
+    "ecs_cluster_name": "aws.ecs.cluster.arn",
+    "task_version": "aws.ecs.task.revision",
+    "ecs_container_name": "aws.ecs.container.arn",
+    "kube_container_name": "k8s.container.name",
+    "kube_cluster_name": "k8s.cluster.name",
+    "kube_deployment": "k8s.deployment.name",
+    "kube_replica_set": "k8s.replicaset.name",
+    "kube_stateful_set": "k8s.statefulset.name",
+    "kube_daemon_set": "k8s.daemonset.name",
+    "kube_job": "k8s.job.name",
+    "kube_cronjob": "k8s.cronjob.name",
+    "kube_namespace": "k8s.namespace.name",
+    "pod_name": "k8s.pod.name",
+    "http.client_ip": "client.address",
+    "http.response.content_length": "http.response.body.size",
+    "http.status_code": "http.response.status_code",
+    "http.request.content_length": "http.request.body.size",
+    "http.referer": "http.request.header.referer",
+    "http.method": "http.request.method",
+    "http.route": "http.route",
+    "http.version": "network.protocol.version",
+    "http.server_name": "server.address",
+    "http.url": "url.full",
+    "http.useragent": "user_agent.original",
+    "db.type": "db.system.name",
+    "db.operation": "db.operation.name",
+    "db.instance": "db.collection.name",
+    "db.pool.name": "db.client.connection.pool.name",
+    "process_id": "process.pid",
+    "error.stacktrace": "exception.stacktrace",
+    "error.msg": "exception.message",
+}
+
+
+def datadog_series_v1_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
+    """Parse Datadog ``/api/v1/series`` submissions (one
+    ``{"series": [...]}`` payload per row —
+    ``receiver/datadogreceiver/internal/translator/series.go:55-119``
+    + ``tags.go:79-186``).
+
+    Per series: ``gauge`` → gauge, ``count``/``rate`` → delta sum
+    (non-monotonic), any other type skips the series (:65-78); rate
+    values multiply by the interval when one is present (:103-107);
+    points need [ts, value] pairs, seconds → ns (:94-102). Tags cut at
+    the first ':' (a bare tag t becomes ``unnamed_t=t``, tags.go:79-94);
+    a tag key in the known table routes to the RESOURCE under its OTel
+    name (exact-case match, with ``image_tag`` and http header keys as
+    single-element slices); anything else lands on the datapoint with
+    the lowercased-key OTel translation (:96-111,152-186). The host
+    field becomes ``host.name``.
+
+    Divergence (documented): a ``rate`` with an explicit ``null``
+    interval multiplies by zero in the reference (NullableInt64 is
+    "set"); here a null interval leaves the value unscaled.
+    """
+    line = F.col(line_col)
+    z = F.from_json(
+        line,
+        "series array<struct<metric:string,type:string,interval:long,"
+        "host:string,tags:array<string>,points:array<array<double>>>>",
+    )
+    out = df.select(
+        "*",
+        z.isNotNull().alias("dd_ok"),
+        F.explode(
+            F.coalesce(
+                z["series"],
+                F.expr("array()").cast(
+                    "array<struct<metric:string,type:string,interval:bigint,"
+                    "host:string,tags:array<string>,"
+                    "points:array<array<double>>>>"
+                ),
+            )
+        ).alias("_dd"),
+    )
+    s = F.col("_dd")
+    typed = s["type"].isin("gauge", "count", "rate")
+    kind = F.when(s["type"] == "gauge", F.lit("gauge")).otherwise(
+        F.lit("sum_delta")
+    )
+
+    tags = F.coalesce(s["tags"], F.array().cast("array<string>"))
+    key_of = lambda t: F.when(  # noqa: E731
+        F.instr(t, ":") > 0, F.substring_index(t, ":", 1)
+    ).otherwise(F.concat(F.lit("unnamed_"), t))
+    val_of = lambda t: F.when(  # noqa: E731
+        F.instr(t, ":") > 0, F.substr(t, F.instr(t, ":") + 1, F.length(t))
+    ).otherwise(t)
+    known_pairs = []
+    for k, v in DD_KNOWN_RESOURCE_ATTRS.items():
+        known_pairs.extend([F.lit(k), F.lit(v)])
+    known = F.create_map(*known_pairs)
+
+    def res_tok(t: Column) -> Column:
+        k, v = key_of(t), val_of(t)
+        target = F.element_at(known, k)
+        return F.when(
+            (t != "") & target.isNotNull(),
+            F.when(
+                target == "container.image.tags",
+                F.concat(target, F.lit('=["'), v, F.lit('"]')),
+            ).otherwise(F.concat(target, F.lit("="), v)),
+        )
+
+    def dp_tok(t: Column) -> Column:
+        k, v = key_of(t), val_of(t)
+        lk = F.lower(k)
+        otel = F.coalesce(
+            F.element_at(known, lk),
+            F.when(
+                lk.startswith("http.response.headers."),
+                F.concat(
+                    F.lit("http.response.header."),
+                    F.substr(lk, F.lit(23), F.length(lk)),
+                ),
+            ),
+            F.when(
+                lk.startswith("http.request.headers."),
+                F.concat(
+                    F.lit("http.request.header."),
+                    F.substr(lk, F.lit(22), F.length(lk)),
+                ),
+            ),
+            k,
+        )
+        is_header = otel.startswith("http.request.header.") | otel.startswith(
+            "http.response.header."
+        )
+        # header-translated keys are resource SLICE attrs (tags.go:176-178)
+        return F.when(
+            (t != "") & F.element_at(known, k).isNull() & ~is_header,
+            F.concat(otel, F.lit("="), v),
+        )
+
+    def header_tok(t: Column) -> Column:
+        k, v = key_of(t), val_of(t)
+        lk = F.lower(k)
+        otel = F.coalesce(
+            F.element_at(known, lk),
+            F.when(
+                lk.startswith("http.response.headers."),
+                F.concat(
+                    F.lit("http.response.header."),
+                    F.substr(lk, F.lit(23), F.length(lk)),
+                ),
+            ),
+            F.when(
+                lk.startswith("http.request.headers."),
+                F.concat(
+                    F.lit("http.request.header."),
+                    F.substr(lk, F.lit(22), F.length(lk)),
+                ),
+            ),
+            k,
+        )
+        return F.when(
+            (t != "")
+            & F.element_at(known, k).isNull()
+            & (
+                otel.startswith("http.request.header.")
+                | otel.startswith("http.response.header.")
+            ),
+            F.concat(otel, F.lit('=["'), v, F.lit('"]')),
+        )
+
+    res_toks = F.concat(
+        F.array(
+            F.when(
+                s["host"].isNotNull() & (s["host"] != ""),
+                F.concat(F.lit("host.name="), s["host"]),
+            )
+        ),
+        F.transform(tags, res_tok),
+        F.transform(tags, header_tok),
+    )
+    dp_toks = F.transform(tags, dp_tok)
+
+    staged = out.select(
+        "*",
+        s["metric"].alias("dd_name"),
+        kind.alias("dd_kind"),
+        s["interval"].alias("_dd_interval"),
+        (s["type"] == "rate").alias("_dd_is_rate"),
+        res_toks.alias("_dd_res"),
+        dp_toks.alias("_dd_dp"),
+        F.explode(
+            F.when(typed, s["points"]).otherwise(
+                F.array().cast("array<array<double>>")
+            )
+        ).alias("_dd_pt"),
+    )
+    pt = F.col("_dd_pt")
+    pt_ok = F.size(pt) == 2
+    value = F.when(
+        F.col("_dd_is_rate") & F.col("_dd_interval").isNotNull(),
+        F.get(pt, 1) * F.col("_dd_interval"),
+    ).otherwise(F.get(pt, 1))
+    final = staged.select(
+        "*",
+        _sat_long(F.get(pt, 0)).alias("_dd_sec"),
+        value.alias("dd_value"),
+        pt_ok.alias("_dd_pt_ok"),
+        _canon_attrs(F.col("_dd_res"), sep="=").alias("dd_resource_attrs"),
+        _canon_attrs(F.col("_dd_dp"), sep="=").alias("dd_dp_attrs"),
+    ).filter(F.col("_dd_pt_ok"))
+    return final.select(
+        "*",
+        F.try_multiply(F.col("_dd_sec"), F.lit(1_000_000_000)).alias(
+            "dd_ts_ns"
+        ),
+    ).drop("_dd", "_dd_pt", "_dd_res", "_dd_dp", "_dd_interval",
+           "_dd_is_rate", "_dd_sec", "_dd_pt_ok")

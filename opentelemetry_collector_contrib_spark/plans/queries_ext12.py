@@ -1376,3 +1376,82 @@ FROM lv WHERE NOT rec2_bad
 
 EXT12_QUERIES["azure_resource_logs"] = q_azure_logs
 EXT12_ORACLES["azure_resource_logs"] = O_AZURE_LOGS
+
+
+# ---------------------------------------------------------------------------
+# datadog /api/v1/series
+# ---------------------------------------------------------------------------
+
+
+def q_datadog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import datadog_series_v1_parse
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    mtype = F.element_at(
+        F.array(F.lit("gauge"), F.lit("count"), F.lit("rate"),
+                F.lit("distribution")),
+        (e % 4 + 1).cast("int"),
+    )
+    host_part = F.when(
+        u % 3 != 0,
+        F.concat(F.lit('"host":"h'), (u % 4).cast("string"), F.lit('",')),
+    ).otherwise(F.lit(""))
+    interval_part = F.when(
+        e % 4 == 2, F.lit('"interval":10,')
+    ).otherwise(F.lit(""))
+    env = F.when(u % 2 == 0, F.lit("prod")).otherwise(F.lit("dev"))
+    v = (u % 50).cast("double") * 1.5
+    body = F.concat(
+        F.lit('{"series":[{"metric":"dd.m'), (e % 5).cast("string"),
+        F.lit('","type":"'), mtype, F.lit('",'), host_part, interval_part,
+        F.lit('"tags":["env:'), env,
+        F.lit('","service:svc'), (u % 3).cast("string"),
+        F.lit('","os:linux","path:p'), (e % 7).cast("string"),
+        F.lit('"],"points":[['), (F.lit(1700000000) + e).cast("string"),
+        F.lit(","), v.cast("string"), F.lit("],["),
+        (F.lit(1700000001) + e).cast("string"), F.lit(","),
+        (v + 1).cast("string"), F.lit("]]}]}"),
+    )
+    out = datadog_series_v1_parse(ev.select("event_id", body.alias("body")))
+    return out.select(
+        "event_id", "dd_name", "dd_kind", "dd_ts_ns", "dd_value",
+        "dd_resource_attrs", "dd_dp_attrs", "dd_ok",
+    )
+
+
+O_DD_SERIES = """
+WITH a AS (
+  SELECT event_id,
+         CAST(event_id % 5 AS VARCHAR) AS mn,
+         CAST(event_id % 4 AS INT) AS tm,
+         user_id % 3 <> 0 AS has_host,
+         CAST(user_id % 4 AS VARCHAR) AS h,
+         CASE WHEN user_id % 2 = 0 THEN 'prod' ELSE 'dev' END AS env,
+         CAST(user_id % 3 AS VARCHAR) AS svc,
+         CAST(event_id % 7 AS VARCHAR) AS pth,
+         CAST(user_id % 50 AS DOUBLE) * 1.5 AS v,
+         1700000000 + event_id AS ts
+  FROM events
+  WHERE event_id % 4 <> 3
+), b AS (
+  SELECT *, v AS pv, ts AS pts FROM a
+  UNION ALL
+  SELECT *, v + 1, ts + 1 FROM a
+)
+SELECT event_id,
+       'dd.m' || mn AS dd_name,
+       CASE WHEN tm = 0 THEN 'gauge' ELSE 'sum_delta' END AS dd_kind,
+       pts * 1000000000 AS dd_ts_ns,
+       CASE WHEN tm = 2 THEN pv * 10 ELSE pv END AS dd_value,
+       'deployment.environment.name=' || env
+         || CASE WHEN has_host THEN ',host.name=h' || h ELSE '' END
+         || ',service.name=svc' || svc AS dd_resource_attrs,
+       'os=linux,path=p' || pth AS dd_dp_attrs,
+       TRUE AS dd_ok
+FROM b
+"""
+
+
+EXT12_QUERIES["datadog_series_v1"] = q_datadog_series
+EXT12_ORACLES["datadog_series_v1"] = O_DD_SERIES
