@@ -292,3 +292,270 @@ FROM c
 
 EXT13_QUERIES["jaeger_spans"] = q_jaeger
 EXT13_ORACLES["jaeger_spans"] = O_JAEGER
+
+
+# ---------------------------------------------------------------------------
+# skywalking SegmentObject JSON -> OTLP spans
+# ---------------------------------------------------------------------------
+
+
+def q_skywalking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skywalking import skywalking_segments_to_spans
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    h8 = lambda c: F.lpad(F.lower(F.hex(c)), 8, "0")  # noqa: E731
+    h16 = lambda c: F.lpad(F.lower(F.hex(c)), 16, "0")  # noqa: E731
+
+    seg32 = F.concat(h8(u + 1), h8(e + 1), h8(u + 17), h8(e + 13))
+    mid, last = e % 100000, F.lit(1656347429643000) + e
+    seg_id = F.concat(seg32, F.lit("."), s(mid), F.lit("."), s(last))
+
+    t32 = F.concat(h16(u + 3), h16(e + 9))
+    dashed = F.concat_ws(
+        "-", F.substring(t32, 1, 8), F.substring(t32, 9, 4),
+        F.substring(t32, 13, 4), F.substring(t32, 17, 4),
+        F.substring(t32, 21, 12),
+    )
+    tmid, tlast = u % 97, e % 1000 + 5
+    trace_java = F.concat(t32, F.lit("."), s(tmid), F.lit("."), s(tlast))
+    trace_id = F.when(u % 2 == 0, dashed).otherwise(trace_java)
+
+    span_id = e % 5
+    parent = F.when(e % 4 < 2, F.lit(-1)).otherwise(e % 3)
+    rt32 = F.concat(h16(u + 5), h16(e + 2))
+    ref_dashed = F.concat_ws(
+        "-", F.substring(rt32, 1, 8), F.substring(rt32, 9, 4),
+        F.substring(rt32, 13, 4), F.substring(rt32, 17, 4),
+        F.substring(rt32, 21, 12),
+    )
+    ref_seg = F.concat(h16(u + 99), h16(e + 7))
+    rp = e % 6 + 1
+    refs = F.when(
+        e % 4 == 0,
+        F.concat(
+            F.lit(',"refs":[{"refType":'),
+            F.when(e % 2 == 0, F.lit('"CrossProcess"')).otherwise(
+                F.lit('"CrossThread"')
+            ),
+            F.lit(',"traceId":"'), ref_dashed,
+            F.lit('","parentTraceSegmentId":"'), ref_seg,
+            F.lit('","parentSpanId":'), s(rp),
+            F.lit(',"parentService":"psvc'), s(u % 3),
+            F.lit('","parentServiceInstance":"pi'), s(u % 2),
+            F.lit('","parentEndpoint":"/ep'), s(e % 4),
+            F.lit('","networkAddressUsedAtPeer":"10.0.0.'), s(u % 7),
+            F.lit(':80"}]'),
+        ),
+    ).otherwise(F.lit(""))
+
+    tags = F.concat(
+        F.lit('{"key":"custom","value":"c'), s(e % 9), F.lit('"}'),
+        F.when(
+            u % 3 == 0,
+            F.concat(F.lit(',{"key":"url","value":"http://h/p'), s(e % 7),
+                     F.lit('"}')),
+        )
+        .when(
+            u % 3 == 1,
+            F.concat(
+                F.lit(',{"key":"db.type","value":"mysql"},'
+                      '{"key":"db.instance","value":"db'),
+                s(u % 4), F.lit('"}'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(',{"key":"mq.broker","value":"b'), s(u % 5),
+                F.lit('"},{"key":"status_code","value":"'),
+                s(e % 300 + 200), F.lit('"}'),
+            )
+        ),
+    )
+
+    sty = (
+        F.when(e % 6 == 0, F.lit('"spanType":"Entry","spanLayer":"MQ"'))
+        .when(e % 6 == 1, F.lit('"spanType":"Exit","spanLayer":"MQ"'))
+        .when(e % 6 == 2, F.lit('"spanType":"Local","spanLayer":"MQ"'))
+        .when(e % 6 == 3, F.lit('"spanType":"Exit","spanLayer":"Http"'))
+        .when(e % 6 == 4, F.lit('"spanType":"Entry","spanLayer":"Unknown"'))
+        .otherwise(F.lit('"spanType":"Local","spanLayer":"Unknown"'))
+    )
+
+    logs = F.when(
+        e % 3 == 0,
+        F.concat(
+            F.lit(',"logs":[{"time":'), s(F.lit(1700000000000) + e),
+            F.lit(',"data":[{"key":"lv","value":"l'), s(e % 4),
+            F.lit('"}]}]'),
+        ),
+    ).otherwise(F.lit(""))
+
+    body = F.concat(
+        F.lit('{"traceId":"'), trace_id,
+        F.lit('","traceSegmentId":"'), seg_id,
+        F.lit('","service":"svc'), s(u % 5),
+        F.lit('","serviceInstance":"i'), s(u % 7),
+        F.lit('","spans":[{"spanId":'), s(span_id),
+        F.lit(',"parentSpanId":'), s(parent),
+        F.lit(',"startTime":'), s(F.lit(1690000000000) + e),
+        F.lit(',"endTime":'), s(F.lit(1690000000000) + e + e % 500 + 1),
+        refs,
+        F.lit(',"operationName":"op-'), F.col("event_type"), F.lit('",'),
+        sty,
+        F.lit(',"isError":'),
+        F.when(e % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(',"tags":['), tags, F.lit("]"), logs,
+        F.lit("}]}"),
+    )
+    out = skywalking_segments_to_spans(
+        ev.select("event_id", body.alias("body"))
+    )
+    return out.select(
+        "event_id", "sw_trace_id", "sw_span_id", "sw_parent_id", "sw_name",
+        "sw_kind", "sw_start_ns", "sw_end_ns", "sw_status_code",
+        "sw_status_msg", "sw_resource_attrs", "sw_attrs", "sw_events",
+        "sw_links",
+    )
+
+
+O_SKYWALKING = """
+WITH a AS (
+  SELECT event_id, user_id, event_type,
+         event_id AS e, user_id AS u,
+         event_id % 5 AS sid,
+         CASE WHEN event_id % 4 < 2 THEN -1
+              ELSE event_id % 3 END AS psid,
+         event_id % 100000 AS mid,
+         1656347429643000 + event_id AS lst,
+         user_id % 97 AS tmid,
+         event_id % 1000 + 5 AS tlast,
+         event_id % 6 + 1 AS rp
+  FROM events
+), b AS (
+  SELECT *,
+         ((sid & 255) << 24) | (((sid >> 8) & 255) << 16)
+           | (((sid >> 16) & 255) << 8) | ((sid >> 24) & 255) AS bx,
+         ((mid & 255) << 24) | (((mid >> 8) & 255) << 16)
+           | (((mid >> 16) & 255) << 8) | ((mid >> 24) & 255) AS bm,
+         (((lst & 4294967295) & 255) << 24)
+           | ((((lst & 4294967295) >> 8) & 255) << 16)
+           | ((((lst & 4294967295) >> 16) & 255) << 8)
+           | (((lst & 4294967295) >> 24) & 255) AS bl,
+         ((((lst >> 32) & 4294967295) & 255) << 24)
+           | (((((lst >> 32) & 4294967295)) >> 8 & 255) << 16)
+           | ((((lst >> 32) & 4294967295) >> 16 & 255) << 8)
+           | (((lst >> 32) & 4294967295) >> 24 & 255) AS bh,
+         ((psid & 255) << 24) | (((psid >> 8) & 255) << 16)
+           | (((psid >> 16) & 255) << 8) | ((psid >> 24) & 255) AS bp,
+         ((tmid & 255) << 24) | (((tmid >> 8) & 255) << 16)
+           | (((tmid >> 16) & 255) << 8) | ((tmid >> 24) & 255) AS btm,
+         ((tlast & 255) << 24) | (((tlast >> 8) & 255) << 16)
+           | (((tlast >> 16) & 255) << 8) | ((tlast >> 24) & 255) AS btl,
+         ((rp & 255) << 24) | (((rp >> 8) & 255) << 16)
+           | (((rp >> 16) & 255) << 8) | ((rp >> 24) & 255) AS brp
+  FROM a
+), c AS (
+  SELECT *,
+         lpad(lower(to_hex(u + 1)), 8, '0') || lpad(lower(to_hex(e + 1)), 8, '0')
+           || lpad(lower(to_hex(u + 17)), 8, '0')
+           || lpad(lower(to_hex(e + 13)), 8, '0')
+           || '.' || mid || '.' || lst AS seg_id,
+         lpad(lower(to_hex(u + 3)), 16, '0')
+           || lpad(lower(to_hex(e + 9)), 16, '0') AS t32,
+         lpad(lower(to_hex(u + 5)), 16, '0')
+           || lpad(lower(to_hex(e + 2)), 16, '0') AS rt32,
+         lpad(lower(to_hex(u + 99)), 16, '0')
+           || lpad(lower(to_hex(e + 7)), 16, '0') AS ref_seg,
+         xor(u + 1, bx) AS w0, xor(e + 1, bm) AS w1,
+         xor(u + 17, bl) AS w2, xor(e + 13, bh) AS w3,
+         xor(u + 1, bp) AS p0,
+         -- ref-based parent: short-form segment, words [0, u+99, 0, e+7]
+         lpad(lower(to_hex(brp)), 8, '0')
+           || lpad(lower(to_hex(xor(u + 99, e + 7))), 8, '0') AS ref_parent
+  FROM b
+), d AS (
+  SELECT *,
+         substr(t32, 1, 8) || '-' || substr(t32, 9, 4) || '-'
+           || substr(t32, 13, 4) || '-' || substr(t32, 17, 4) || '-'
+           || substr(t32, 21, 12) AS dashed,
+         substr(rt32, 1, 8) || '-' || substr(rt32, 9, 4) || '-'
+           || substr(rt32, 13, 4) || '-' || substr(rt32, 17, 4) || '-'
+           || substr(rt32, 21, 12) AS ref_dashed,
+         t32 || '.' || tmid || '.' || tlast AS trace_java,
+         lpad(lower(to_hex(xor(w0, w2))), 8, '0')
+           || lpad(lower(to_hex(xor(w1, w3))), 8, '0') AS span_hex,
+         lpad(lower(to_hex(xor(p0, xor(u + 17, bl)))), 8, '0')
+           || lpad(lower(to_hex(xor(xor(e + 1, bm), xor(e + 13, bh)))), 8, '0')
+           AS same_seg_parent
+  FROM c
+)
+SELECT event_id,
+       CASE WHEN u % 2 = 0 THEN t32
+            -- 1-digit mid+last make the java-form id 36 chars: it
+            -- falls into uuid.Parse and fails to the all-zero id
+            WHEN tmid < 10 AND tlast < 10 THEN repeat('0', 32)
+            ELSE '00000000'
+              || lpad(lower(to_hex(xor(u + 3, btm))), 8, '0')
+              || lpad(lower(to_hex(btl)), 8, '0')
+              || lpad(lower(to_hex(e + 9)), 8, '0') END AS sw_trace_id,
+       span_hex AS sw_span_id,
+       CASE WHEN e % 4 >= 2 THEN same_seg_parent
+            WHEN e % 4 = 0 THEN ref_parent END AS sw_parent_id,
+       'op-' || event_type AS sw_name,
+       CASE CAST(e % 6 AS INT)
+         WHEN 0 THEN 'consumer' WHEN 1 THEN 'producer'
+         WHEN 2 THEN 'unspecified' WHEN 3 THEN 'client'
+         WHEN 4 THEN 'server' ELSE 'internal' END AS sw_kind,
+       (1690000000000 + e) * 1000000 AS sw_start_ns,
+       (1690000000000 + e + e % 500 + 1) * 1000000 AS sw_end_ns,
+       CASE WHEN e % 2 = 0 THEN 2 ELSE 1 END AS sw_status_code,
+       CASE WHEN e % 2 = 0 THEN 'ERROR' ELSE 'SUCCESS' END AS sw_status_msg,
+       array_to_string(list_sort(list_filter([
+         CASE WHEN u % 3 = 0 THEN 'http.url=http://h/p' || (e % 7)
+              WHEN u % 3 = 1 THEN 'db.system=mysql' END,
+         CASE WHEN u % 3 = 1 THEN 'db.name=db' || (u % 4)
+              WHEN u % 3 = 2 THEN 'net.peer.name=b' || (u % 5) END,
+         CASE WHEN u % 3 = 2
+              THEN 'http.status_code=' || (e % 300 + 200) END,
+         'service.name=svc' || (u % 5),
+         'service.instance.id=i' || (u % 7),
+         'sw8.trace_id=' || CASE WHEN u % 2 = 0 THEN dashed
+                                 ELSE trace_java END
+       ], x -> x IS NOT NULL)), ',') AS sw_resource_attrs,
+       array_to_string(list_sort(list_filter([
+         'custom=c' || (e % 9),
+         CASE WHEN u % 3 = 0 THEN 'url=http://h/p' || (e % 7)
+              WHEN u % 3 = 1 THEN 'db.type=mysql'
+              ELSE 'mq.broker=b' || (u % 5) END,
+         CASE WHEN u % 3 = 1 THEN 'db.instance=db' || (u % 4)
+              WHEN u % 3 = 2 THEN 'status_code=' || (e % 300 + 200) END,
+         'sw8.segment_id=' || seg_id,
+         'sw8.span_id=' || sid,
+         CASE WHEN psid <> -1 THEN 'sw8.parent_span_id=' || psid END
+       ], x -> x IS NOT NULL)), ',') AS sw_attrs,
+       CASE WHEN e % 3 = 0
+            THEN CAST((1700000000000 + e) * 1000000 AS VARCHAR)
+                 || '|logs|lv=l' || (e % 4)
+            ELSE '' END AS sw_events,
+       CASE WHEN e % 4 = 0
+            THEN rt32 || '|' || ref_parent || '|'
+                 || array_to_string(list_sort([
+                      'network.AddressUsedAtPeer=10.0.0.' || (u % 7) || ':80',
+                      'parent.endpoint=/ep' || (e % 4),
+                      'parent.service=psvc' || (u % 3),
+                      'parent.service.instance=pi' || (u % 2),
+                      'refType=' || CASE WHEN e % 2 = 0 THEN 'CrossProcess'
+                                         ELSE 'CrossThread' END,
+                      'sw8.trace_id=' || ref_dashed,
+                      'sw8.parent_segment_id=' || ref_seg,
+                      'sw8.parent_span_id=' || rp
+                    ]), ',')
+            ELSE '' END AS sw_links
+FROM d
+"""
+
+
+EXT13_QUERIES["skywalking_spans"] = q_skywalking
+EXT13_ORACLES["skywalking_spans"] = O_SKYWALKING
