@@ -559,3 +559,140 @@ FROM d
 
 EXT13_QUERIES["skywalking_spans"] = q_skywalking
 EXT13_ORACLES["skywalking_spans"] = O_SKYWALKING
+
+
+# ---------------------------------------------------------------------------
+# signalfx v2 datapoints / events
+# ---------------------------------------------------------------------------
+
+
+def q_signalfx_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.signalfx import signalfx_datapoints_parse
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    mtype = (
+        F.when(e % 5 == 0, F.lit(',"metricType":"GAUGE"'))
+        .when(e % 5 == 1, F.lit(',"metricType":"COUNTER"'))
+        .when(e % 5 == 2, F.lit(',"metricType":"CUMULATIVE_COUNTER"'))
+        .when(e % 5 == 4, F.lit(',"metricType":"ENUM"'))
+        .otherwise(F.lit(""))
+    )
+    value = (
+        F.when(e % 3 == 0, F.concat(F.lit('{"intValue":'), s(e), F.lit("}")))
+        .when(
+            e % 3 == 1,
+            F.concat(F.lit('{"doubleValue":'), s(e % 10), F.lit(".5}")),
+        )
+        .otherwise(
+            F.concat(F.lit('{"intValue":'), s(e + 1),
+                     F.lit(',"doubleValue":0.5}'))
+        )
+    )
+    dp1 = F.concat(
+        F.lit('{"metric":"m'), s(e % 7),
+        F.lit('","timestamp":'), s(F.lit(1700000000000) + e),
+        F.lit(',"value":'), value, mtype,
+        F.lit(',"dimensions":[{"key":"host","value":"h'), s(u % 5),
+        F.lit('"},{"key":"env","value":"e'), s(u % 3), F.lit('"}]}'),
+    )
+    dp2 = F.when(
+        e % 6 == 0, F.lit(',{"metric":"zero","value":{}}')
+    ).otherwise(F.lit(""))
+    body = F.concat(F.lit('{"datapoints":['), dp1, dp2, F.lit("]}"))
+    out = signalfx_datapoints_parse(ev.select("event_id", body.alias("body")))
+    return out.select(
+        "event_id", "sfx_metric", "sfx_kind", "sfx_ts_ns", "sfx_int_value",
+        "sfx_double_value", "sfx_attrs", "sfx_ok",
+    )
+
+
+O_SFX_DP = """
+WITH a AS (
+  SELECT event_id, user_id, event_id AS e, user_id AS u FROM events
+)
+SELECT event_id,
+       'm' || (e % 7) AS sfx_metric,
+       CASE WHEN e % 5 = 1 THEN 'sum_delta'
+            WHEN e % 5 = 2 THEN 'sum_cumulative'
+            WHEN e % 5 = 4 THEN 'error'
+            ELSE 'gauge' END AS sfx_kind,
+       (1700000000000 + e) * 1000000 AS sfx_ts_ns,
+       CASE WHEN e % 3 = 0 THEN e WHEN e % 3 = 2 THEN e + 1 END
+         AS sfx_int_value,
+       CASE WHEN e % 3 = 1 THEN e % 10 + 0.5 END AS sfx_double_value,
+       'env=e' || (u % 3) || ',host=h' || (u % 5) AS sfx_attrs,
+       e % 5 <> 4 AS sfx_ok
+FROM a
+UNION ALL
+SELECT event_id, 'zero', 'gauge', 0, NULL, NULL, '', FALSE
+FROM a WHERE e % 6 = 0
+"""
+
+
+def q_signalfx_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.signalfx import signalfx_events_parse
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    etype = F.when(e % 4 == 0, F.lit('"eventType":"",')).otherwise(
+        F.concat(F.lit('"eventType":"ev'), s(e % 3), F.lit('",'))
+    )
+    cat = F.when(
+        e % 2 == 0,
+        F.concat(F.lit('"category":'), s(F.lit(1000000) + e % 5), F.lit(",")),
+    ).otherwise(F.lit(""))
+    props = F.when(
+        e % 3 == 0,
+        F.concat(
+            F.lit('"properties":[{"key":"s","value":{"strValue":"v'),
+            s(e % 4),
+            F.lit('"}},{"key":"i","value":{"intValue":'), s(e),
+            F.lit('}},{"key":"d","value":{"doubleValue":'), s(e % 10),
+            F.lit('.5}},{"key":"b","value":{"boolValue":'),
+            F.when(u % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+            F.lit('}},{"key":"n","value":{}}],'),
+        ),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit('{"events":[{'), etype, cat, props,
+        F.lit('"dimensions":[{"key":"env","value":"p'), s(u % 3),
+        F.lit('"}],"timestamp":'), s(F.lit(1700000000000) + e),
+        F.lit("}]}"),
+    )
+    out = signalfx_events_parse(ev.select("event_id", body.alias("body")))
+    return out.select("event_id", "sfe_ts_ns", "sfe_category", "sfe_attrs")
+
+
+O_SFX_EV = """
+WITH a AS (
+  SELECT event_id, user_id, event_id AS e, user_id AS u FROM events
+)
+SELECT event_id,
+       (1700000000000 + e) * 1000000 AS sfe_ts_ns,
+       CASE WHEN e % 2 = 0 THEN 1000000 + e % 5 END AS sfe_category,
+       array_to_string(list_sort(list_filter([
+         'env=p' || (u % 3),
+         'com.splunk.signalfx.event_type='
+           || CASE WHEN e % 4 = 0 THEN 'unknown' ELSE 'ev' || (e % 3) END,
+         'com.splunk.signalfx.event_category='
+           || CASE WHEN e % 2 = 0 THEN CAST(1000000 + e % 5 AS VARCHAR)
+                   ELSE '' END,
+         CASE WHEN e % 3 = 0 THEN
+           'com.splunk.signalfx.event_properties={"b":'
+           || CASE WHEN u % 2 = 0 THEN 'true' ELSE 'false' END
+           || ',"d":' || (e % 10) || '.5,"i":' || e
+           || ',"n":null,"s":"v' || (e % 4) || '"}' END
+       ], x -> x IS NOT NULL)), ',') AS sfe_attrs
+FROM a
+"""
+
+
+EXT13_QUERIES["signalfx_datapoints"] = q_signalfx_dp
+EXT13_ORACLES["signalfx_datapoints"] = O_SFX_DP
+EXT13_QUERIES["signalfx_events"] = q_signalfx_events
+EXT13_ORACLES["signalfx_events"] = O_SFX_EV
