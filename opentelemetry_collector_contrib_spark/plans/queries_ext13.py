@@ -696,3 +696,355 @@ EXT13_QUERIES["signalfx_datapoints"] = q_signalfx_dp
 EXT13_ORACLES["signalfx_datapoints"] = O_SFX_DP
 EXT13_QUERIES["signalfx_events"] = q_signalfx_events
 EXT13_ORACLES["signalfx_events"] = O_SFX_EV
+
+
+# ---------------------------------------------------------------------------
+# AWS X-Ray segment documents -> OTLP spans
+# ---------------------------------------------------------------------------
+
+
+def q_xray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.xray import xray_segments_to_spans
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    hx = lambda c, n: F.lpad(F.lower(F.hex(c)), n, "0")  # noqa: E731
+
+    http = F.when(
+        e % 3 == 0,
+        F.concat(
+            F.lit(',"http":{"request":{"method":"GET","url":"http://s/'),
+            s(e % 5), F.lit('"'),
+            F.when(e % 6 == 0, F.lit(',"client_ip":"10.1.2.3"')).otherwise(
+                F.lit("")
+            ),
+            F.lit(',"user_agent":"ua'), s(u % 3), F.lit('"'),
+            F.when(e % 9 == 0, F.lit(',"x_forwarded_for":true')).otherwise(
+                F.lit("")
+            ),
+            F.lit('},"response":{"status":'), s(e % 400 + 200),
+            F.lit(',"content_length":'),
+            F.when(
+                e % 2 == 0, F.concat(s(e % 1000), F.lit(".5"))
+            ).otherwise(F.concat(F.lit('"len'), s(e % 7), F.lit('"'))),
+            F.lit("}}"),
+        ),
+    ).otherwise(F.lit(""))
+
+    aws = F.when(
+        u % 4 != 3,
+        F.concat(
+            F.lit(',"aws":{"account_id":"a'), s(u % 6),
+            F.lit('","operation":"Op'), s(e % 4),
+            F.lit('","remote_region":"r'), s(u % 3),
+            F.lit('","request_id":"q'), s(e % 8), F.lit('"'),
+            F.when(
+                u % 4 == 0,
+                F.concat(F.lit(',"ec2":{"instance_id":"i'), s(u % 7),
+                         F.lit('","availability_zone":"z'), s(u % 5),
+                         F.lit('"}')),
+            ).otherwise(F.lit("")),
+            F.when(
+                u % 4 == 1,
+                F.concat(
+                    F.lit(',"retries":'), s(e % 3),
+                    F.lit(',"ecs":{"container":"c'), s(u % 6),
+                    F.lit('","container_id":"cc'), s(u % 2), F.lit('"}'),
+                    F.lit(',"elastic_beanstalk":{"environment_name":"env'),
+                    s(u % 3), F.lit('","deployment_id":'), s(e % 50),
+                    F.lit(',"version_label":"v'), s(e % 6), F.lit('"}'),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                u % 4 == 2,
+                F.concat(
+                    F.lit(',"eks":{"container_id":"ek'), s(u % 3),
+                    F.lit('","cluster_name":"k'), s(u % 5),
+                    F.lit('","pod":"pd'), s(u % 7), F.lit('"}'),
+                    F.lit(',"cloudwatch_logs":[{"log_group":"g'), s(u % 4),
+                    F.lit('","arn":"arn'), s(u % 5), F.lit('"}]'),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                u % 4 < 2,
+                F.concat(
+                    F.lit(',"xray":{"sdk":"'),
+                    F.when(u % 2 == 0, F.lit("X-Ray for Go")).otherwise(
+                        F.lit("X-Ray SDK")
+                    ),
+                    F.lit('","sdk_version":"1.'), s(u % 4), F.lit('"}'),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("}"),
+        ),
+    ).otherwise(F.lit(""))
+
+    sql = F.when(
+        u % 9 == 0,
+        F.concat(
+            F.lit(',"sql":{"url":"db://h'), s(u % 3), F.lit("/d"), s(u % 5),
+            F.lit('?x=1","database_type":"mysql","sanitized_query":"SELECT '),
+            s(e % 3), F.lit('","user":"du'), s(u % 2), F.lit('"}'),
+        ),
+    ).otherwise(F.lit(""))
+
+    annos = F.when(
+        e % 2 == 0,
+        F.concat(
+            F.lit(',"annotations":{"an_s":"v'), s(e % 9),
+            F.lit('","an_n":'), s(e % 7),
+            F.lit(',"an_f":0.5,"an_b":'),
+            F.when(u % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+            F.lit("}"),
+        ),
+    ).otherwise(F.lit(""))
+
+    meta = F.when(
+        e % 3 == 0,
+        F.concat(
+            F.lit(',"metadata":{"md":{"z":'), s(e % 5),
+            F.lit(',"a":"m'), s(u % 2), F.lit('"}}'),
+        ),
+    ).otherwise(F.lit(""))
+
+    stack = F.when(
+        e % 8 == 0,
+        F.concat(F.lit(',"stack":[{"label":"fn","path":"p.go","line":'),
+                 s(e % 90), F.lit("}]")),
+    ).otherwise(F.lit(""))
+    cause = (
+        F.when(
+            e % 4 == 0,
+            F.concat(
+                F.lit(',"cause":{"exceptions":[{"id":"ex'), s(e % 5),
+                F.lit('","message":"bm'), s(e % 3),
+                F.lit('","type":"T'), s(e % 2), F.lit('"'),
+                F.when(u % 2 == 0, F.lit(',"remote":true')).otherwise(
+                    F.lit("")
+                ),
+                stack, F.lit("}]}"),
+            ),
+        )
+        .when(
+            e % 4 == 1,
+            F.concat(F.lit(',"cause":"cexc'), s(e % 6), F.lit('"')),
+        )
+        .otherwise(F.lit(""))
+    )
+
+    leaf = F.when(
+        e % 8 == 0,
+        F.concat(F.lit(',"trace_id":"1-'), hx(u + 9, 8), F.lit("-"),
+                 hx(e + 2, 24), F.lit('"')),
+    ).otherwise(F.lit(""))
+    subsub = F.when(
+        e % 4 == 0,
+        F.concat(
+            F.lit(',"subsegments":[{"name":"leaf","id":"'), hx(e + 35, 16),
+            F.lit('","start_time":'), s(F.lit(1600000000) + e),
+            F.lit(".875"), leaf, F.lit("}]"),
+        ),
+    ).otherwise(F.lit(""))
+    subs = F.when(
+        e % 2 == 0,
+        F.concat(
+            F.lit(',"subsegments":[{"name":"sub'), s(e % 3),
+            F.lit('","id":"'), hx(e + 21, 16),
+            F.lit('","start_time":'), s(F.lit(1600000000) + e),
+            F.lit(".25"),
+            F.when(e % 4 == 0, F.lit(',"namespace":"aws"'))
+            .when(e % 4 == 2, F.lit(',"namespace":"remote"'))
+            .otherwise(F.lit("")),
+            subsub, F.lit("}]"),
+        ),
+    ).otherwise(F.lit(""))
+
+    root_parent = F.when(
+        e % 7 == 0,
+        F.concat(F.lit(',"parent_id":"'), hx(e + 3, 16), F.lit('"')),
+    ).otherwise(F.lit(""))
+
+    body = F.concat(
+        F.lit('{"name":"api-'), F.col("event_type"),
+        F.lit('","id":"'), hx(e + 1, 16),
+        F.lit('","start_time":'), s(F.lit(1600000000) + e), F.lit(".5"),
+        F.when(
+            e % 5 != 4,
+            F.concat(F.lit(',"end_time":'), s(F.lit(1600000000) + e),
+                     F.lit(".75")),
+        ).otherwise(F.lit("")),
+        F.lit(',"trace_id":"1-'), hx(u + 1, 8), F.lit("-"), hx(e + 1, 24),
+        F.lit('"'), root_parent,
+        F.when(
+            u % 2 == 0,
+            F.concat(F.lit(',"user":"usr'), s(u % 5), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.when(e % 11 == 0, F.lit(',"in_progress":true')).otherwise(F.lit("")),
+        F.when(e % 13 == 0, F.lit(',"traced":true')).otherwise(F.lit("")),
+        F.when(
+            u % 5 == 0,
+            F.concat(F.lit(',"resource_arn":"arn:'), s(u % 7), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.when(
+            u % 6 == 0,
+            F.concat(F.lit(',"service":{"version":"sv'), s(u % 4),
+                     F.lit('"}')),
+        ).otherwise(F.lit("")),
+        http, aws, sql, annos, meta, cause, subs,
+        F.lit("}"),
+    )
+    out = xray_segments_to_spans(
+        ev.select("event_id", body.alias("body")), max_depth=2
+    )
+    return out.select(
+        "event_id", "xr_depth", "xr_trace_id", "xr_span_id", "xr_parent_id",
+        "xr_name", "xr_kind", "xr_start_ns", "xr_end_ns", "xr_status_code",
+        "xr_status_msg", "xr_resource_attrs", "xr_attrs", "xr_events",
+        "xr_ok",
+    )
+
+
+O_XRAY = """
+WITH a AS (
+  SELECT event_id, user_id, event_type, event_id AS e, user_id AS u,
+         lpad(lower(to_hex(user_id + 1)), 8, '0')
+           || lpad(lower(to_hex(event_id + 1)), 24, '0') AS tid,
+         lpad(lower(to_hex(event_id + 1)), 16, '0') AS sid,
+         lpad(lower(to_hex(event_id + 3)), 16, '0') AS rpid,
+         lpad(lower(to_hex(event_id + 21)), 16, '0') AS sub_id,
+         lpad(lower(to_hex(event_id + 35)), 16, '0') AS leaf_id,
+         event_id % 3 = 0 AS has_http,
+         event_id % 400 + 200 AS hst,
+         event_id % 4 = 0 AS cause_obj,
+         event_id % 4 = 1 AS cause_str,
+         event_id % 7 = 0 AS has_rparent
+  FROM events
+), res AS (
+  SELECT *,
+         array_to_string(list_sort(list_filter([
+           'service.name=api-' || event_type,
+           'cloud.provider=' || CASE WHEN u % 4 <> 3 THEN 'aws'
+                                     ELSE 'unknown' END,
+           CASE WHEN u % 4 <> 3 THEN 'cloud.account.id=a' || (u % 6) END,
+           CASE WHEN u % 4 = 0 THEN 'host.id=i' || (u % 7) END,
+           CASE WHEN u % 4 = 0
+                THEN 'cloud.availability_zone=z' || (u % 5) END,
+           CASE WHEN u % 4 = 1 THEN 'container.name=c' || (u % 6) END,
+           CASE WHEN u % 4 = 1 THEN 'container.id=cc' || (u % 2) END,
+           CASE WHEN u % 4 = 1 THEN 'service.namespace=env' || (u % 3) END,
+           CASE WHEN u % 4 = 1
+                THEN 'service.instance.id=' || (e % 50) END,
+           CASE WHEN u % 4 = 1 AND NOT u % 6 = 0
+                THEN 'service.version=v' || (e % 6) END,
+           CASE WHEN u % 6 = 0 THEN 'service.version=sv' || (u % 4) END,
+           CASE WHEN u % 4 = 2 THEN 'container.id=ek' || (u % 3) END,
+           CASE WHEN u % 4 = 2 THEN 'k8s.cluster.name=k' || (u % 5) END,
+           CASE WHEN u % 4 = 2 THEN 'k8s.pod.name=pd' || (u % 7) END,
+           CASE WHEN u % 4 = 2
+                THEN 'aws.log.group.arns=["arn' || (u % 5) || '"]' END,
+           CASE WHEN u % 4 = 2
+                THEN 'aws.log.group.names=["g' || (u % 4) || '"]' END,
+           CASE WHEN u % 4 < 2
+                THEN 'telemetry.sdk.version=1.' || (u % 4) END,
+           CASE WHEN u % 4 < 2 THEN 'telemetry.sdk.name='
+                || CASE WHEN u % 2 = 0 THEN 'X-Ray for Go'
+                        ELSE 'X-Ray SDK' END END,
+           CASE WHEN u % 4 < 2 AND cause_obj
+                THEN 'telemetry.sdk.language=java'
+                WHEN u % 4 < 2 AND u % 2 = 0
+                THEN 'telemetry.sdk.language=Go' END,
+           CASE WHEN u % 5 = 0
+                THEN 'aws.xray.resource_arn=arn:' || (u % 7) END
+         ], x -> x IS NOT NULL)), ',') AS resattrs,
+         CASE WHEN has_http AND NOT hst BETWEEN 100 AND 398 THEN 2
+              WHEN cause_obj OR cause_str THEN 2 END AS st_code
+  FROM a
+)
+SELECT event_id, 0 AS xr_depth, tid AS xr_trace_id, sid AS xr_span_id,
+       CASE WHEN has_rparent THEN rpid END AS xr_parent_id,
+       'api-' || event_type AS xr_name,
+       CASE WHEN NOT has_rparent THEN 'server'
+            WHEN e % 6 = 0 THEN 'server'
+            ELSE 'internal' END AS xr_kind,
+       CAST((1600000000 + e + 0.5) * 1e9 AS BIGINT) AS xr_start_ns,
+       CASE WHEN e % 5 <> 4
+            THEN CAST((1600000000 + e + 0.75) * 1e9 AS BIGINT) END
+         AS xr_end_ns,
+       st_code AS xr_status_code,
+       CASE WHEN st_code IS NOT NULL THEN
+         CASE WHEN cause_str THEN 'cexc' || (e % 6) ELSE '' END END
+         AS xr_status_msg,
+       resattrs AS xr_resource_attrs,
+       coalesce(array_to_string(list_sort(list_filter([
+         CASE WHEN e % 11 = 0 THEN 'aws.xray.inprogress=true' END,
+         CASE WHEN e % 13 = 0 THEN 'aws.xray.traced=true' END,
+         CASE WHEN u % 2 = 0 THEN 'enduser.id=usr' || (u % 5) END,
+         CASE WHEN has_http THEN 'http.method=GET' END,
+         CASE WHEN has_http THEN 'http.url=http://s/' || (e % 5) END,
+         CASE WHEN has_http THEN 'http.user_agent=ua' || (u % 3) END,
+         CASE WHEN e % 6 = 0 THEN 'http.client_ip=10.1.2.3' END,
+         CASE WHEN e % 9 = 0 THEN 'aws.xray.x_forwarded_for=true' END,
+         CASE WHEN has_http THEN 'http.status_code=' || hst END,
+         CASE WHEN has_http THEN 'http.response_content_length='
+              || CASE WHEN e % 2 = 0 THEN CAST(e % 1000 AS VARCHAR)
+                      ELSE 'len' || (e % 7) END END,
+         CASE WHEN u % 4 <> 3 THEN 'aws.account_id=a' || (u % 6) END,
+         CASE WHEN u % 4 <> 3 THEN 'aws.operation=Op' || (e % 4) END,
+         CASE WHEN u % 4 <> 3 THEN 'aws.region=r' || (u % 3) END,
+         CASE WHEN u % 4 <> 3 THEN 'aws.request_id=q' || (e % 8) END,
+         CASE WHEN u % 4 = 1 THEN 'aws.xray.retries=' || (e % 3) END,
+         CASE WHEN u % 9 = 0
+              THEN 'db.connection_string=db://h' || (u % 3) END,
+         CASE WHEN u % 9 = 0 THEN 'db.name=d' || (u % 5) END,
+         CASE WHEN u % 9 = 0 THEN 'db.system=mysql' END,
+         CASE WHEN u % 9 = 0 THEN 'db.statement=SELECT ' || (e % 3) END,
+         CASE WHEN u % 9 = 0 THEN 'db.user=du' || (u % 2) END,
+         CASE WHEN e % 2 = 0 THEN 'an_s=v' || (e % 9) END,
+         CASE WHEN e % 2 = 0 THEN 'an_n=' || (e % 7) END,
+         CASE WHEN e % 2 = 0 THEN 'an_f=0.5' END,
+         CASE WHEN e % 2 = 0 THEN 'an_b='
+              || CASE WHEN u % 2 = 0 THEN 'true' ELSE 'false' END END,
+         CASE WHEN e % 2 = 0
+              THEN 'aws.xray.annotations=["an_b","an_f","an_n","an_s"]' END,
+         CASE WHEN e % 3 = 0 THEN 'aws.xray.metadata.md={"a":"m'
+              || (u % 2) || '","z":' || (e % 5) || '}' END
+       ], x -> x IS NOT NULL)), ','), '') AS xr_attrs,
+       CASE WHEN cause_obj THEN 'exception|' || array_to_string(list_sort(
+         list_filter([
+           'aws.xray.exception.id=ex' || (e % 5),
+           'exception.message=bm' || (e % 3),
+           'exception.type=T' || (e % 2),
+           CASE WHEN u % 2 = 0 THEN 'aws.xray.exception.remote=true' END,
+           CASE WHEN e % 8 = 0 THEN 'exception.stacktrace=T' || (e % 2)
+                || ': bm' || (e % 3) || chr(10) || chr(9) || 'at fn(p.go: '
+                || (e % 90) || ')' || chr(10) END
+         ], x -> x IS NOT NULL)), ',')
+         ELSE '' END AS xr_events,
+       TRUE AS xr_ok
+FROM res
+UNION ALL
+SELECT event_id, 1, tid, sub_id, sid,
+       'sub' || (e % 3),
+       CASE WHEN e % 4 = 0 OR e % 4 = 2 THEN 'client'
+            ELSE 'internal' END,
+       CAST((1600000000 + e + 0.25) * 1e9 AS BIGINT), NULL,
+       NULL, NULL, resattrs,
+       CASE WHEN e % 4 = 0 THEN 'aws.service=sub' || (e % 3) ELSE '' END,
+       '', TRUE
+FROM res WHERE e % 2 = 0
+UNION ALL
+SELECT event_id, 2,
+       CASE WHEN e % 8 = 0
+            THEN lpad(lower(to_hex(u + 9)), 8, '0')
+              || lpad(lower(to_hex(e + 2)), 24, '0')
+            ELSE tid END,
+       leaf_id, sub_id, 'leaf', 'internal',
+       CAST((1600000000 + e + 0.875) * 1e9 AS BIGINT), NULL,
+       NULL, NULL, resattrs, '', '', TRUE
+FROM res WHERE e % 4 = 0
+"""
+
+
+EXT13_QUERIES["xray_spans"] = q_xray
+EXT13_ORACLES["xray_spans"] = O_XRAY
