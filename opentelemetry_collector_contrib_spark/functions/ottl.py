@@ -622,7 +622,9 @@ def _fnv64():
                     h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
                 return h - (1 << 64) if h >= (1 << 63) else h
 
-            return s.map(one)
+            # dtype=object: .map() would coerce int64+None batches to
+            # float64, silently rounding hashes (52-bit mantissa)
+            return pd.Series([one(x) for x in s], dtype="object")
 
         _fnv64_cache = fnv
     return _fnv64_cache
