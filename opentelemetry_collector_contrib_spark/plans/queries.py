@@ -667,3 +667,8 @@ from .queries_ext14 import EXT14_ORACLES, EXT14_QUERIES  # noqa: E402
 
 QUERIES.update(EXT14_QUERIES)
 ORACLES.update(EXT14_ORACLES)
+
+from .queries_ext15 import EXT15_ORACLES, EXT15_QUERIES  # noqa: E402
+
+QUERIES.update(EXT15_QUERIES)
+ORACLES.update(EXT15_ORACLES)
