@@ -184,3 +184,196 @@ WHERE bad_times OR (bad_job AND nsteps >= 1)
 
 EXT15_QUERIES["gitlab_pipeline_spans"] = q_gitlab_spans
 EXT15_ORACLES["gitlab_pipeline_spans"] = O_GITLAB_SPANS
+
+
+# ---------------------------------------------------------------------------
+# k8sevents: corev1 Event JSON -> log rows (with the allowEvent filter)
+# ---------------------------------------------------------------------------
+
+
+def q_k8s_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.k8sevents import k8s_events_to_logs
+
+    ev = load(spark, sf_dir, "events")
+    e, u, et = F.col("event_id"), F.col("user_id"), F.col("event_type")
+    t0 = F.lit(1714978800) + e % 997
+    rfc = lambda s: F.date_format(  # noqa: E731
+        F.timestamp_seconds(s), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    )
+    micro = F.date_format(
+        F.timestamp_micros(t0 * 1000000 + e % 1000000),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
+    )
+    typ = F.when(e % 7 == 0, "Error").when(e % 2 == 0, "Normal") \
+        .otherwise(F.lit("Warning"))
+    body = F.to_json(
+        F.struct(
+            F.struct(
+                F.concat(et, F.lit("."), e.cast("string")).alias("name"),
+                F.concat(F.lit("uid-"), e.cast("string")).alias("uid"),
+                rfc(t0 - 60).alias("creationTimestamp"),
+            ).alias("metadata"),
+            F.struct(
+                F.try_element_at(
+                    F.array(F.lit("Pod"), F.lit("Node"),
+                            F.lit("Deployment")),
+                    (e % 3 + 1).cast("int"),
+                ).alias("kind"),
+                F.concat(F.lit("obj-"), (u % 50).cast("string"))
+                .alias("name"),
+                F.when(e % 11 != 0,
+                       F.concat(F.lit("ou-"), e.cast("string")))
+                .alias("uid"),
+                F.lit("spec.containers{app}").alias("fieldPath"),
+                F.lit("v1").alias("apiVersion"),
+                (e % 100).cast("string").alias("resourceVersion"),
+                F.concat(F.lit("ns-"), (u % 5).cast("string"))
+                .alias("namespace"),
+            ).alias("involvedObject"),
+            F.struct(
+                F.concat(F.lit("node-"), (u % 8).cast("string"))
+                .alias("host")
+            ).alias("source"),
+            typ.alias("type"),
+            F.concat(F.lit("Reason"), (e % 4).cast("string"))
+            .alias("reason"),
+            F.when(e % 5 != 0, F.lit("Pulling")).alias("action"),
+            F.concat(F.lit("msg-"), et).alias("message"),
+            (e % 5).cast("int").alias("count"),
+            F.when(e % 4 != 0, micro).alias("eventTime"),
+            F.when(e % 3 != 0, rfc(t0 + 30)).alias("lastTimestamp"),
+            rfc(t0 - 5).alias("firstTimestamp"),
+        )
+    )
+    out = k8s_events_to_logs(
+        ev.select("event_id", body.alias("body")),
+        start_ts=1714978800 + 500,
+    )
+    return out
+
+
+O_K8S_EVENTS = """
+WITH a AS (
+  SELECT event_id, user_id, event_type,
+         1714978800 + event_id % 997 AS t0,
+         event_id % 4 <> 0 AS has_evt,
+         event_id % 3 <> 0 AS has_last
+  FROM events
+), b AS (
+  SELECT *,
+         CASE WHEN has_evt
+              THEN (t0 * 1000000 + event_id % 1000000) * 1000
+              WHEN has_last THEN (t0 + 30) * CAST(1000000000 AS BIGINT)
+              ELSE (t0 - 5) * CAST(1000000000 AS BIGINT)
+         END AS ts_ns
+  FROM a
+)
+SELECT event_id,
+  ts_ns AS ke_ts_ns,
+  'msg-' || event_type AS ke_body,
+  CASE WHEN event_id % 7 = 0 THEN 0
+       WHEN event_id % 2 = 0 THEN 9 ELSE 13 END AS ke_sev_num,
+  CASE WHEN event_id % 7 = 0 THEN NULL
+       WHEN event_id % 2 = 0 THEN 'Normal' ELSE 'Warning' END
+    AS ke_sev_text,
+  'node-' || CAST(user_id % 8 AS VARCHAR) AS ke_node,
+  CASE event_id % 3 WHEN 0 THEN 'Pod' WHEN 1 THEN 'Node'
+       ELSE 'Deployment' END AS ke_object_kind,
+  'obj-' || CAST(user_id % 50 AS VARCHAR) AS ke_object_name,
+  CASE WHEN event_id % 11 <> 0 THEN 'ou-' || CAST(event_id AS VARCHAR)
+       ELSE '' END AS ke_object_uid,
+  'spec.containers{app}' AS ke_object_fieldpath,
+  'v1' AS ke_object_api_version,
+  CAST(event_id % 100 AS VARCHAR) AS ke_object_resource_version,
+  'Reason' || CAST(event_id % 4 AS VARCHAR) AS ke_reason,
+  CASE WHEN event_id % 5 <> 0 THEN 'Pulling' ELSE '' END AS ke_action,
+  strftime(make_timestamp((t0 - 60) * 1000000), '%Y-%m-%d %H:%M:%S')
+    || ' +0000 UTC' AS ke_start_time,
+  event_type || '.' || CAST(event_id AS VARCHAR) AS ke_name,
+  'uid-' || CAST(event_id AS VARCHAR) AS ke_uid,
+  'ns-' || CAST(user_id % 5 AS VARCHAR) AS ke_namespace,
+  CASE WHEN event_id % 5 <> 0 THEN CAST(event_id % 5 AS BIGINT) END
+    AS ke_count
+FROM b
+WHERE ts_ns >= (1714978800 + 500) * CAST(1000000000 AS BIGINT)
+"""
+
+
+EXT15_QUERIES["k8s_events"] = q_k8s_events
+EXT15_ORACLES["k8s_events"] = O_K8S_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# k8sobjects: watch-event JSON -> log rows (sorted-key variant body)
+# ---------------------------------------------------------------------------
+
+
+def q_k8s_objects_watch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.k8sobjects import k8s_objects_to_logs
+
+    ev = load(spark, sf_dir, "events")
+    e, u = F.col("event_id"), F.col("user_id")
+    name = F.when(e % 9 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("web-"), (e % 100).cast("string")))
+    # alphabetical struct order so the input already renders in the
+    # sorted form the variant re-render produces
+    body = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit("v1").alias("apiVersion"),
+                F.try_element_at(
+                    F.array(F.lit("Pod"), F.lit("Service")),
+                    (e % 2 + 1).cast("int"),
+                ).alias("kind"),
+                F.struct(
+                    name.alias("name"),
+                    F.when(e % 6 != 0,
+                           F.concat(F.lit("ns-"), (u % 5).cast("string")))
+                    .alias("namespace"),
+                ).alias("metadata"),
+                F.struct((e % 12).alias("replicas")).alias("spec"),
+            ).alias("object"),
+            F.try_element_at(
+                F.array(F.lit("ADDED"), F.lit("MODIFIED"),
+                        F.lit("DELETED")),
+                (e % 3 + 1).cast("int"),
+            ).alias("type"),
+        )
+    )
+    return k8s_objects_to_logs(
+        ev.select("event_id", body.alias("body")),
+        mode="watch", resource="pods", observed_ts=1714978800,
+    )
+
+
+O_K8S_OBJECTS_WATCH = """
+WITH a AS (
+  SELECT event_id,
+         CASE WHEN event_id % 9 = 0 THEN ''
+              ELSE 'web-' || CAST(event_id % 100 AS VARCHAR) END AS nm,
+         CASE WHEN event_id % 6 <> 0
+              THEN 'ns-' || CAST(user_id % 5 AS VARCHAR) END AS ns,
+         CASE event_id % 2 WHEN 0 THEN 'Pod' ELSE 'Service' END AS kind,
+         CASE event_id % 3 WHEN 0 THEN 'ADDED' WHEN 1 THEN 'MODIFIED'
+              ELSE 'DELETED' END AS typ,
+         event_id % 12 AS repl
+  FROM events
+)
+SELECT event_id,
+  coalesce(ns, '') AS ko_namespace,
+  1714978800 * CAST(1000000000 AS BIGINT) AS ko_observed_ns,
+  'pods' AS ko_resource,
+  CASE WHEN nm <> '' THEN 'k8s' END AS ko_event_domain,
+  CASE WHEN nm <> '' THEN nm END AS ko_event_name,
+  '{"object":{"apiVersion":"v1","kind":"' || kind
+    || '","metadata":{"name":"' || nm || '"'
+    || CASE WHEN ns IS NOT NULL THEN ',"namespace":"' || ns || '"'
+       ELSE '' END
+    || '},"spec":{"replicas":' || CAST(repl AS VARCHAR)
+    || '}},"type":"' || typ || '"}' AS ko_body
+FROM a
+"""
+
+
+EXT15_QUERIES["k8s_objects_watch"] = q_k8s_objects_watch
+EXT15_ORACLES["k8s_objects_watch"] = O_K8S_OBJECTS_WATCH
