@@ -377,3 +377,134 @@ FROM a
 
 EXT15_QUERIES["k8s_objects_watch"] = q_k8s_objects_watch
 EXT15_ORACLES["k8s_objects_watch"] = O_K8S_OBJECTS_WATCH
+
+
+# ---------------------------------------------------------------------------
+# fluentforward: msgpack Forward events (all three modes) -> log rows
+# ---------------------------------------------------------------------------
+
+
+def _ff_fixture_record(e: int, u: int, i: int) -> dict:
+    rec = {
+        "message": f"m-{e}-{i}",
+        "level": "info" if (e + i) % 2 == 0 else "warn",
+        "pid": (e * 7 + i) % 32768,
+        "ok": (e + i) % 3 == 0,
+        "svc": f"svc-{u % 5}".encode(),
+    }
+    if (e + i) % 4 == 0:
+        rec["extra"] = {"a": (e + i) % 7, "b": "x"}
+    return rec
+
+
+def _ff_fixture_event(e: int, u: int) -> bytes:
+    """One deterministic Forward-protocol event per events row."""
+    import gzip as _gzip
+
+    from ..operators.fluentforward import EventTime, msgpack_encode
+
+    t0 = 1714978800 + e % 997
+    tag = f"app.{e % 10}"
+    chunk = {"chunk": f"c{e}"} if e % 4 == 0 else {}
+    mode = e % 3
+    if mode == 0:  # message
+        tv = t0 if e % 2 == 0 else EventTime(t0, (e % 1000) * 1000)
+        ev = [tag, tv, _ff_fixture_record(e, u, 0)]
+        if chunk:
+            ev.append(chunk)
+    elif mode == 1:  # forward
+        n = (e % 7) % 3 + 1
+        ents = []
+        for i in range(n):
+            tv = (t0 + i if (e + i) % 2 == 0
+                  else EventTime(t0 + i, ((e + i) % 1000) * 1000))
+            ents.append([tv, _ff_fixture_record(e, u, i)])
+        ev = [tag, ents]
+        if chunk:
+            ev.append(chunk)
+    else:  # packedforward
+        n = (e % 5) % 3 + 1
+        raw = b"".join(
+            msgpack_encode([t0 + i, _ff_fixture_record(e, u, i)])
+            for i in range(n))
+        opts = dict(chunk)
+        if e % 2 == 0:
+            opts["compressed"] = "gzip"
+            raw = _gzip.compress(raw, mtime=0)
+        ev = [tag, raw] + ([opts] if opts else [])
+    return msgpack_encode(ev)
+
+
+def q_fluentforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.fluentforward import fluent_forward_to_logs
+
+    @pandas_udf("binary")
+    def encode(e, u):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series(
+            [_ff_fixture_event(int(a), int(b)) for a, b in zip(e, u)])
+
+    ev = load(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id", encode(F.col("event_id"), F.col("user_id"))
+        .alias("msg"))
+    return fluent_forward_to_logs(df)
+
+
+O_FLUENTFORWARD = """
+WITH a AS (
+  SELECT event_id AS e, user_id AS u,
+         1714978800 + event_id % 997 AS t0,
+         event_id % 3 AS mode,
+         CASE event_id % 3
+              WHEN 0 THEN 1
+              WHEN 1 THEN (event_id % 7) % 3 + 1
+              ELSE (event_id % 5) % 3 + 1 END AS n
+  FROM events
+), r AS (
+  SELECT a.*, i,
+         (e + i) % 4 = 0 AS has_extra,
+         CASE WHEN (e + i) % 2 = 0 THEN 'info' ELSE 'warn' END AS lvl,
+         (e * 7 + i) % 32768 AS pid,
+         (e + i) % 3 = 0 AS ok
+  FROM a, UNNEST([0, 1, 2]) AS t(i)
+  WHERE i < n
+)
+SELECT e AS event_id,
+  true AS ff_ok,
+  CASE mode WHEN 0 THEN 'message' WHEN 1 THEN 'forward'
+       ELSE 'packedforward' END AS ff_mode,
+  'app.' || CAST(e % 10 AS VARCHAR) AS ff_tag,
+  CAST(i AS INT) AS ff_idx,
+  CASE
+    WHEN mode = 0 AND e % 2 = 0
+      THEN t0 * CAST(1000000000 AS BIGINT)
+    WHEN mode = 0
+      THEN t0 * CAST(1000000000 AS BIGINT) + (e % 1000) * 1000
+    WHEN mode = 1 AND (e + i) % 2 = 0
+      THEN (t0 + i) * CAST(1000000000 AS BIGINT)
+    WHEN mode = 1
+      THEN (t0 + i) * CAST(1000000000 AS BIGINT) + ((e + i) % 1000) * 1000
+    ELSE (t0 + i) * CAST(1000000000 AS BIGINT)
+  END AS ff_ts_ns,
+  '"m-' || CAST(e AS VARCHAR) || '-' || CAST(i AS VARCHAR) || '"'
+    AS ff_body,
+  '{' || CASE WHEN has_extra
+          THEN '"extra":{"a":' || CAST((e + i) % 7 AS VARCHAR)
+               || ',"b":"x"},'
+          ELSE '' END
+      || '"fluent.tag":"app.' || CAST(e % 10 AS VARCHAR)
+      || '","level":"' || lvl
+      || '","ok":' || CASE WHEN ok THEN 'true' ELSE 'false' END
+      || ',"pid":' || CAST(pid AS VARCHAR)
+      || ',"svc":"svc-' || CAST(u % 5 AS VARCHAR) || '"}' AS ff_attrs,
+  CASE WHEN e % 4 = 0 THEN 'c' || CAST(e AS VARCHAR) END AS ff_chunk
+FROM r
+"""
+
+
+EXT15_QUERIES["fluentforward_logs"] = q_fluentforward
+EXT15_ORACLES["fluentforward_logs"] = O_FLUENTFORWARD
