@@ -508,3 +508,282 @@ FROM r
 
 EXT15_QUERIES["fluentforward_logs"] = q_fluentforward
 EXT15_ORACLES["fluentforward_logs"] = O_FLUENTFORWARD
+
+
+# ---------------------------------------------------------------------------
+# mongodbatlas: JSON host logs, 4.2 console logs, audit logs
+# ---------------------------------------------------------------------------
+
+_MA_SEVS = ("F", "E", "W", "I", "D", "D1", "D2", "D3", "D4", "Q")
+
+
+def _ma_ts_parts(e):  # noqa: ANN001 - Column helpers
+    """(wall seconds, offset minutes, offset suffix with colon)."""
+    t0 = F.lit(1714978800) + e % 997
+    off = F.when(e % 3 == 1, 120).when(e % 3 == 2, -330).otherwise(0)
+    suff = F.when(e % 3 == 1, "+02:00").when(e % 3 == 2, "-05:30") \
+        .otherwise(F.lit("+00:00"))
+    return t0, off, suff
+
+
+def q_mongodb_atlas_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mongodbatlas import mongodb_atlas_logs
+
+    ev = load(spark, sf_dir, "events")
+    e, u, et = F.col("event_id"), F.col("user_id"), F.col("event_type")
+    t0, _off, suff = _ma_ts_parts(e)
+    wall = F.concat(
+        F.date_format(F.timestamp_millis(t0 * 1000 + e % 1000),
+                      "yyyy-MM-dd'T'HH:mm:ss.SSS"), suff)
+    sev = F.try_element_at(F.array(*map(F.lit, _MA_SEVS)),
+                           (e % 10 + 1).cast("int"))
+    good = F.to_json(
+        F.struct(
+            F.struct(wall.alias("$date")).alias("t"),
+            sev.alias("s"),
+            F.try_element_at(
+                F.array(F.lit("NETWORK"), F.lit("ACCESS"),
+                        F.lit("STORAGE")),
+                (e % 3 + 1).cast("int"),
+            ).alias("c"),
+            (F.lit(20000) + e % 100).alias("id"),
+            F.concat(F.lit("conn"), (e % 50).cast("string")).alias("ctx"),
+            F.concat(F.lit("msg "), et).alias("msg"),
+            F.when(
+                e % 4 != 0,
+                F.struct((e % 9).alias("a"),
+                         F.concat(F.lit("s-"), (u % 5).cast("string"))
+                         .alias("b")),
+            ).alias("attr"),
+        )
+    )
+    line = F.when(e % 13 == 0,
+                  F.concat(F.lit("RAW "), e.cast("string"))).otherwise(good)
+    return mongodb_atlas_logs(
+        ev.select("event_id", line.alias("line")),
+        version="4.4", log_name="mongodb.gz",
+    )
+
+
+O_MA_LOGS = """
+WITH a AS (
+  SELECT event_id AS e, user_id AS u, event_type AS et,
+         1714978800 + event_id % 997 AS t0,
+         CASE event_id % 3 WHEN 1 THEN 120 WHEN 2 THEN -330
+              ELSE 0 END AS off,
+         CASE event_id % 3 WHEN 1 THEN '+02:00' WHEN 2 THEN '-05:30'
+              ELSE '+00:00' END AS suff,
+         CASE event_id % 10
+              WHEN 0 THEN 'F' WHEN 1 THEN 'E' WHEN 2 THEN 'W'
+              WHEN 3 THEN 'I' WHEN 4 THEN 'D' WHEN 5 THEN 'D1'
+              WHEN 6 THEN 'D2' WHEN 7 THEN 'D3' WHEN 8 THEN 'D4'
+              ELSE 'Q' END AS sev,
+         CASE event_id % 3 WHEN 0 THEN 'NETWORK' WHEN 1 THEN 'ACCESS'
+              ELSE 'STORAGE' END AS comp,
+         event_id % 4 <> 0 AS has_attr
+  FROM events
+  WHERE event_id % 13 <> 0
+), b AS (
+  SELECT *,
+         strftime(make_timestamp(t0 * 1000000 + (e % 1000) * 1000),
+                  '%Y-%m-%dT%H:%M:%S.%g') || suff AS wall,
+         '{"a":' || CAST(e % 9 AS VARCHAR) || ',"b":"s-'
+           || CAST(u % 5 AS VARCHAR) || '"}' AS attr_json
+  FROM a
+)
+SELECT e AS event_id,
+  (t0 - off * 60) * CAST(1000000000 AS BIGINT)
+    + (e % 1000) * 1000000 AS ma_ts_ns,
+  '{"t":{"$date":"' || wall || '"},"s":"' || sev || '","c":"' || comp
+    || '","id":' || CAST(20000 + e % 100 AS VARCHAR)
+    || ',"ctx":"conn' || CAST(e % 50 AS VARCHAR)
+    || '","msg":"msg ' || et || '"'
+    || CASE WHEN has_attr THEN ',"attr":' || attr_json ELSE '' END
+    || '}' AS ma_body,
+  CASE sev WHEN 'F' THEN 21 WHEN 'E' THEN 17 WHEN 'W' THEN 13
+       WHEN 'I' THEN 9 WHEN 'D' THEN 5 WHEN 'D1' THEN 5
+       WHEN 'D2' THEN 6 WHEN 'D3' THEN 7 WHEN 'D4' THEN 8
+       ELSE 0 END AS ma_sev_num,
+  CASE WHEN sev <> 'Q' THEN sev END AS ma_sev_text,
+  'msg ' || et AS ma_message,
+  comp AS ma_component,
+  'conn' || CAST(e % 50 AS VARCHAR) AS ma_context,
+  CAST(20000 + e % 100 AS BIGINT) AS ma_id,
+  CASE WHEN has_attr THEN attr_json END AS ma_attr,
+  'mongodb.gz' AS ma_log_name
+FROM b
+"""
+
+
+EXT15_QUERIES["mongodb_atlas_logs"] = q_mongodb_atlas_logs
+EXT15_ORACLES["mongodb_atlas_logs"] = O_MA_LOGS
+
+
+def q_mongodb_atlas_console(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mongodbatlas import mongodb_atlas_logs
+
+    ev = load(spark, sf_dir, "events")
+    e, et = F.col("event_id"), F.col("event_type")
+    t0 = F.lit(1714978800) + e % 997
+    sev = F.try_element_at(F.array(*map(F.lit, _MA_SEVS)),
+                           (e % 10 + 1).cast("int"))
+    line = F.when(e % 13 == 0, F.concat(F.lit("no brackets "),
+                                        e.cast("string"))).otherwise(
+        F.concat(
+            F.date_format(F.timestamp_millis(t0 * 1000 + e % 1000),
+                          "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+            F.lit("+0000 "), sev, F.lit(" NETWORK  [conn"),
+            (e % 50).cast("string"), F.lit("] end connection for "), et,
+        ))
+    out = mongodb_atlas_logs(
+        ev.select("event_id", line.alias("line")),
+        version="4.2", log_name="console.gz",
+    )
+    return out.drop("ma_id", "ma_attr")
+
+
+O_MA_CONSOLE = """
+WITH a AS (
+  SELECT event_id AS e, event_type AS et,
+         1714978800 + event_id % 997 AS t0,
+         CASE event_id % 10
+              WHEN 0 THEN 'F' WHEN 1 THEN 'E' WHEN 2 THEN 'W'
+              WHEN 3 THEN 'I' WHEN 4 THEN 'D' WHEN 5 THEN 'D1'
+              WHEN 6 THEN 'D2' WHEN 7 THEN 'D3' WHEN 8 THEN 'D4'
+              ELSE 'Q' END AS sev
+  FROM events
+  WHERE event_id % 13 <> 0
+)
+SELECT e AS event_id,
+  t0 * CAST(1000000000 AS BIGINT) + (e % 1000) * 1000000 AS ma_ts_ns,
+  strftime(make_timestamp(t0 * 1000000 + (e % 1000) * 1000),
+           '%Y-%m-%dT%H:%M:%S.%g') || '+0000 ' || sev
+    || ' NETWORK  [conn' || CAST(e % 50 AS VARCHAR)
+    || '] end connection for ' || et AS ma_body,
+  CASE sev WHEN 'F' THEN 21 WHEN 'E' THEN 17 WHEN 'W' THEN 13
+       WHEN 'I' THEN 9 WHEN 'D' THEN 5 WHEN 'D1' THEN 5
+       WHEN 'D2' THEN 6 WHEN 'D3' THEN 7 WHEN 'D4' THEN 8
+       ELSE 0 END AS ma_sev_num,
+  CASE WHEN sev <> 'Q' THEN sev END AS ma_sev_text,
+  'end connection for ' || et AS ma_message,
+  'NETWORK' AS ma_component,
+  'conn' || CAST(e % 50 AS VARCHAR) AS ma_context,
+  'console.gz' AS ma_log_name
+FROM a
+"""
+
+
+EXT15_QUERIES["mongodb_atlas_console"] = q_mongodb_atlas_console
+EXT15_ORACLES["mongodb_atlas_console"] = O_MA_CONSOLE
+
+
+def q_mongodb_atlas_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mongodbatlas import mongodb_atlas_audit_logs
+
+    ev = load(spark, sf_dir, "events")
+    e, u = F.col("event_id"), F.col("user_id")
+    t0 = F.lit(1714978800) + e % 997
+    wall = F.concat(
+        F.date_format(F.timestamp_millis(t0 * 1000),
+                      "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("+00:00"))
+    usr = lambda i: F.struct(  # noqa: E731
+        F.concat(F.lit("user"), ((u + i) % 9).cast("string"))
+        .alias("user"),
+        F.concat(F.lit("db"), ((e + i) % 4).cast("string")).alias("db"),
+    )
+    rol = lambda i: F.struct(  # noqa: E731
+        F.concat(F.lit("role"), ((e + i) % 6).cast("string"))
+        .alias("role"),
+        F.concat(F.lit("db"), ((u + i) % 4).cast("string")).alias("db"),
+    )
+    line = F.to_json(
+        F.struct(
+            F.try_element_at(
+                F.array(F.lit("authenticate"), F.lit("createCollection"),
+                        F.lit("dropDatabase")),
+                (e % 3 + 1).cast("int"),
+            ).alias("atype"),
+            F.struct(wall.alias("$date")).alias("ts"),
+            F.when(
+                e % 4 != 0,
+                F.struct(
+                    F.lower(F.hex(e * 31)).alias("$binary"),
+                    F.lit("04").alias("$type"),
+                ),
+            ).alias("uuid"),
+            F.struct(
+                F.when(e % 2 == 0, F.concat(
+                    F.lit("10.0.0."), (e % 250).cast("string")))
+                .alias("ip"),
+                F.when(e % 2 == 0, F.lit(27017)).alias("port"),
+                F.when(e % 2 != 0, e % 3 == 0).alias("isSystemUser"),
+                F.when(e % 2 != 0, F.lit("/tmp/mongodb.sock"))
+                .alias("unix"),
+            ).alias("local"),
+            F.struct(
+                F.concat(F.lit("192.168.1."), (u % 200).cast("string"))
+                .alias("ip"),
+                (F.lit(40000) + e % 10000).alias("port"),
+            ).alias("remote"),
+            F.slice(F.array(usr(0), usr(1)), 1, (e % 3).cast("int"))
+            .alias("users"),
+            F.slice(F.array(rol(0)), 1, (e % 2).cast("int"))
+            .alias("roles"),
+            (e % 7).alias("result"),
+            F.when(
+                e % 5 != 0,
+                F.struct(F.concat(F.lit("d"), (e % 4).cast("string"))
+                         .alias("db")),
+            ).alias("param"),
+        )
+    )
+    out = mongodb_atlas_audit_logs(
+        ev.select("event_id", line.alias("line")), log_name="audit.gz")
+    return out.drop("ma_body")
+
+
+O_MA_AUDIT = """
+WITH a AS (
+  SELECT event_id AS e, user_id AS u,
+         1714978800 + event_id % 997 AS t0
+  FROM events
+)
+SELECT e AS event_id,
+  t0 * CAST(1000000000 AS BIGINT) AS ma_ts_ns,
+  9 AS ma_sev_num, 'INFO' AS ma_sev_text,
+  CASE e % 3 WHEN 0 THEN 'authenticate' WHEN 1 THEN 'createCollection'
+       ELSE 'dropDatabase' END AS ma_atype,
+  CASE WHEN e % 2 = 0 THEN '10.0.0.' || CAST(e % 250 AS VARCHAR) END
+    AS ma_local_ip,
+  CASE WHEN e % 2 = 0 THEN CAST(27017 AS BIGINT) END AS ma_local_port,
+  CASE WHEN e % 2 <> 0 THEN e % 3 = 0 END AS ma_local_is_system_user,
+  CASE WHEN e % 2 <> 0 THEN '/tmp/mongodb.sock' END AS ma_local_unix,
+  '192.168.1.' || CAST(u % 200 AS VARCHAR) AS ma_remote_ip,
+  CAST(40000 + e % 10000 AS BIGINT) AS ma_remote_port,
+  CAST(NULL AS BOOLEAN) AS ma_remote_is_system_user,
+  CAST(NULL AS VARCHAR) AS ma_remote_unix,
+  CASE WHEN e % 4 <> 0 THEN lower(to_hex(e * 31)) END AS ma_uuid_binary,
+  CASE WHEN e % 4 <> 0 THEN '04' END AS ma_uuid_type,
+  CAST(e % 7 AS BIGINT) AS ma_result,
+  CASE WHEN e % 5 <> 0
+       THEN '{"db":"d' || CAST(e % 4 AS VARCHAR) || '"}' END AS ma_param,
+  CASE CAST(e % 3 AS INT)
+    WHEN 0 THEN '[]'
+    WHEN 1 THEN '[{"user":"user' || CAST(u % 9 AS VARCHAR)
+      || '","db":"db' || CAST(e % 4 AS VARCHAR) || '"}]'
+    ELSE '[{"user":"user' || CAST(u % 9 AS VARCHAR)
+      || '","db":"db' || CAST(e % 4 AS VARCHAR)
+      || '"},{"user":"user' || CAST((u + 1) % 9 AS VARCHAR)
+      || '","db":"db' || CAST((e + 1) % 4 AS VARCHAR) || '"}]'
+  END AS ma_users,
+  CASE WHEN e % 2 = 1
+       THEN '[{"role":"role' || CAST(e % 6 AS VARCHAR)
+         || '","db":"db' || CAST(u % 4 AS VARCHAR) || '"}]'
+       ELSE '[]' END AS ma_roles,
+  'audit.gz' AS ma_log_name
+FROM a
+"""
+
+
+EXT15_QUERIES["mongodb_atlas_audit"] = q_mongodb_atlas_audit
+EXT15_ORACLES["mongodb_atlas_audit"] = O_MA_AUDIT
