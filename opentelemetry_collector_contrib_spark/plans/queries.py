@@ -672,3 +672,8 @@ from .queries_ext15 import EXT15_ORACLES, EXT15_QUERIES  # noqa: E402
 
 QUERIES.update(EXT15_QUERIES)
 ORACLES.update(EXT15_ORACLES)
+
+from .queries_ext16 import EXT16_ORACLES, EXT16_QUERIES  # noqa: E402
+
+QUERIES.update(EXT16_QUERIES)
+ORACLES.update(EXT16_ORACLES)

@@ -1,0 +1,235 @@
+"""Round-5 queries (cont.): Windows Event Log XML translation.
+
+The fixture builds one rendered-XML event per events row, exercising
+every ``formattedBody`` branch arithmetically so the DuckDB oracle can
+replay it: qualifiers present/absent, rendered-vs-raw
+level/task/opcode/keywords folds, the full parseSeverity ladder
+(rendered Critical/Error/Warning/Information/other × raw "0"-"5"),
+nanosecond / sub-micro / whole-second SystemTime plus an invalid-time
+row (deterministic null instead of the reference's ``time.Now()``),
+Security-channel messages through the tab-indented security.go grammar
+(subject + nested details JSON), ordered EventData maps, optional
+Security/Execution info, and a malformed-XML dead-letter row.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import QueryFn, load
+
+EXT16_QUERIES: dict[str, QueryFn] = {}
+EXT16_ORACLES: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# windows event log XML -> flattened log rows
+# ---------------------------------------------------------------------------
+
+
+def q_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows_events import windows_event_parse
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    chan = F.element_at(
+        F.array(F.lit("Security"), F.lit("Application"), F.lit("System")),
+        (u % 3 + 1).cast("int"),
+    )
+    frac = F.element_at(
+        F.array(F.lit(""), F.lit(".37786"), F.lit(".3778625")),
+        (e % 3 + 1).cast("int"),
+    )
+    sys_time = F.when(e % 19 == 0, F.lit("nota time")).otherwise(
+        F.concat(F.lit("2022-04-22T10:20:"),
+                 F.lpad(s(e % 60), 2, "0"), frac, F.lit("Z"))
+    )
+    rl = F.element_at(
+        F.array(F.lit("Information"), F.lit("Error"), F.lit("Warning"),
+                F.lit("Critical"), F.lit("Unknown")),
+        (e % 5 + 1).cast("int"),
+    )
+    sec_msg = F.concat(
+        F.lit("An account was successfully logged on.\n\nSubject:\n"
+              "\tSecurity ID:\t\tS-1-5-"), s(u % 10),
+        F.lit("\n\tAccount Name:\t\tacct"), s(e % 7),
+        F.lit("\n\tLogon ID:\t\t0x"), s(e % 13),
+        F.lit("\n\nLogon Information:\n\tLogon Type:\t"), s(e % 5),
+        F.lit("\n\tRestricted Admin Mode:\t-\n\tVirtual Account:\t\tNo"
+              "\n\nProcess Information:\n\tProcess ID:\t\t0x"), s(e % 11),
+        F.lit("\n\tProcess Name:\t\tC:/Windows/proc"), s(u % 8),
+        F.lit(".exe\n\nThis event is generated when a logon session"
+              " is created."),
+    )
+    rmsg = F.when(chan == "Security", sec_msg).otherwise(
+        F.concat(F.lit("msg"), s(e % 9))
+    )
+    rendering = F.when(e % 4 == 0, F.concat(
+        F.lit('<RenderingInfo Culture="en-US"><Message>'), rmsg,
+        F.lit("</Message><Level>"), rl, F.lit("</Level>"),
+        F.when(e % 8 == 0,
+               F.concat(F.lit("<Task>RT"), s(e % 3), F.lit("</Task>"))
+               ).otherwise(F.lit("")),
+        F.when(e % 16 == 0, F.lit("<Opcode>RO</Opcode>")
+               ).otherwise(F.lit("")),
+        F.lit("<Keywords><Keyword>KA"), s(e % 3),
+        F.lit("</Keyword><Keyword>KB</Keyword></Keywords></RenderingInfo>"),
+    )).otherwise(F.lit(""))
+    security_el = F.when(
+        (chan == "Security") & (u % 5 > 0),
+        F.concat(F.lit('<Security UserID="S-1-5-'), s(u % 10), F.lit('"/>')),
+    ).otherwise(F.lit("<Security/>"))
+    execution_el = F.when(e % 2 == 1, F.concat(
+        F.lit('<Execution ProcessID="'), s(e % 9000),
+        F.lit('" ThreadID="'), s(e % 500), F.lit('"'),
+        F.when(e % 8 == 1,
+               F.concat(F.lit(' SessionID="'), s(u % 4), F.lit('"'))
+               ).otherwise(F.lit("")),
+        F.lit("/>"),
+    )).otherwise(F.lit(""))
+    event_data_el = F.when(e % 6 != 0, F.concat(
+        F.lit("<EventData"),
+        F.when(u % 7 == 0, F.lit(' Name="EDN"')).otherwise(F.lit("")),
+        F.lit('><Data Name="k1">v'), s(e % 8),
+        F.lit('</Data><Data Name="k2">w'), s(u % 5), F.lit("</Data>"),
+        F.when(u % 5 == 0,
+               F.concat(F.lit("<Binary>AB"), s(e % 4), F.lit("</Binary>"))
+               ).otherwise(F.lit("")),
+        F.lit("</EventData>"),
+    )).otherwise(F.lit(""))
+
+    body = F.when(e % 23 == 0, F.lit("garbage<")).otherwise(F.concat(
+        F.lit("<Event><System><Provider Name=\"Prov"), s(u % 4),
+        F.lit('" Guid="{G'), s(u % 7), F.lit('}"'),
+        F.when(u % 2 == 0,
+               F.concat(F.lit(' EventSourceName="Src'), s(u % 3), F.lit('"'))
+               ).otherwise(F.lit("")),
+        F.lit("/><EventID"),
+        F.when(u % 2 == 0,
+               F.concat(F.lit(' Qualifiers="'), s(e % 100 + 1), F.lit('"'))
+               ).otherwise(F.lit("")),
+        F.lit(">"), s(e % 50 + 4600), F.lit("</EventID>"),
+        F.lit("<Level>"), s(e % 6), F.lit("</Level>"),
+        F.lit("<Task>T"), s(e % 7), F.lit("</Task>"),
+        F.lit("<Opcode>O"), s(e % 5), F.lit("</Opcode>"),
+        F.lit("<Keywords>0xK"), s(u % 9), F.lit("</Keywords>"),
+        F.lit('<TimeCreated SystemTime="'), sys_time, F.lit('"/>'),
+        F.lit("<EventRecordID>"), s(e), F.lit("</EventRecordID>"),
+        execution_el,
+        F.lit("<Channel>"), chan, F.lit("</Channel>"),
+        F.lit("<Computer>comp"), s(u % 6), F.lit("</Computer>"),
+        security_el,
+        F.lit("</System>"), rendering, event_data_el, F.lit("</Event>"),
+    ))
+
+    out = windows_event_parse(ev.select("event_id", body.alias("body")))
+    return out.select(
+        "event_id", "we_event_id", "we_qualifiers", "we_provider_name",
+        "we_provider_guid", "we_event_source", "we_computer", "we_channel",
+        "we_record_id", "we_system_time", "we_ts_ns", "we_ts_valid",
+        "we_severity", "we_level", "we_task", "we_opcode", "we_keywords",
+        "we_message", "we_details", "we_security_user_id", "we_exec_pid",
+        "we_exec_tid", "we_exec_session", "we_event_data_name",
+        "we_event_data_binary", "we_event_data", "we_ok",
+    )
+
+
+O_WINDOWS_EVENTS = """
+WITH a AS (
+  SELECT event_id,
+         user_id AS u, event_id AS e,
+         event_id % 23 = 0 AS garbage,
+         event_id % 4 = 0 AS rendered,
+         CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'Security'
+              WHEN 1 THEN 'Application' ELSE 'System' END AS chan,
+         CASE CAST(event_id % 5 AS INT) WHEN 0 THEN 'Information'
+              WHEN 1 THEN 'Error' WHEN 2 THEN 'Warning'
+              WHEN 3 THEN 'Critical' ELSE 'Unknown' END AS rl
+  FROM events
+)
+SELECT event_id,
+  CASE WHEN garbage THEN 0 ELSE e % 50 + 4600 END AS we_event_id,
+  CAST(CASE WHEN garbage OR u % 2 <> 0 THEN 0
+            ELSE e % 100 + 1 END AS INT) AS we_qualifiers,
+  CASE WHEN garbage THEN ''
+       ELSE 'Prov' || CAST(u % 4 AS VARCHAR) END AS we_provider_name,
+  CASE WHEN garbage THEN ''
+       ELSE '{G' || CAST(u % 7 AS VARCHAR) || '}' END AS we_provider_guid,
+  CASE WHEN garbage OR u % 2 <> 0 THEN ''
+       ELSE 'Src' || CAST(u % 3 AS VARCHAR) END AS we_event_source,
+  CASE WHEN garbage THEN ''
+       ELSE 'comp' || CAST(u % 6 AS VARCHAR) END AS we_computer,
+  CASE WHEN garbage THEN '' ELSE chan END AS we_channel,
+  CASE WHEN garbage THEN 0 ELSE e END AS we_record_id,
+  CASE WHEN garbage THEN ''
+       WHEN e % 19 = 0 THEN 'nota time'
+       ELSE '2022-04-22T10:20:' || lpad(CAST(e % 60 AS VARCHAR), 2, '0')
+            || CASE CAST(e % 3 AS INT) WHEN 0 THEN ''
+                    WHEN 1 THEN '.37786' ELSE '.3778625' END || 'Z'
+  END AS we_system_time,
+  CASE WHEN garbage OR e % 19 = 0 THEN NULL
+       ELSE (1650622800 + e % 60) * 1000000000
+            + CASE CAST(e % 3 AS INT) WHEN 0 THEN 0
+                   WHEN 1 THEN 377860000 ELSE 377862500 END
+  END AS we_ts_ns,
+  NOT (garbage OR e % 19 = 0) AS we_ts_valid,
+  CASE WHEN garbage THEN 'DEFAULT'
+       WHEN rendered THEN
+         CASE rl WHEN 'Information' THEN 'INFO' WHEN 'Error' THEN 'ERROR'
+              WHEN 'Warning' THEN 'WARN' WHEN 'Critical' THEN 'FATAL'
+              ELSE 'DEFAULT' END
+       ELSE CASE CAST(e % 6 AS INT) WHEN 1 THEN 'FATAL' WHEN 2 THEN 'ERROR'
+                 WHEN 3 THEN 'WARN' WHEN 4 THEN 'INFO' ELSE 'DEFAULT' END
+  END AS we_severity,
+  CASE WHEN garbage THEN '' WHEN rendered THEN rl
+       ELSE CAST(e % 6 AS VARCHAR) END AS we_level,
+  CASE WHEN garbage THEN ''
+       WHEN rendered AND e % 8 = 0 THEN 'RT' || CAST(e % 3 AS VARCHAR)
+       ELSE 'T' || CAST(e % 7 AS VARCHAR) END AS we_task,
+  CASE WHEN garbage THEN ''
+       WHEN rendered AND e % 16 = 0 THEN 'RO'
+       ELSE 'O' || CAST(e % 5 AS VARCHAR) END AS we_opcode,
+  CASE WHEN garbage THEN ''
+       WHEN rendered THEN 'KA' || CAST(e % 3 AS VARCHAR) || ',KB'
+       ELSE '0xK' || CAST(u % 9 AS VARCHAR) END AS we_keywords,
+  CASE WHEN garbage THEN ''
+       WHEN chan = 'Security' THEN
+         CASE WHEN rendered
+              THEN 'An account was successfully logged on.' ELSE '' END
+       WHEN rendered THEN 'msg' || CAST(e % 9 AS VARCHAR)
+       ELSE '' END AS we_message,
+  CASE WHEN NOT garbage AND chan = 'Security' AND rendered THEN
+    '{"Additional Context":["This event is generated when a logon'
+    || ' session is created."],"Logon Information":{"Logon Type":"'
+    || CAST(e % 5 AS VARCHAR)
+    || '","Restricted Admin Mode":"-","Virtual Account":"No"},'
+    || '"Process Information":{"Process ID":"0x'
+    || CAST(e % 11 AS VARCHAR) || '","Process Name":"C:/Windows/proc'
+    || CAST(u % 8 AS VARCHAR) || '.exe"},"Subject":{"Account Name":"acct'
+    || CAST(e % 7 AS VARCHAR) || '","Logon ID":"0x'
+    || CAST(e % 13 AS VARCHAR) || '","Security ID":"S-1-5-'
+    || CAST(u % 10 AS VARCHAR) || '"}}'
+  END AS we_details,
+  CASE WHEN NOT garbage AND chan = 'Security' AND u % 5 > 0
+       THEN 'S-1-5-' || CAST(u % 10 AS VARCHAR) END AS we_security_user_id,
+  CASE WHEN NOT garbage AND e % 2 = 1 THEN e % 9000 END AS we_exec_pid,
+  CASE WHEN NOT garbage AND e % 2 = 1 THEN e % 500 END AS we_exec_tid,
+  CASE WHEN NOT garbage AND e % 8 = 1 THEN u % 4 END AS we_exec_session,
+  CASE WHEN NOT garbage AND e % 6 <> 0 AND u % 7 = 0
+       THEN 'EDN' ELSE '' END AS we_event_data_name,
+  CASE WHEN NOT garbage AND e % 6 <> 0 AND u % 5 = 0
+       THEN 'AB' || CAST(e % 4 AS VARCHAR) ELSE '' END
+    AS we_event_data_binary,
+  CASE WHEN NOT garbage AND e % 6 <> 0
+       THEN '[{"k1":"v' || CAST(e % 8 AS VARCHAR)
+            || '"},{"k2":"w' || CAST(u % 5 AS VARCHAR) || '"}]'
+  END AS we_event_data,
+  NOT garbage AS we_ok
+FROM a
+"""
+
+
+EXT16_QUERIES["windows_events"] = q_windows_events
+EXT16_ORACLES["windows_events"] = O_WINDOWS_EVENTS
