@@ -2119,3 +2119,130 @@ def datadog_series_v1_parse(df: DataFrame, line_col: str = "body") -> DataFrame:
         ),
     ).drop("_dd", "_dd_pt", "_dd_res", "_dd_dp", "_dd_interval",
            "_dd_is_rate", "_dd_sec", "_dd_pt_ok")
+
+
+# ---------------------------------------------------------------------------
+# expvar receiver (receiver/expvarreceiver/scraper.go:53-112)
+# ---------------------------------------------------------------------------
+
+# (metric suffix, sum|gauge, monotonic, memstats field) — one row per
+# Record*DataPoint call in scrape(), defaults from metadata.yaml.
+_EXPVAR_METRICS: tuple[tuple[str, str, bool, str], ...] = (
+    ("total_alloc", "sum", True, "TotalAlloc"),
+    ("sys", "sum", False, "Sys"),
+    ("lookups", "sum", False, "Lookups"),
+    ("mallocs", "sum", True, "Mallocs"),
+    ("frees", "sum", True, "Frees"),
+    ("heap_alloc", "sum", False, "HeapAlloc"),
+    ("heap_sys", "sum", False, "HeapSys"),
+    ("heap_idle", "sum", False, "HeapIdle"),
+    ("heap_inuse", "sum", False, "HeapInuse"),
+    ("heap_released", "sum", False, "HeapReleased"),
+    ("heap_objects", "sum", False, "HeapObjects"),
+    ("stack_inuse", "sum", False, "StackInuse"),
+    ("stack_sys", "sum", False, "StackSys"),
+    ("mspan_inuse", "sum", False, "MSpanInuse"),
+    ("mspan_sys", "sum", False, "MSpanSys"),
+    ("mcache_inuse", "sum", False, "MCacheInuse"),
+    ("mcache_sys", "sum", False, "MCacheSys"),
+    ("buck_hash_sys", "sum", False, "BuckHashSys"),
+    ("gc_sys", "sum", False, "GCSys"),
+    ("other_sys", "sum", False, "OtherSys"),
+    ("next_gc", "sum", False, "NextGC"),
+    ("pause_total", "sum", True, "PauseTotalNs"),
+    ("last_pause", "gauge", False, "_last_pause"),
+    ("num_gc", "sum", True, "NumGC"),
+    ("num_forced_gc", "sum", True, "NumForcedGC"),
+    ("gc_cpu_fraction", "gauge", False, "GCCPUFraction"),
+)
+
+# metadata.yaml defaults: every metric enabled except these two.
+_EXPVAR_DISABLED_DEFAULT = frozenset({"total_alloc", "lookups"})
+
+_EXPVAR_SCHEMA = """struct<memstats: struct<
+  TotalAlloc: bigint, Sys: bigint, Lookups: bigint, Mallocs: bigint,
+  Frees: bigint, HeapAlloc: bigint, HeapSys: bigint, HeapIdle: bigint,
+  HeapInuse: bigint, HeapReleased: bigint, HeapObjects: bigint,
+  StackInuse: bigint, StackSys: bigint, MSpanInuse: bigint,
+  MSpanSys: bigint, MCacheInuse: bigint, MCacheSys: bigint,
+  BuckHashSys: bigint, GCSys: bigint, OtherSys: bigint, NextGC: bigint,
+  PauseTotalNs: bigint, PauseNs: array<bigint>, NumGC: bigint,
+  NumForcedGC: bigint, GCCPUFraction: double>>"""
+
+
+def expvar_memstats(
+    df: DataFrame,
+    body_col: str = "body",
+    enabled: frozenset | None = None,
+) -> DataFrame:
+    """/debug/vars memstats JSON → one row per enabled metric.
+
+    Re-expresses ``receiver/expvarreceiver/scraper.go:53-112``: the
+    26 Record*DataPoint calls over ``runtime.MemStats`` (decoded from
+    the ``memstats`` expvar key), including the circular-buffer pick
+    ``PauseNs[(NumGC+255)%256]`` for ``last_pause`` (scraper.go:106-108
+    — indexes past the decoded prefix read as Go's zero fill) and the
+    nil-memstats scrape error (:73-75), which dead-letters the row
+    here (``ev_ok`` false, metric columns null) instead of aborting
+    the batch. Metric enable/disable defaults follow metadata.yaml
+    (``total_alloc`` and ``lookups`` off).
+
+    Output long format: ``ev_metric`` (full
+    ``process.runtime.memstats.*`` name), ``ev_kind`` (sum|gauge),
+    ``ev_mono``, ``ev_value`` (bigint) / ``ev_value_d`` (double,
+    gc_cpu_fraction only), ``ev_ok``. Plan: one from_json + a
+    26-struct inline explode — zero shuffle, zero Python.
+    """
+    on = {
+        name for name, _, _, _ in _EXPVAR_METRICS
+        if name not in _EXPVAR_DISABLED_DEFAULT
+    } if enabled is None else set(enabled)
+
+    ms = F.from_json(F.col(body_col), _EXPVAR_SCHEMA)["memstats"]
+    df = df.withColumn("_ms", ms)
+    m = F.col("_ms")
+    z = lambda f: F.coalesce(m[f], F.lit(0))  # noqa: E731  Go zero value
+    last_pause = F.coalesce(
+        F.try_element_at(  # index past the decoded prefix = Go zero fill
+            m["PauseNs"],
+            ((z("NumGC") + 255) % 256 + 1).cast("int"),
+        ),
+        F.lit(0),
+    )
+
+    entries = []
+    for name, kind, mono, field in _EXPVAR_METRICS:
+        if name not in on:
+            continue
+        if field == "_last_pause":
+            vi, vd = last_pause, F.lit(None).cast("double")
+        elif name == "gc_cpu_fraction":
+            vi = F.lit(None).cast("bigint")
+            vd = F.coalesce(m[field], F.lit(0.0))
+        else:
+            vi, vd = z(field), F.lit(None).cast("double")
+        entries.append(F.struct(
+            F.lit("process.runtime.memstats." + name).alias("metric"),
+            F.lit(kind).alias("kind"),
+            F.lit(mono).alias("mono"),
+            vi.cast("bigint").alias("value"),
+            vd.alias("value_d"),
+        ))
+
+    ok = m.isNotNull()
+    exploded = df.select(
+        *[c for c in df.columns if c not in ("_ms", body_col)],
+        ok.alias("ev_ok"),
+        F.explode_outer(
+            F.when(ok, F.array(*entries))
+        ).alias("_ev"),
+    )
+    e = F.col("_ev")
+    return exploded.select(
+        *[c for c in exploded.columns if c != "_ev"],
+        e["metric"].alias("ev_metric"),
+        e["kind"].alias("ev_kind"),
+        e["mono"].alias("ev_mono"),
+        e["value"].alias("ev_value"),
+        e["value_d"].alias("ev_value_d"),
+    )

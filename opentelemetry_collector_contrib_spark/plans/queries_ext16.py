@@ -233,3 +233,125 @@ FROM a
 
 EXT16_QUERIES["windows_events"] = q_windows_events
 EXT16_ORACLES["windows_events"] = O_WINDOWS_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# expvar memstats -> long-format metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_expvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import expvar_memstats
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    memstats = F.concat(
+        F.lit('{"TotalAlloc":'), s(e % 2000),
+        F.lit(',"Sys":'), s(e % 1000 + 1),
+        F.lit(',"Lookups":'), s(u % 50),
+        F.lit(',"Mallocs":'), s(e % 900),
+        F.lit(',"Frees":'), s(e % 800),
+        F.lit(',"HeapAlloc":'), s(u % 700),
+        F.lit(',"HeapSys":'), s(u % 600),
+        F.lit(',"HeapIdle":'), s(e % 500),
+        F.lit(',"HeapInuse":'), s(e % 400),
+        F.when(u % 4 != 0,
+               F.concat(F.lit(',"HeapReleased":'), s(e % 300))
+               ).otherwise(F.lit("")),
+        F.lit(',"HeapObjects":'), s(e % 200),
+        F.lit(',"StackInuse":'), s(u % 190),
+        F.lit(',"StackSys":'), s(u % 180),
+        F.lit(',"MSpanInuse":'), s(e % 170),
+        F.lit(',"MSpanSys":'), s(e % 160),
+        F.lit(',"MCacheInuse":'), s(u % 150),
+        F.lit(',"MCacheSys":'), s(u % 140),
+        F.lit(',"BuckHashSys":'), s(e % 130),
+        F.lit(',"GCSys":'), s(e % 120),
+        F.lit(',"OtherSys":'), s(u % 110),
+        F.lit(',"NextGC":'), s(e % 100000),
+        F.lit(',"PauseTotalNs":'), s(e * 3 % 100000),
+        F.lit(',"PauseNs":['), s(e % 100), F.lit(","), s(e % 50 + 1),
+        F.lit(","), s(e % 7 + 2), F.lit("]"),
+        F.lit(',"NumGC":'), s(e % 5),
+        F.lit(',"NumForcedGC":'), s(u % 3),
+        F.lit(',"GCCPUFraction":'), s((e % 7) / 16.0),
+        F.lit("}"),
+    )
+    body = (
+        F.when(e % 13 == 0, F.lit("notjson{{"))
+        .when(e % 17 == 0, F.lit('{"cmdline":["/app"]}'))
+        .otherwise(F.concat(
+            F.lit('{"cmdline":["/app"],"memstats":'), memstats, F.lit("}"),
+        ))
+    )
+    out = expvar_memstats(ev.select("event_id", body.alias("body")))
+    return out.select(
+        "event_id", "ev_ok", "ev_metric", "ev_kind", "ev_mono",
+        "ev_value", "ev_value_d",
+    )
+
+
+O_EXPVAR = """
+WITH a AS (
+  SELECT event_id, user_id AS u, event_id AS e,
+         event_id % 13 = 0 OR event_id % 17 = 0 AS bad
+  FROM events
+), m(suffix, kind, mono) AS (
+  VALUES ('sys','sum',FALSE), ('mallocs','sum',TRUE),
+         ('frees','sum',TRUE), ('heap_alloc','sum',FALSE),
+         ('heap_sys','sum',FALSE), ('heap_idle','sum',FALSE),
+         ('heap_inuse','sum',FALSE), ('heap_released','sum',FALSE),
+         ('heap_objects','sum',FALSE), ('stack_inuse','sum',FALSE),
+         ('stack_sys','sum',FALSE), ('mspan_inuse','sum',FALSE),
+         ('mspan_sys','sum',FALSE), ('mcache_inuse','sum',FALSE),
+         ('mcache_sys','sum',FALSE), ('buck_hash_sys','sum',FALSE),
+         ('gc_sys','sum',FALSE), ('other_sys','sum',FALSE),
+         ('next_gc','sum',FALSE), ('pause_total','sum',TRUE),
+         ('last_pause','gauge',FALSE), ('num_gc','sum',TRUE),
+         ('num_forced_gc','sum',TRUE), ('gc_cpu_fraction','gauge',FALSE)
+)
+SELECT a.event_id, TRUE AS ev_ok,
+       'process.runtime.memstats.' || m.suffix AS ev_metric,
+       m.kind AS ev_kind, m.mono AS ev_mono,
+       CASE m.suffix
+         WHEN 'sys' THEN e % 1000 + 1
+         WHEN 'mallocs' THEN e % 900
+         WHEN 'frees' THEN e % 800
+         WHEN 'heap_alloc' THEN u % 700
+         WHEN 'heap_sys' THEN u % 600
+         WHEN 'heap_idle' THEN e % 500
+         WHEN 'heap_inuse' THEN e % 400
+         WHEN 'heap_released' THEN CASE WHEN u % 4 = 0 THEN 0
+                                        ELSE e % 300 END
+         WHEN 'heap_objects' THEN e % 200
+         WHEN 'stack_inuse' THEN u % 190
+         WHEN 'stack_sys' THEN u % 180
+         WHEN 'mspan_inuse' THEN e % 170
+         WHEN 'mspan_sys' THEN e % 160
+         WHEN 'mcache_inuse' THEN u % 150
+         WHEN 'mcache_sys' THEN u % 140
+         WHEN 'buck_hash_sys' THEN e % 130
+         WHEN 'gc_sys' THEN e % 120
+         WHEN 'other_sys' THEN u % 110
+         WHEN 'next_gc' THEN e % 100000
+         WHEN 'pause_total' THEN e * 3 % 100000
+         WHEN 'last_pause' THEN
+           CASE CAST(e % 5 AS INT) WHEN 1 THEN e % 100
+                WHEN 2 THEN e % 50 + 1 WHEN 3 THEN e % 7 + 2 ELSE 0 END
+         WHEN 'num_gc' THEN e % 5
+         WHEN 'num_forced_gc' THEN u % 3
+       END AS ev_value,
+       CASE WHEN m.suffix = 'gc_cpu_fraction'
+            THEN CAST(e % 7 AS DOUBLE) / 16.0 END AS ev_value_d
+FROM a CROSS JOIN m
+WHERE NOT bad
+UNION ALL
+SELECT event_id, FALSE, NULL, NULL, NULL, NULL, NULL
+FROM a WHERE bad
+"""
+
+
+EXT16_QUERIES["expvar_memstats"] = q_expvar
+EXT16_ORACLES["expvar_memstats"] = O_EXPVAR
