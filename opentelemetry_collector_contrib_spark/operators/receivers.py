@@ -2246,3 +2246,196 @@ def expvar_memstats(
         e["value"].alias("ev_value"),
         e["value_d"].alias("ev_value_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# haproxy receiver (receiver/haproxyreceiver/scraper.go:40-296)
+# ---------------------------------------------------------------------------
+
+# (stat field, metric, sum|gauge, monotonic, int|double) — one row per
+# Record*DataPoint call in scrape(); defaults from metadata.yaml.
+# status_code-attributed hrsp_* and the eresp+srv_abrt fold are
+# handled separately below.
+_HAPROXY_METRICS: tuple[tuple[str, str, str, bool, str], ...] = (
+    ("scur", "haproxy.sessions.count", "gauge", False, "int"),
+    ("conn_rate", "haproxy.connections.rate", "gauge", False, "int"),
+    ("conn_tot", "haproxy.connections.total", "sum", True, "int"),
+    ("lbtot", "haproxy.server_selected.total", "sum", True, "int"),
+    ("bin", "haproxy.bytes.input", "sum", True, "int"),
+    ("bout", "haproxy.bytes.output", "sum", True, "int"),
+    ("cli_abrt", "haproxy.clients.canceled", "sum", True, "int"),
+    ("comp_byp", "haproxy.compression.bypass", "sum", True, "int"),
+    ("comp_in", "haproxy.compression.input", "sum", True, "int"),
+    ("comp_out", "haproxy.compression.output", "sum", True, "int"),
+    ("comp_rsp", "haproxy.compression.count", "sum", True, "int"),
+    ("dreq", "haproxy.requests.denied", "sum", True, "int"),
+    ("dresp", "haproxy.responses.denied", "sum", True, "int"),
+    ("downtime", "haproxy.downtime", "sum", True, "int"),
+    ("econ", "haproxy.connections.errors", "sum", True, "int"),
+    ("ereq", "haproxy.requests.errors", "sum", True, "int"),
+    ("chkfail", "haproxy.failed_checks", "sum", True, "int"),
+    ("wredis", "haproxy.requests.redispatched", "sum", True, "int"),
+    ("wretr", "haproxy.connections.retries", "sum", True, "int"),
+    ("stot", "haproxy.sessions.total", "sum", True, "int"),
+    ("qcur", "haproxy.requests.queued", "sum", True, "int"),
+    ("req_rate", "haproxy.requests.rate", "gauge", False, "double"),
+    ("ttime", "haproxy.sessions.average", "gauge", False, "double"),
+    ("rate", "haproxy.sessions.rate", "gauge", False, "double"),
+)
+
+_HAPROXY_DISABLED_DEFAULT = frozenset({
+    "haproxy.connections.total", "haproxy.clients.canceled",
+    "haproxy.compression.bypass", "haproxy.compression.input",
+    "haproxy.compression.output", "haproxy.compression.count",
+    "haproxy.downtime", "haproxy.failed_checks", "haproxy.sessions.total",
+})
+
+_HAPROXY_HRSP = ("1xx", "2xx", "3xx", "4xx", "5xx", "other")
+
+
+def haproxy_stats(
+    df: DataFrame,
+    body_col: str = "body",
+    endpoint: str = "",
+    enabled: frozenset | None = None,
+) -> DataFrame:
+    """``show stat`` CSV pages → one row per recorded metric.
+
+    Re-expresses ``receiver/haproxyreceiver/scraper.go:40-296``: the
+    ``# ``-prefixed header drives a name→index lookup (readStats
+    :268-290), each record emits every metric whose stat field is
+    non-empty, ``hrsp_*`` map to ``haproxy.requests.total`` with a
+    ``status_code`` attribute, and ``haproxy.responses.errors`` is the
+    ``eresp + srv_abrt`` fold recorded only when BOTH fields are
+    non-empty (:166-180) — a side that fails ParseInt contributes 0
+    and flags the scrape error (``ha_ok`` false), exactly the Go
+    zero-value behaviour. Metric enables follow metadata.yaml
+    defaults. Per-record resource attrs: ``pxname``/``svname`` +
+    the endpoint (config constant).
+
+    Dead letters: a page whose records disagree with the header's
+    field count collapses to one ``ha_ok=false`` row (the reference
+    fails the whole scrape on a csv.ReadAll error); an unparseable
+    enabled value emits its metric row with null value + false ok
+    (the reference's partial-scrape error). Divergence (documented):
+    RFC-4180 quoted fields are not un-escaped — HAProxy's writer
+    never quotes.
+
+    Plan: split/explode + one wide projection, zero shuffle/Python.
+    """
+    on = {
+        m for _, m, _, _, _ in _HAPROXY_METRICS
+        if m not in _HAPROXY_DISABLED_DEFAULT
+    } | {"haproxy.requests.total", "haproxy.responses.errors"} \
+        if enabled is None else set(enabled)
+
+    lines = F.split(F.trim(F.col(body_col)), "\r?\n")
+    header = F.transform(
+        F.split(F.regexp_replace(F.get(lines, 0), "^# ", ""), ","),
+        lambda h: F.trim(h),
+    )
+    records = F.filter(
+        F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0))),
+        lambda x: x != "",
+    )
+    staged = df.select(
+        *[c for c in df.columns if c != body_col],
+        header.alias("_hdr"),
+        records.alias("_recs"),
+    )
+    hdr = F.col("_hdr")
+    page_ok = F.forall(
+        F.col("_recs"), lambda r: F.size(F.split(r, ",")) == F.size(hdr)
+    )
+    staged = staged.select(
+        "*",
+        F.explode_outer(
+            F.when(page_ok, F.col("_recs"))
+        ).alias("_rec_line"),
+        page_ok.alias("_page_ok"),
+    ).select(
+        "*", F.split(F.col("_rec_line"), ",").alias("_rec"),
+    )
+
+    rec = F.col("_rec")
+
+    def val(field: str) -> Column:
+        return F.try_element_at(
+            rec, F.array_position(hdr, field).cast("int")
+        )
+
+    def present(field: str) -> Column:
+        v = val(field)
+        return v.isNotNull() & (v != "")
+
+    entries = []
+
+    def add(metric, kind, mono, status, cond, value, value_d, ok):
+        entries.append(F.struct(
+            F.lit(metric).alias("metric"),
+            F.lit(kind).alias("kind"),
+            F.lit(mono).alias("mono"),
+            (F.lit(status) if status is not None
+             else F.lit(None).cast("string")).alias("status"),
+            cond.alias("present"),
+            value.cast("bigint").alias("value"),
+            value_d.cast("double").alias("value_d"),
+            ok.alias("ok"),
+        ))
+
+    nl = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+    for field, metric, kind, mono, vt in _HAPROXY_METRICS:
+        if metric not in on:
+            continue
+        if vt == "int":
+            parsed = val(field).try_cast("bigint")
+            add(metric, kind, mono, None, present(field),
+                parsed, nd, parsed.isNotNull())
+        else:
+            parsed = val(field).try_cast("double")
+            add(metric, kind, mono, None, present(field),
+                nl, parsed, parsed.isNotNull())
+    if "haproxy.requests.total" in on:
+        for code in _HAPROXY_HRSP:
+            f = "hrsp_" + code
+            parsed = val(f).try_cast("bigint")
+            add("haproxy.requests.total", "sum", True, code,
+                present(f), parsed, nd, parsed.isNotNull())
+    if "haproxy.responses.errors" in on:
+        er = val("eresp").try_cast("bigint")
+        ab = val("srv_abrt").try_cast("bigint")
+        add("haproxy.responses.errors", "sum", True, None,
+            present("eresp") & present("srv_abrt"),
+            F.coalesce(er, F.lit(0)) + F.coalesce(ab, F.lit(0)), nd,
+            er.isNotNull() & ab.isNotNull())
+
+    exploded = staged.select(
+        *[c for c in staged.columns
+          if c not in ("_hdr", "_recs", "_rec_line", "_rec", "_page_ok")],
+        F.coalesce(val("pxname"), F.lit("")).alias("ha_pxname"),
+        F.coalesce(val("svname"), F.lit("")).alias("ha_svname"),
+        F.lit(endpoint).alias("ha_addr"),
+        F.col("_page_ok").alias("_pok"),
+        # a failed page yields exactly one null entry (dead letter); a
+        # record whose fields are all empty yields no rows at all.
+        F.explode(F.when(
+            F.col("_page_ok"),
+            F.filter(F.array(*entries), lambda x: x["present"]),
+        ).otherwise(F.array(F.lit(None).cast(
+            "struct<metric:string,kind:string,mono:boolean,status:string,"
+            "present:boolean,value:bigint,value_d:double,ok:boolean>"
+        )))).alias("_m"),
+    )
+    m = F.col("_m")
+    return exploded.select(
+        *[c for c in exploded.columns if c not in ("_m", "_pok")],
+        m["metric"].alias("ha_metric"),
+        m["kind"].alias("ha_kind"),
+        m["mono"].alias("ha_mono"),
+        m["status"].alias("ha_status"),
+        m["value"].alias("ha_value"),
+        m["value_d"].alias("ha_value_d"),
+        (F.col("_pok") & F.coalesce(m["ok"], F.lit(False)))
+            .alias("ha_ok"),
+    )

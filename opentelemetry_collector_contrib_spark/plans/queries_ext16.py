@@ -355,3 +355,158 @@ FROM a WHERE bad
 
 EXT16_QUERIES["expvar_memstats"] = q_expvar
 EXT16_ORACLES["expvar_memstats"] = O_EXPVAR
+
+
+# ---------------------------------------------------------------------------
+# haproxy show-stat CSV -> long-format metric rows
+# ---------------------------------------------------------------------------
+
+_HA_BASE_HDR = (
+    "pxname,svname,qcur,scur,conn_rate,lbtot,bin,bout,dreq,dresp,econ,"
+    "ereq,eresp,srv_abrt,wredis,hrsp_1xx,hrsp_2xx,hrsp_3xx,hrsp_4xx,"
+    "hrsp_5xx,hrsp_other,wretr,req_rate,ttime,rate,cli_abrt"
+)
+
+
+def q_haproxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import haproxy_stats
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    px = F.concat(F.lit("px"), s(u % 5))
+
+    fe = F.concat_ws(
+        ",", px, F.lit("FRONTEND"), F.lit(""), s(e % 100), s(e % 50),
+        F.lit(""), s(e % 10000), s(u % 10000), s(e % 30), s(u % 30),
+        s(e % 20), s(u % 20), F.lit(""), F.lit(""), s(e % 12), s(e % 5),
+        s(e % 1000), s(e % 70), s(e % 80), s(e % 90), s(e % 3),
+        F.when(e % 11 == 0, F.lit("x")).otherwise(s(e % 40)),
+        s(e % 60), F.lit(""), s(e % 55), s(e % 8),
+    )
+    be = F.concat_ws(
+        ",", px, F.lit("BACKEND"), s(u % 25), s((e + 1) % 100), F.lit(""),
+        s(e % 200), s(e % 10000 + 1), s(u % 10000 + 1), s((e + 1) % 30),
+        s((u + 1) % 30), s((e + 1) % 20), s((u + 1) % 20), s(e % 15),
+        s(u % 15), s((e + 1) % 12), s((e + 1) % 5), s((e + 1) % 1000),
+        s((e + 1) % 70), s((e + 1) % 80), s((e + 1) % 90), s((e + 1) % 3),
+        s((e + 2) % 40), F.lit(""), s(u % 500), s((e + 1) % 55), F.lit(""),
+    )
+    # half the pages carry two leading extra columns so the oracle can
+    # only be matched by honouring the header-driven index lookup
+    hdr = F.when(u % 2 == 1,
+                 F.lit("# extra1,extra2," + _HA_BASE_HDR)
+                 ).otherwise(F.lit("# " + _HA_BASE_HDR))
+    pre = F.when(u % 2 == 1, F.lit("x,y,")).otherwise(F.lit(""))
+    body = F.when(e % 31 == 0, F.concat(hdr, F.lit("\noops,1,2\n"))
+                  ).otherwise(F.concat(
+        hdr, F.lit("\n"), pre, fe, F.lit("\n"), pre, be, F.lit("\n"),
+    ))
+    out = haproxy_stats(
+        ev.select("event_id", body.alias("body")),
+        endpoint="/run/haproxy.sock",
+    )
+    return out.select(
+        "event_id", "ha_pxname", "ha_svname", "ha_addr", "ha_metric",
+        "ha_kind", "ha_mono", "ha_status", "ha_value", "ha_value_d",
+        "ha_ok",
+    )
+
+
+def _ha_oracle() -> str:
+    fe_rows = [
+        ("haproxy.sessions.count", "gauge", "FALSE", "e % 100", None),
+        ("haproxy.connections.rate", "gauge", "FALSE", "e % 50", None),
+        ("haproxy.bytes.input", "sum", "TRUE", "e % 10000", None),
+        ("haproxy.bytes.output", "sum", "TRUE", "u % 10000", None),
+        ("haproxy.requests.denied", "sum", "TRUE", "e % 30", None),
+        ("haproxy.responses.denied", "sum", "TRUE", "u % 30", None),
+        ("haproxy.connections.errors", "sum", "TRUE", "e % 20", None),
+        ("haproxy.requests.errors", "sum", "TRUE", "u % 20", None),
+        ("haproxy.requests.redispatched", "sum", "TRUE", "e % 12", None),
+        ("haproxy.requests.total", "sum", "TRUE", "e % 5", "1xx"),
+        ("haproxy.requests.total", "sum", "TRUE", "e % 1000", "2xx"),
+        ("haproxy.requests.total", "sum", "TRUE", "e % 70", "3xx"),
+        ("haproxy.requests.total", "sum", "TRUE", "e % 80", "4xx"),
+        ("haproxy.requests.total", "sum", "TRUE", "e % 90", "5xx"),
+        ("haproxy.requests.total", "sum", "TRUE", "e % 3", "other"),
+    ]
+    be_rows = [
+        ("haproxy.sessions.count", "gauge", "FALSE", "(e+1) % 100", None),
+        ("haproxy.server_selected.total", "sum", "TRUE", "e % 200", None),
+        ("haproxy.bytes.input", "sum", "TRUE", "e % 10000 + 1", None),
+        ("haproxy.bytes.output", "sum", "TRUE", "u % 10000 + 1", None),
+        ("haproxy.requests.denied", "sum", "TRUE", "(e+1) % 30", None),
+        ("haproxy.responses.denied", "sum", "TRUE", "(u+1) % 30", None),
+        ("haproxy.connections.errors", "sum", "TRUE", "(e+1) % 20", None),
+        ("haproxy.requests.errors", "sum", "TRUE", "(u+1) % 20", None),
+        ("haproxy.responses.errors", "sum", "TRUE", "e % 15 + u % 15",
+         None),
+        ("haproxy.requests.redispatched", "sum", "TRUE", "(e+1) % 12",
+         None),
+        ("haproxy.requests.total", "sum", "TRUE", "(e+1) % 5", "1xx"),
+        ("haproxy.requests.total", "sum", "TRUE", "(e+1) % 1000", "2xx"),
+        ("haproxy.requests.total", "sum", "TRUE", "(e+1) % 70", "3xx"),
+        ("haproxy.requests.total", "sum", "TRUE", "(e+1) % 80", "4xx"),
+        ("haproxy.requests.total", "sum", "TRUE", "(e+1) % 90", "5xx"),
+        ("haproxy.requests.total", "sum", "TRUE", "(e+1) % 3", "other"),
+        ("haproxy.connections.retries", "sum", "TRUE", "(e+2) % 40", None),
+        ("haproxy.requests.queued", "sum", "TRUE", "u % 25", None),
+    ]
+
+    def sel(sv, metric, kind, mono, status, vi, vd, ok, first=False):
+        st = "NULL" if status is None else f"'{status}'"
+        cols = (
+            f"SELECT event_id, 'px' || CAST(u % 5 AS VARCHAR)"
+            f"{' AS ha_pxname' if first else ''}, '{sv}'"
+            f"{' AS ha_svname' if first else ''}, '/run/haproxy.sock'"
+            f"{' AS ha_addr' if first else ''}, '{metric}'"
+            f"{' AS ha_metric' if first else ''}, '{kind}'"
+            f"{' AS ha_kind' if first else ''}, {mono}"
+            f"{' AS ha_mono' if first else ''}, {st}"
+            f"{' AS ha_status' if first else ''}, {vi}"
+            f"{' AS ha_value' if first else ''}, {vd}"
+            f"{' AS ha_value_d' if first else ''}, {ok}"
+            f"{' AS ha_ok' if first else ''} FROM a WHERE NOT bad"
+        )
+        return cols
+
+    parts = []
+    first = True
+    for metric, kind, mono, vi, status in fe_rows:
+        parts.append(sel("FRONTEND", metric, kind, mono, status,
+                         vi, "CAST(NULL AS DOUBLE)", "TRUE", first))
+        first = False
+    # frontend wretr: 'x' on e%11=0 -> null value, false ok
+    parts.append(sel(
+        "FRONTEND", "haproxy.connections.retries", "sum", "TRUE", None,
+        "CASE WHEN e % 11 = 0 THEN NULL ELSE e % 40 END",
+        "CAST(NULL AS DOUBLE)", "e % 11 <> 0",
+    ))
+    for metric, vi in (("haproxy.requests.rate", "e % 60"),
+                       ("haproxy.sessions.rate", "e % 55")):
+        parts.append(sel("FRONTEND", metric, "gauge", "FALSE", None,
+                         "CAST(NULL AS BIGINT)",
+                         f"CAST({vi} AS DOUBLE)", "TRUE"))
+    for metric, kind, mono, vi, status in be_rows:
+        parts.append(sel("BACKEND", metric, kind, mono, status,
+                         vi, "CAST(NULL AS DOUBLE)", "TRUE"))
+    for metric, vi in (("haproxy.sessions.average", "u % 500"),
+                       ("haproxy.sessions.rate", "(e+1) % 55")):
+        parts.append(sel("BACKEND", metric, "gauge", "FALSE", None,
+                         "CAST(NULL AS BIGINT)",
+                         f"CAST({vi} AS DOUBLE)", "TRUE"))
+    parts.append(
+        "SELECT event_id, '', '', '/run/haproxy.sock', NULL, NULL, "
+        "CAST(NULL AS BOOLEAN), NULL, CAST(NULL AS BIGINT), "
+        "CAST(NULL AS DOUBLE), FALSE FROM a WHERE bad"
+    )
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e, "
+        "event_id % 31 = 0 AS bad FROM events)\n"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["haproxy_stats"] = q_haproxy
+EXT16_ORACLES["haproxy_stats"] = _ha_oracle()
