@@ -2439,3 +2439,204 @@ def haproxy_stats(
         (F.col("_pok") & F.coalesce(m["ok"], F.lit(False)))
             .alias("ha_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# apache receiver (receiver/apachereceiver/scraper.go:60-225)
+# ---------------------------------------------------------------------------
+
+_APACHE_SCOREBOARD = (
+    ("_", "waiting"), ("S", "starting"), ("R", "reading"),
+    ("W", "sending"), ("K", "keepalive"), ("D", "dnslookup"),
+    ("C", "closing"), ("L", "logging"), ("G", "finishing"),
+    ("I", "idle_cleanup"), (".", "open"),
+)
+
+
+def apache_status(
+    df: DataFrame,
+    body_col: str = "body",
+    server_name: str = "",
+    port: str = "",
+) -> DataFrame:
+    """mod_status ``?auto`` pages → one row per recorded metric.
+
+    Re-expresses ``receiver/apachereceiver/scraper.go:60-225``:
+    parseStats splits lines at the FIRST ``": "`` (:163-175, lines
+    without one are skipped), each known key records its metric —
+    uptime, current_connections, workers (busy|idle state), requests,
+    traffic (``Total kBytes`` × 1024, :86-92), cpu.time
+    (self|children × system|user), cpu.load, load.1/5/15,
+    request.time — and ``Scoreboard`` expands to per-state counts
+    (parseScoreboard :178-220: the 11 named states are always
+    emitted, zero-filled; ``unknown`` only when an unmapped char
+    appears). A present key whose value fails ParseInt/ParseFloat
+    emits its row with null value + false ok (the reference's
+    AddPartial). Resource attrs: server name + port (config-derived
+    constants). Plan: one codegen projection + inline explode, zero
+    shuffle, zero Python.
+    """
+    body = F.col(body_col)
+
+    def raw(key: str) -> Column:
+        pat = "(?m)^" + key.replace(" ", "\\ ") + ": (.*)$"
+        return F.regexp_extract(body, pat, 1)
+
+    def has(key: str) -> Column:
+        return body.rlike("(?m)^" + key.replace(" ", "\\ ") + ": ")
+
+    entries = []
+
+    def add(metric, kind, mono, state, level, mode, cond, vi, vd, ok):
+        ns = F.lit(None).cast("string")
+        entries.append(F.struct(
+            F.lit(metric).alias("metric"),
+            F.lit(kind).alias("kind"),
+            F.lit(mono).alias("mono"),
+            (F.lit(state) if state else ns).alias("state"),
+            (F.lit(level) if level else ns).alias("level"),
+            (F.lit(mode) if mode else ns).alias("mode"),
+            cond.alias("present"),
+            vi.cast("bigint").alias("value"),
+            vd.cast("double").alias("value_d"),
+            ok.alias("ok"),
+        ))
+
+    nl = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+
+    def add_int(key, metric, kind, mono, state=None, scale=1):
+        v = raw(key).try_cast("bigint")
+        add(metric, kind, mono, state, None, None, has(key),
+            v * scale if scale != 1 else v, nd, v.isNotNull())
+
+    def add_dbl(key, metric, kind, mono, level=None, mode=None):
+        v = raw(key).try_cast("double")
+        add(metric, kind, mono, None, level, mode, has(key),
+            nl, v, v.isNotNull())
+
+    add_int("ServerUptimeSeconds", "apache.uptime", "sum", True)
+    add_int("ConnsTotal", "apache.current_connections", "sum", False)
+    add_int("BusyWorkers", "apache.workers", "sum", False, state="busy")
+    add_int("IdleWorkers", "apache.workers", "sum", False, state="idle")
+    add_int("Total Accesses", "apache.requests", "sum", True)
+    add_int("Total kBytes", "apache.traffic", "sum", True,
+            scale=1024)  # kbytesToBytes, scraper.go:223-225
+    add_dbl("CPUChildrenSystem", "apache.cpu.time", "sum", True,
+            level="children", mode="system")
+    add_dbl("CPUChildrenUser", "apache.cpu.time", "sum", True,
+            level="children", mode="user")
+    add_dbl("CPUSystem", "apache.cpu.time", "sum", True,
+            level="self", mode="system")
+    add_dbl("CPUUser", "apache.cpu.time", "sum", True,
+            level="self", mode="user")
+    add_dbl("CPULoad", "apache.cpu.load", "gauge", False)
+    add_dbl("Load1", "apache.load.1", "gauge", False)
+    add_dbl("Load5", "apache.load.5", "gauge", False)
+    add_dbl("Load15", "apache.load.15", "gauge", False)
+    add_int("Total Duration", "apache.request.time", "sum", True)
+
+    sb = raw("Scoreboard")
+    sb_has = has("Scoreboard")
+    known = F.lit(0)
+    for ch, state in _APACHE_SCOREBOARD:
+        cnt = F.length(sb) - F.length(F.replace(sb, F.lit(ch)))
+        known = known + cnt
+        add("apache.scoreboard", "sum", False, state, None, None,
+            sb_has, cnt, nd, F.lit(True))
+    unk = F.length(sb) - known
+    add("apache.scoreboard", "sum", False, "unknown", None, None,
+        sb_has & (unk > 0), unk, nd, F.lit(True))
+
+    exploded = df.select(
+        *[c for c in df.columns if c != body_col],
+        F.lit(server_name).alias("ap_server_name"),
+        F.lit(port).alias("ap_server_port"),
+        F.explode(
+            F.filter(F.array(*entries), lambda x: x["present"])
+        ).alias("_m"),
+    )
+    m = F.col("_m")
+    return exploded.select(
+        *[c for c in exploded.columns if c != "_m"],
+        m["metric"].alias("ap_metric"),
+        m["kind"].alias("ap_kind"),
+        m["mono"].alias("ap_mono"),
+        m["state"].alias("ap_state"),
+        m["level"].alias("ap_level"),
+        m["mode"].alias("ap_mode"),
+        m["value"].alias("ap_value"),
+        m["value_d"].alias("ap_value_d"),
+        m["ok"].alias("ap_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# nginx receiver (receiver/nginxreceiver/scraper.go:48-64)
+# ---------------------------------------------------------------------------
+
+_NGINX_STUB_RE = (
+    r"Active connections:\s+(\d+)\s+"
+    r"server accepts handled requests\s+"
+    r"(\d+)\s+(\d+)\s+(\d+)\s+"
+    r"Reading:\s+(\d+)\s+Writing:\s+(\d+)\s+Waiting:\s+(\d+)"
+)
+
+
+def nginx_stub_status(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """stub_status pages → the 4 nginx metrics (7 datapoints).
+
+    Re-expresses ``receiver/nginxreceiver/scraper.go:48-64`` over the
+    nginx-prometheus-exporter client's page grammar (the public
+    ``Active connections: %d / server accepts handled requests /
+    %d %d %d / Reading: %d Writing: %d Waiting: %d`` Sscanf template):
+    requests + connections_accepted/handled (monotonic sums) and
+    connections_current (non-monotonic sum) with
+    active|reading|writing|waiting state attrs. A page that does not
+    match the template is the reference's whole-scrape error → one
+    ``ng_ok=false`` row. Plan: one regexp projection + inline
+    explode, zero shuffle, zero Python.
+    """
+    body = F.col(body_col)
+
+    def g(i: int) -> Column:
+        return F.regexp_extract(body, _NGINX_STUB_RE, i).try_cast("bigint")
+
+    ok = body.rlike(_NGINX_STUB_RE)
+    specs = (
+        ("nginx.requests", True, None, g(4)),
+        ("nginx.connections_accepted", True, None, g(2)),
+        ("nginx.connections_handled", True, None, g(3)),
+        ("nginx.connections_current", False, "active", g(1)),
+        ("nginx.connections_current", False, "reading", g(5)),
+        ("nginx.connections_current", False, "writing", g(6)),
+        ("nginx.connections_current", False, "waiting", g(7)),
+    )
+    entries = [
+        F.struct(
+            F.lit(metric).alias("metric"),
+            F.lit(mono).alias("mono"),
+            (F.lit(state) if state else F.lit(None).cast("string"))
+                .alias("state"),
+            v.alias("value"),
+        )
+        for metric, mono, state, v in specs
+    ]
+    null_entry = F.array(F.lit(None).cast(
+        "struct<metric:string,mono:boolean,state:string,value:bigint>"
+    ))
+    exploded = df.select(
+        *[c for c in df.columns if c != body_col],
+        ok.alias("ng_ok"),
+        F.explode(
+            F.when(ok, F.array(*entries)).otherwise(null_entry)
+        ).alias("_m"),
+    )
+    m = F.col("_m")
+    return exploded.select(
+        *[c for c in exploded.columns if c != "_m"],
+        m["metric"].alias("ng_metric"),
+        m["mono"].alias("ng_mono"),
+        m["state"].alias("ng_state"),
+        m["value"].alias("ng_value"),
+    )

@@ -510,3 +510,202 @@ def _ha_oracle() -> str:
 
 EXT16_QUERIES["haproxy_stats"] = q_haproxy
 EXT16_ORACLES["haproxy_stats"] = _ha_oracle()
+
+
+# ---------------------------------------------------------------------------
+# apache mod_status ?auto page -> long-format metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_apache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import apache_status
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    rep = lambda ch, n: F.repeat(F.lit(ch), n.cast("int"))  # noqa: E731
+
+    scoreboard = F.concat(
+        rep("_", u % 3), rep("S", e % 2), rep("R", u % 2), rep("W", e % 3),
+        rep("K", u % 4), rep("D", e % 3), rep("C", e % 2), rep("L", u % 5),
+        rep("G", e % 4), rep("I", u % 2), rep(".", e % 6),
+        F.when(e % 7 == 0, F.lit("ZZ")).otherwise(F.lit("")),
+    )
+    body = F.concat(
+        F.lit("localhost\nServerVersion: Apache/2.4.56 (Unix)\n"
+              "ServerUptimeSeconds: "), s(e % 100000),
+        F.lit("\nTotal Accesses: "),
+        F.when(e % 13 == 0, F.lit("x")).otherwise(s(e % 1000000)),
+        F.lit("\nTotal kBytes: "),
+        F.when(e % 17 == 0, F.lit("y")).otherwise(s(e % 5000)),
+        F.lit("\nTotal Duration: "), s(e % 90000),
+        F.lit("\nCPUUser: "), s((u % 100) / 8.0),
+        F.lit("\nCPUSystem: "), s((e % 50) / 2.0),
+        F.lit("\nCPUChildrenUser: "), s((u % 60) / 16.0),
+        F.lit("\nCPUChildrenSystem: "), s((e % 100) / 4.0),
+        F.lit("\nCPULoad: "), s((e % 200) / 10.0),
+        F.lit("\nLoad1: "), s((e % 80) / 16.0),
+        F.when(u % 3 != 0,
+               F.concat(F.lit("\nLoad5: "), s((u % 40) / 8.0))
+               ).otherwise(F.lit("")),
+        F.lit("\nLoad15: "), s((e % 30) / 4.0),
+        F.lit("\nBusyWorkers: "), s(u % 64),
+        F.lit("\nIdleWorkers: "), s(e % 240),
+        F.lit("\nConnsTotal: "), s(e % 500),
+        F.lit("\nScoreboard: "), scoreboard,
+        F.lit("\nno separator line\n"),
+    )
+    out = apache_status(
+        ev.select("event_id", body.alias("body")),
+        server_name="web1", port="8080",
+    )
+    return out.select(
+        "event_id", "ap_server_name", "ap_server_port", "ap_metric",
+        "ap_kind", "ap_mono", "ap_state", "ap_level", "ap_mode",
+        "ap_value", "ap_value_d", "ap_ok",
+    )
+
+
+def _apache_oracle() -> str:
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    rows = [
+        # metric, kind, mono, state, level, mode, where, vi, vd, ok
+        ("apache.uptime", "sum", "TRUE", NS, NS, NS, None,
+         "e % 100000", ND, "TRUE"),
+        ("apache.current_connections", "sum", "FALSE", NS, NS, NS, None,
+         "e % 500", ND, "TRUE"),
+        ("apache.workers", "sum", "FALSE", "'busy'", NS, NS, None,
+         "u % 64", ND, "TRUE"),
+        ("apache.workers", "sum", "FALSE", "'idle'", NS, NS, None,
+         "e % 240", ND, "TRUE"),
+        ("apache.requests", "sum", "TRUE", NS, NS, NS, None,
+         "CASE WHEN e % 13 = 0 THEN NULL ELSE e % 1000000 END", ND,
+         "e % 13 <> 0"),
+        ("apache.traffic", "sum", "TRUE", NS, NS, NS, None,
+         "CASE WHEN e % 17 = 0 THEN NULL ELSE (e % 5000) * 1024 END", ND,
+         "e % 17 <> 0"),
+        ("apache.cpu.time", "sum", "TRUE", NS, "'children'", "'system'",
+         None, NI, "CAST(e % 100 AS DOUBLE) / 4.0", "TRUE"),
+        ("apache.cpu.time", "sum", "TRUE", NS, "'children'", "'user'",
+         None, NI, "CAST(u % 60 AS DOUBLE) / 16.0", "TRUE"),
+        ("apache.cpu.time", "sum", "TRUE", NS, "'self'", "'system'",
+         None, NI, "CAST(e % 50 AS DOUBLE) / 2.0", "TRUE"),
+        ("apache.cpu.time", "sum", "TRUE", NS, "'self'", "'user'",
+         None, NI, "CAST(u % 100 AS DOUBLE) / 8.0", "TRUE"),
+        ("apache.cpu.load", "gauge", "FALSE", NS, NS, NS, None,
+         NI, "CAST(e % 200 AS DOUBLE) / 10.0", "TRUE"),
+        ("apache.load.1", "gauge", "FALSE", NS, NS, NS, None,
+         NI, "CAST(e % 80 AS DOUBLE) / 16.0", "TRUE"),
+        ("apache.load.5", "gauge", "FALSE", NS, NS, NS, "u % 3 <> 0",
+         NI, "CAST(u % 40 AS DOUBLE) / 8.0", "TRUE"),
+        ("apache.load.15", "gauge", "FALSE", NS, NS, NS, None,
+         NI, "CAST(e % 30 AS DOUBLE) / 4.0", "TRUE"),
+        ("apache.request.time", "sum", "TRUE", NS, NS, NS, None,
+         "e % 90000", ND, "TRUE"),
+        ("apache.scoreboard", "sum", "FALSE", "'waiting'", NS, NS, None,
+         "u % 3", ND, "TRUE"),
+        ("apache.scoreboard", "sum", "FALSE", "'starting'", NS, NS, None,
+         "e % 2", ND, "TRUE"),
+        ("apache.scoreboard", "sum", "FALSE", "'reading'", NS, NS, None,
+         "u % 2", ND, "TRUE"),
+        ("apache.scoreboard", "sum", "FALSE", "'sending'", NS, NS, None,
+         "e % 3", ND, "TRUE"),
+        ("apache.scoreboard", "sum", "FALSE", "'keepalive'", NS, NS, None,
+         "u % 4", ND, "TRUE"),
+        ("apache.scoreboard", "sum", "FALSE", "'dnslookup'", NS, NS, None,
+         "e % 3", ND, "TRUE"),
+        ("apache.scoreboard", "sum", "FALSE", "'closing'", NS, NS, None,
+         "e % 2", ND, "TRUE"),
+        ("apache.scoreboard", "sum", "FALSE", "'logging'", NS, NS, None,
+         "u % 5", ND, "TRUE"),
+        ("apache.scoreboard", "sum", "FALSE", "'finishing'", NS, NS, None,
+         "e % 4", ND, "TRUE"),
+        ("apache.scoreboard", "sum", "FALSE", "'idle_cleanup'", NS, NS,
+         None, "u % 2", ND, "TRUE"),
+        ("apache.scoreboard", "sum", "FALSE", "'open'", NS, NS, None,
+         "e % 6", ND, "TRUE"),
+        ("apache.scoreboard", "sum", "FALSE", "'unknown'", NS, NS,
+         "e % 7 = 0", "2", ND, "TRUE"),
+    ]
+    parts = []
+    for i, (metric, kind, mono, st, lv, md, where, vi, vd, ok) in \
+            enumerate(rows):
+        a = (lambda n: f" AS {n}") if i == 0 else (lambda n: "")
+        parts.append(
+            f"SELECT event_id, 'web1'{a('ap_server_name')}, "
+            f"'8080'{a('ap_server_port')}, '{metric}'{a('ap_metric')}, "
+            f"'{kind}'{a('ap_kind')}, {mono}{a('ap_mono')}, "
+            f"{st}{a('ap_state')}, {lv}{a('ap_level')}, "
+            f"{md}{a('ap_mode')}, {vi}{a('ap_value')}, "
+            f"{vd}{a('ap_value_d')}, {ok}{a('ap_ok')} FROM a"
+            + (f" WHERE {where}" if where else "")
+        )
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e "
+        "FROM events)\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["apache_status"] = q_apache
+EXT16_ORACLES["apache_status"] = _apache_oracle()
+
+
+# ---------------------------------------------------------------------------
+# nginx stub_status page -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_nginx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import nginx_stub_status
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    body = F.when(e % 19 == 0, F.lit("<html>error page</html>")).otherwise(
+        F.concat(
+            F.lit("Active connections: "), s(e % 300),
+            F.lit(" \nserver accepts handled requests\n "),
+            s(e % 100000), F.lit(" "), s(e % 100000 - e % 50), F.lit(" "),
+            s(e % 1000000),
+            F.lit(" \nReading: "), s(u % 20),
+            F.lit(" Writing: "), s(e % 30),
+            F.lit(" Waiting: "), s(u % 50), F.lit(" \n"),
+        )
+    )
+    out = nginx_stub_status(ev.select("event_id", body.alias("body")))
+    return out.select(
+        "event_id", "ng_ok", "ng_metric", "ng_mono", "ng_state", "ng_value",
+    )
+
+
+O_NGINX = """
+WITH a AS (
+  SELECT event_id, user_id AS u, event_id AS e, event_id % 19 = 0 AS bad
+  FROM events
+), m(metric, mono, state, slot) AS (
+  VALUES ('nginx.requests', TRUE, NULL, 'req'),
+         ('nginx.connections_accepted', TRUE, NULL, 'acc'),
+         ('nginx.connections_handled', TRUE, NULL, 'han'),
+         ('nginx.connections_current', FALSE, 'active', 'act'),
+         ('nginx.connections_current', FALSE, 'reading', 'rd'),
+         ('nginx.connections_current', FALSE, 'writing', 'wr'),
+         ('nginx.connections_current', FALSE, 'waiting', 'wt')
+)
+SELECT event_id, TRUE AS ng_ok, m.metric AS ng_metric, m.mono AS ng_mono,
+       m.state AS ng_state,
+       CASE m.slot WHEN 'req' THEN e % 1000000
+            WHEN 'acc' THEN e % 100000 WHEN 'han' THEN e % 100000 - e % 50
+            WHEN 'act' THEN e % 300 WHEN 'rd' THEN u % 20
+            WHEN 'wr' THEN e % 30 ELSE u % 50 END AS ng_value
+FROM a CROSS JOIN m WHERE NOT bad
+UNION ALL
+SELECT event_id, FALSE, NULL, CAST(NULL AS BOOLEAN), NULL,
+       CAST(NULL AS BIGINT)
+FROM a WHERE bad
+"""
+
+
+EXT16_QUERIES["nginx_stub_status"] = q_nginx
+EXT16_ORACLES["nginx_stub_status"] = O_NGINX
