@@ -2640,3 +2640,98 @@ def nginx_stub_status(df: DataFrame, body_col: str = "body") -> DataFrame:
         m["state"].alias("ng_state"),
         m["value"].alias("ng_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# journald input (pkg/stanza/operator/input/journald/input.go:208-264)
+# ---------------------------------------------------------------------------
+
+
+def journald_parse(
+    df: DataFrame,
+    line_col: str = "body",
+    convert_message_bytes: bool = False,
+) -> DataFrame:
+    """``journalctl -o json`` lines → log rows.
+
+    Re-expresses ``parseJournalEntry`` (input.go:208-264):
+    ``__REALTIME_TIMESTAMP`` must be present, a string, and ParseInt-
+    able (µs → ns ×1000, :216-228,263); ``__CURSOR`` must be present
+    as a string (:247-255, it stays in the body — only the timestamp
+    key is deleted, :246); with ``convert_message_bytes`` a MESSAGE
+    that is a JSON array of numbers is rebuilt into the string of its
+    bytes (:233-243, Go ``byte(int(f))`` truncation). Any violation
+    is the reference's warn-and-skip → ``jd_ok=false`` dead-letter
+    row here.
+
+    The body renders as canonical sorted-key JSON (the Go map has no
+    order; our engine-wide canon is sorted keys). Variant-typed
+    values keep their original JSON lexemes. Plan: one from_json into
+    ``map<string,variant>`` + codegen projection — zero shuffle, zero
+    Python.
+    """
+    m = F.from_json(F.col(line_col), "map<string,variant>")
+    df = df.withColumn("_j", m)
+    m = F.col("_j")
+
+    ts_v = F.try_element_at(m, F.lit("__REALTIME_TIMESTAMP"))
+    ts_is_str = F.schema_of_variant(ts_v) == "STRING"
+    ts_int = F.try_variant_get(ts_v, "$", "string").try_cast("bigint")
+    ts_ok = ts_v.isNotNull() & ts_is_str & ts_int.isNotNull()
+
+    cur_v = F.try_element_at(m, F.lit("__CURSOR"))
+    cur_ok = cur_v.isNotNull() & (F.schema_of_variant(cur_v) == "STRING")
+    cursor = F.try_variant_get(cur_v, "$", "string")
+
+    ok = m.isNotNull() & ts_ok & cur_ok
+
+    # MESSAGE byte-array -> string (Go byte(int(f)) wraps mod 256)
+    msg_arr = F.try_variant_get(
+        F.try_element_at(m, F.lit("MESSAGE")), "$", "array<double>"
+    )
+    decoded = F.array_join(
+        F.transform(
+            F.filter(msg_arr, lambda x: x.isNotNull()),
+            lambda x: F.char(x.cast("int") % 256),
+        ),
+        "",
+    )
+    esc = F.regexp_replace(
+        F.regexp_replace(decoded, r"\\", r"\\\\"), '"', '\\\\"'
+    )
+
+    kv_sorted = F.array_sort(
+        F.filter(
+            F.map_entries(m),
+            lambda kv: kv["key"] != "__REALTIME_TIMESTAMP",
+        ),
+        # variant values are not orderable -> compare keys explicitly
+        lambda l, r: F.when(l["key"] < r["key"], F.lit(-1))
+        .when(l["key"] > r["key"], F.lit(1)).otherwise(F.lit(0)),
+    )
+    use_decoded = F.lit(convert_message_bytes) & msg_arr.isNotNull()
+    body_json = F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                kv_sorted,
+                lambda kv: F.concat(
+                    F.lit('"'), kv["key"], F.lit('":'),
+                    F.when(
+                        (kv["key"] == "MESSAGE") & use_decoded,
+                        F.concat(F.lit('"'), esc, F.lit('"')),
+                    ).otherwise(F.to_json(kv["value"])),
+                ),
+            ),
+            ",",
+        ),
+        F.lit("}"),
+    )
+
+    return df.select(
+        *[c for c in df.columns if c not in ("_j", line_col)],
+        F.when(ok, ts_int * 1000).alias("jd_ts_ns"),
+        F.when(ok, cursor).alias("jd_cursor"),
+        F.when(ok, body_json).alias("jd_body"),
+        ok.alias("jd_ok"),
+    )

@@ -709,3 +709,84 @@ FROM a WHERE bad
 
 EXT16_QUERIES["nginx_stub_status"] = q_nginx
 EXT16_ORACLES["nginx_stub_status"] = O_NGINX
+
+
+# ---------------------------------------------------------------------------
+# journald JSON entries -> log rows
+# ---------------------------------------------------------------------------
+
+
+def q_journald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import journald_parse
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    msg = F.when(
+        e % 5 == 0,
+        F.concat(F.lit("[104,105,"), s(e % 26 + 65), F.lit("]")),
+    ).otherwise(F.concat(F.lit('"log line '), s(e % 100), F.lit('"')))
+    ts_field = F.concat(
+        F.lit('"__REALTIME_TIMESTAMP":"'),
+        s(e + 1650000000000000), F.lit('",'),
+    )
+    body = (
+        F.when(e % 37 == 0, F.lit("not json"))
+        .when(e % 13 == 0, F.concat(
+            F.lit('{"__CURSOR":"s=abc'), s(e), F.lit('","MESSAGE":'), msg,
+            F.lit("}"),
+        ))
+        .when(e % 29 == 0, F.concat(
+            F.lit('{"__CURSOR":"s=abc'), s(e),
+            F.lit('","__REALTIME_TIMESTAMP":'), s(e), F.lit(',"MESSAGE":'),
+            msg, F.lit("}"),
+        ))
+        .when(e % 41 == 0, F.concat(
+            F.lit("{"), ts_field, F.lit('"MESSAGE":'), msg, F.lit("}"),
+        ))
+        .otherwise(F.concat(
+            F.lit('{"__CURSOR":"s=abc'), s(e), F.lit('",'), ts_field,
+            F.lit('"_PID":"'), s(u % 32768),
+            F.lit('","PRIORITY":"'), s(e % 8),
+            F.lit('","MESSAGE":'), msg,
+            F.lit(',"_SYSTEMD_UNIT":"unit'), s(u % 10),
+            F.lit('.service","_HOSTNAME":"h'), s(u % 6), F.lit('"}'),
+        ))
+    )
+    out = journald_parse(
+        ev.select("event_id", body.alias("body")),
+        convert_message_bytes=True,
+    )
+    return out.select("event_id", "jd_ts_ns", "jd_cursor", "jd_body",
+                      "jd_ok")
+
+
+O_JOURNALD = """
+WITH a AS (
+  SELECT event_id, user_id AS u, event_id AS e,
+         event_id % 37 = 0 OR event_id % 13 = 0
+           OR event_id % 29 = 0 OR event_id % 41 = 0 AS bad
+  FROM events
+)
+SELECT event_id,
+  CASE WHEN NOT bad
+       THEN (e + 1650000000000000) * 1000 END AS jd_ts_ns,
+  CASE WHEN NOT bad THEN 's=abc' || CAST(e AS VARCHAR) END AS jd_cursor,
+  CASE WHEN NOT bad THEN
+    '{"MESSAGE":"'
+    || CASE WHEN e % 5 = 0 THEN 'hi' || chr(CAST(e % 26 + 65 AS INT))
+            ELSE 'log line ' || CAST(e % 100 AS VARCHAR) END
+    || '","PRIORITY":"' || CAST(e % 8 AS VARCHAR)
+    || '","_HOSTNAME":"h' || CAST(u % 6 AS VARCHAR)
+    || '","_PID":"' || CAST(u % 32768 AS VARCHAR)
+    || '","_SYSTEMD_UNIT":"unit' || CAST(u % 10 AS VARCHAR)
+    || '.service","__CURSOR":"s=abc' || CAST(e AS VARCHAR) || '"}'
+  END AS jd_body,
+  NOT bad AS jd_ok
+FROM a
+"""
+
+
+EXT16_QUERIES["journald_logs"] = q_journald
+EXT16_ORACLES["journald_logs"] = O_JOURNALD
