@@ -2735,3 +2735,356 @@ def journald_parse(
         F.when(ok, body_json).alias("jd_body"),
         ok.alias("jd_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# redis receiver (receiver/redisreceiver/redis_scraper.go + info/keyspace/
+# latencystats.go + metric_functions.go)
+# ---------------------------------------------------------------------------
+
+# info key -> (metric, sum|gauge, monotonic, int|double, cpu state attr)
+# 1:1 with dataPointRecorders (metric_functions.go:14-52).
+_REDIS_COMMON: tuple[tuple[str, str, str, bool, str, str | None], ...] = (
+    ("blocked_clients", "redis.clients.blocked", "sum", False, "int", None),
+    ("client_recent_max_input_buffer", "redis.clients.max_input_buffer",
+     "gauge", False, "int", None),
+    ("client_recent_max_output_buffer", "redis.clients.max_output_buffer",
+     "gauge", False, "int", None),
+    ("connected_clients", "redis.clients.connected", "sum", False, "int",
+     None),
+    ("connected_slaves", "redis.slaves.connected", "sum", False, "int",
+     None),
+    ("evicted_keys", "redis.keys.evicted", "sum", True, "int", None),
+    ("expired_keys", "redis.keys.expired", "sum", True, "int", None),
+    ("instantaneous_ops_per_sec", "redis.commands", "gauge", False, "int",
+     None),
+    ("keyspace_hits", "redis.keyspace.hits", "sum", True, "int", None),
+    ("keyspace_misses", "redis.keyspace.misses", "sum", True, "int", None),
+    ("latest_fork_usec", "redis.latest_fork", "gauge", False, "int", None),
+    ("master_repl_offset", "redis.replication.offset", "gauge", False,
+     "int", None),
+    ("maxmemory", "redis.maxmemory", "gauge", False, "int", None),
+    ("mem_fragmentation_ratio", "redis.memory.fragmentation_ratio",
+     "gauge", False, "double", None),
+    ("rdb_changes_since_last_save", "redis.rdb.changes_since_last_save",
+     "sum", False, "int", None),
+    ("rejected_connections", "redis.connections.rejected", "sum", True,
+     "int", None),
+    ("repl_backlog_first_byte_offset",
+     "redis.replication.backlog_first_byte_offset", "gauge", False, "int",
+     None),
+    ("slave_repl_offset", "redis.replication.replica_offset", "gauge",
+     False, "int", None),
+    ("total_commands_processed", "redis.commands.processed", "sum", True,
+     "int", None),
+    ("total_connections_received", "redis.connections.received", "sum",
+     True, "int", None),
+    ("total_net_input_bytes", "redis.net.input", "sum", True, "int", None),
+    ("total_net_output_bytes", "redis.net.output", "sum", True, "int",
+     None),
+    ("uptime_in_seconds", "redis.uptime", "sum", True, "int", None),
+    ("used_cpu_sys", "redis.cpu.time", "sum", True, "double", "sys"),
+    ("used_cpu_sys_children", "redis.cpu.time", "sum", True, "double",
+     "sys_children"),
+    ("used_cpu_sys_main_thread", "redis.cpu.time", "sum", True, "double",
+     "sys_main_thread"),
+    ("used_cpu_user", "redis.cpu.time", "sum", True, "double", "user"),
+    ("used_cpu_user_children", "redis.cpu.time", "sum", True, "double",
+     "user_children"),
+    ("used_cpu_user_main_thread", "redis.cpu.time", "sum", True, "double",
+     "user_main_thread"),
+    ("used_memory", "redis.memory.used", "gauge", False, "int", None),
+    ("used_memory_lua", "redis.memory.lua", "gauge", False, "int", None),
+    ("used_memory_peak", "redis.memory.peak", "gauge", False, "int", None),
+    ("used_memory_rss", "redis.memory.rss", "gauge", False, "int", None),
+)
+
+_REDIS_DISABLED_DEFAULT = frozenset({
+    "redis.maxmemory", "redis.role", "redis.cmd.calls", "redis.cmd.usec",
+    "redis.cmd.latency", "redis.replication.replica_offset",
+})
+
+_REDIS_OUT = (
+    "rd_version", "rd_metric", "rd_kind", "rd_mono", "rd_state", "rd_role",
+    "rd_cmd", "rd_db", "rd_percentile", "rd_value", "rd_value_d", "rd_ok",
+)
+
+
+def redis_info(
+    df: DataFrame,
+    body_col: str = "body",
+    enabled: frozenset | None = None,
+) -> DataFrame:
+    """Redis ``INFO`` pages → one row per recorded metric.
+
+    Re-expresses the redis receiver's scrape:
+
+    - the info map (redis_svc.go:27-44): empty and ``#`` lines skipped,
+      only lines that split on ``:`` into EXACTLY two parts survive
+      (a value containing ``:`` is dropped, the Go code's defensive
+      len==2 check);
+    - ``uptime_in_seconds`` must be present and integral or the whole
+      scrape errors (info.go:15-26) → single ``rd_ok=false`` row;
+    - common metrics (redis_scraper.go:110-137 + the recorder table in
+      metric_functions.go): a present key is ALWAYS recorded — a value
+      that fails ParseInt/ParseFloat logs a warning and records the Go
+      zero value (0), mirrored as value 0 + ``rd_ok=false``;
+    - keyspace (keyspace.go:23-53, redis_scraper.go:141-160): db0-db15
+      only; every ``,``-pair must split on ``=`` into exactly 2 parts
+      and the keys/expires/avg_ttl values must be ints, else the whole
+      db line is skipped; absent fields default 0;
+    - cmdstats (redis_scraper.go:186-205): per ``cmdstat_<cmd>`` entry,
+      ``calls``/``usec`` pairs that ParseInt emit rows, bad items are
+      skipped item-wise;
+    - latencystats (redis_scraper.go:163-230 + latencystats.go): the
+      whole entry is skipped if ANY pair is malformed; only
+      p50/p99/p99.9 percentiles emit, value = µs / 1e6 seconds;
+    - role (redis_scraper.go:168-176): master → ``primary`` else
+      ``replica``, value 1; resource carries ``redis_version`` (or
+      "unknown").
+
+    Metric enables follow metadata.yaml defaults (maxmemory, role,
+    cmd.*, replication.replica_offset off). Plan: four unioned
+    zero-shuffle explode projections, zero Python.
+    """
+    on = (
+        {m for _, m, _, _, _, _ in _REDIS_COMMON}
+        | {"redis.role", "redis.cmd.calls", "redis.cmd.usec",
+           "redis.cmd.latency", "redis.db.keys", "redis.db.expires",
+           "redis.db.avg_ttl"}
+    ) - _REDIS_DISABLED_DEFAULT if enabled is None else set(enabled)
+
+    lines = F.filter(
+        F.split(F.col(body_col), "\r?\n"),
+        lambda l: (l != "") & ~l.startswith("#"),
+    )
+    ents = F.filter(
+        F.transform(lines, lambda l: F.split(l, ":")),
+        lambda a: F.size(a) == 2,
+    )
+    passthrough = [c for c in df.columns if c != body_col]
+    staged = df.select(*passthrough, ents.alias("_ents"))
+    ents = F.col("_ents")
+
+    def val(key: str) -> Column:
+        hit = F.try_element_at(
+            F.filter(ents, lambda kv: F.get(kv, 0) == key), F.lit(-1)
+        )
+        return F.get(hit, 1)
+
+    version = F.coalesce(val("redis_version"), F.lit("unknown"))
+    page_ok = val("uptime_in_seconds").try_cast("bigint").isNotNull()
+    staged = staged.select(
+        "*", version.alias("rd_version"), page_ok.alias("_pok"),
+    )
+    pok = F.col("_pok")
+
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+
+    def mk(metric, kind, mono, state, role, cmd, db, pct, vi, vd, ok,
+           present):
+        return F.struct(
+            (F.lit(metric) if isinstance(metric, str) else metric)
+                .alias("metric"),
+            F.lit(kind).alias("kind"),
+            F.lit(mono).alias("mono"),
+            (F.lit(state) if isinstance(state, str)
+             else (state if state is not None else ns)).alias("state"),
+            (F.lit(role) if isinstance(role, str)
+             else (role if role is not None else ns)).alias("role"),
+            (cmd if cmd is not None else ns).alias("cmd"),
+            (db if db is not None else ns).alias("db"),
+            (F.lit(pct) if isinstance(pct, str)
+             else (pct if pct is not None else ns)).alias("pct"),
+            vi.cast("bigint").alias("value"),
+            vd.cast("double").alias("value_d"),
+            ok.alias("ok"), present.alias("present"),
+        )
+
+    entry_type = (
+        "struct<metric:string,kind:string,mono:boolean,state:string,"
+        "role:string,cmd:string,db:string,pct:string,value:bigint,"
+        "value_d:double,ok:boolean,present:boolean>"
+    )
+
+    # --- branch A: common metrics + role + page dead-letter ------------
+    a_entries = []
+    for key, metric, kind, mono, vt, state in _REDIS_COMMON:
+        if metric not in on:
+            continue
+        v = val(key)
+        if vt == "int":
+            p = v.try_cast("bigint")
+            a_entries.append(mk(metric, kind, mono, state, None, None,
+                                None, None, F.coalesce(p, F.lit(0)), nd,
+                                p.isNotNull(), v.isNotNull()))
+        else:
+            p = v.try_cast("double")
+            a_entries.append(mk(metric, kind, mono, state, None, None,
+                                None, None, nl,
+                                F.coalesce(p, F.lit(0.0)), p.isNotNull(),
+                                v.isNotNull()))
+    if "redis.role" in on:
+        rv = val("role")
+        a_entries.append(mk(
+            "redis.role", "sum", False, None,
+            F.when(rv == "master", "primary").otherwise("replica"),
+            None, None, None, F.lit(1), nd, F.lit(True), rv.isNotNull(),
+        ))
+    br_a = staged.select(
+        *passthrough, "rd_version",
+        F.explode(F.when(
+            pok, F.filter(F.array(*a_entries), lambda x: x["present"]),
+        ).otherwise(
+            F.array(F.lit(None).cast(entry_type))
+        )).alias("_m"),
+        pok.alias("_pok2"),
+    )
+
+    branches = [br_a]
+
+    # --- branch B: keyspace db0-db15 ------------------------------------
+    if {"redis.db.keys", "redis.db.expires", "redis.db.avg_ttl"} & on:
+        dbe = staged.select(
+            *passthrough, "rd_version", pok.alias("_pok2"),
+            F.explode(F.filter(
+                ents,
+                lambda kv: F.get(kv, 0).rlike("^db([0-9]|1[0-5])$"),
+            )).alias("_kv"),
+        ).filter(F.col("_pok2"))
+        kvp = F.col("_kv")
+        ps = F.transform(
+            F.split(F.get(kvp, 1), ","), lambda p: F.split(p, "=")
+        )
+        three = F.array(F.lit("keys"), F.lit("expires"), F.lit("avg_ttl"))
+        valid = F.forall(
+            ps,
+            lambda x: (F.size(x) == 2) & (
+                ~F.array_contains(three, F.get(x, 0))
+                | F.get(x, 1).try_cast("bigint").isNotNull()
+            ),
+        )
+
+        def field(name: str) -> Column:
+            hit = F.try_element_at(
+                F.filter(ps, lambda x: F.get(x, 0) == name), F.lit(-1)
+            )
+            return F.coalesce(F.get(hit, 1).try_cast("bigint"), F.lit(0))
+
+        db = F.substring(F.get(kvp, 0), 3, 2)
+        b_entries = [
+            mk("redis.db." + suffix, "gauge", False, None, None, None,
+               db, None, field(fld), nd, F.lit(True), F.lit(True))
+            for suffix, fld in (("keys", "keys"), ("expires", "expires"),
+                                ("avg_ttl", "avg_ttl"))
+            if "redis.db." + suffix in on
+        ]
+        br_b = dbe.select(
+            *passthrough, "rd_version",
+            F.explode(F.when(valid, F.array(*b_entries)).otherwise(
+                F.array().cast("array<" + entry_type + ">")
+            )).alias("_m"),
+            F.col("_pok2"),
+        )
+        branches.append(br_b)
+
+    # --- branch C: cmdstat_<cmd> ----------------------------------------
+    if {"redis.cmd.calls", "redis.cmd.usec"} & on:
+        ce = staged.select(
+            *passthrough, "rd_version", pok.alias("_pok2"),
+            F.explode(F.filter(
+                ents, lambda kv: F.get(kv, 0).startswith("cmdstat_"),
+            )).alias("_kv"),
+        ).filter(F.col("_pok2"))
+        kvp = F.col("_kv")
+        cmd = F.substr(F.get(kvp, 0), F.lit(9))
+        subs = F.transform(
+            F.split(F.trim(F.get(kvp, 1)), ","), lambda p: F.split(p, "=")
+        )
+        wanted = [w for w in ("calls", "usec")
+                  if "redis.cmd." + w in on]
+        items = F.filter(
+            F.transform(subs, lambda x: F.struct(
+                F.get(x, 0).alias("name"),
+                F.get(x, 1).try_cast("bigint").alias("parsed"),
+                F.size(x).alias("n"),
+            )),
+            lambda it: (it["n"] >= 2) & it["parsed"].isNotNull()
+            & F.array_contains(
+                F.array(*[F.lit(w) for w in wanted]), it["name"]
+            ),
+        )
+        br_c = ce.select(
+            *passthrough, "rd_version",
+            F.explode(F.transform(items, lambda it: mk(
+                F.concat(F.lit("redis.cmd."), it["name"]),
+                "sum", True, None, None, cmd, None, None,
+                it["parsed"], nd, F.lit(True), F.lit(True),
+            ))).alias("_m"),
+            F.col("_pok2"),
+        )
+        branches.append(br_c)
+
+    # --- branch D: latency_percentiles_usec_<cmd> -----------------------
+    if "redis.cmd.latency" in on:
+        le = staged.select(
+            *passthrough, "rd_version", pok.alias("_pok2"),
+            F.explode(F.filter(
+                ents,
+                lambda kv: F.get(kv, 0).startswith(
+                    "latency_percentiles_usec_"
+                ),
+            )).alias("_kv"),
+        ).filter(F.col("_pok2"))
+        kvp = F.col("_kv")
+        cmd = F.substr(F.get(kvp, 0), F.lit(26))
+        ps = F.transform(
+            F.split(F.trim(F.get(kvp, 1)), ","), lambda p: F.split(p, "=")
+        )
+        entry_valid = F.forall(
+            ps,
+            lambda x: (F.size(x) == 2)
+            & F.get(x, 1).try_cast("double").isNotNull(),
+        )
+        pcts = F.array(F.lit("p50"), F.lit("p99"), F.lit("p99.9"))
+        items = F.filter(
+            ps, lambda x: F.array_contains(pcts, F.get(x, 0)),
+        )
+        br_d = le.select(
+            *passthrough, "rd_version",
+            F.explode(F.when(entry_valid, F.transform(
+                items, lambda x: mk(
+                    "redis.cmd.latency", "gauge", False, None, None, cmd,
+                    None, F.get(x, 0), nl,
+                    F.get(x, 1).try_cast("double") / 1e6,
+                    F.lit(True), F.lit(True),
+                ),
+            )).otherwise(
+                F.array().cast("array<" + entry_type + ">")
+            )).alias("_m"),
+            F.col("_pok2"),
+        )
+        branches.append(br_d)
+
+    out = None
+    m = F.col("_m")
+    for br in branches:
+        sel = br.select(
+            *passthrough, "rd_version",
+            m["metric"].alias("rd_metric"),
+            m["kind"].alias("rd_kind"),
+            m["mono"].alias("rd_mono"),
+            m["state"].alias("rd_state"),
+            m["role"].alias("rd_role"),
+            m["cmd"].alias("rd_cmd"),
+            m["db"].alias("rd_db"),
+            m["pct"].alias("rd_percentile"),
+            m["value"].alias("rd_value"),
+            m["value_d"].alias("rd_value_d"),
+            (F.col("_pok2") & F.coalesce(m["ok"], F.lit(False)))
+                .alias("rd_ok"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out

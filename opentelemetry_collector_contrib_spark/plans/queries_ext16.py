@@ -790,3 +790,252 @@ FROM a
 
 EXT16_QUERIES["journald_logs"] = q_journald
 EXT16_ORACLES["journald_logs"] = O_JOURNALD
+
+
+# ---------------------------------------------------------------------------
+# redis INFO page -> long-format metric rows
+# ---------------------------------------------------------------------------
+
+_REDIS_ALL_ON = frozenset({
+    "redis.clients.blocked", "redis.clients.max_input_buffer",
+    "redis.clients.max_output_buffer", "redis.clients.connected",
+    "redis.slaves.connected", "redis.keys.evicted", "redis.keys.expired",
+    "redis.commands", "redis.keyspace.hits", "redis.keyspace.misses",
+    "redis.latest_fork", "redis.replication.offset", "redis.maxmemory",
+    "redis.memory.fragmentation_ratio",
+    "redis.rdb.changes_since_last_save", "redis.connections.rejected",
+    "redis.replication.backlog_first_byte_offset",
+    "redis.replication.replica_offset", "redis.commands.processed",
+    "redis.connections.received", "redis.net.input", "redis.net.output",
+    "redis.uptime", "redis.cpu.time", "redis.memory.used",
+    "redis.memory.lua", "redis.memory.peak", "redis.memory.rss",
+    "redis.role", "redis.cmd.calls", "redis.cmd.usec",
+    "redis.cmd.latency", "redis.db.keys", "redis.db.expires",
+    "redis.db.avg_ttl",
+})
+
+
+def q_redis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import redis_info
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    body = F.concat(
+        F.lit("# Server\r\nredis_version:7.0."), s(u % 15),
+        F.lit("\r\nuptime_in_seconds:"),
+        F.when(e % 43 == 0, F.lit("soon")).otherwise(s(e % 1000000)),
+        F.lit("\r\n# Clients\r\nconnected_clients:"),
+        F.when(e % 23 == 0, F.lit("abc")).otherwise(s(u % 500)),
+        F.lit("\r\nblocked_clients:"), s(e % 20),
+        F.lit("\r\nclient_recent_max_input_buffer:"), s(e % 4096),
+        F.lit("\r\nclient_recent_max_output_buffer:"), s(u % 4096),
+        F.lit("\r\n# Memory\r\nused_memory:"), s(e % 8000000),
+        F.lit("\r\nused_memory_rss:"), s(e % 9000000),
+        F.lit("\r\nused_memory_peak:"), s(e % 10000000),
+        F.lit("\r\nused_memory_lua:"), s(u % 50000),
+        F.lit("\r\nmaxmemory:"),
+        F.when(u % 2 == 0, s(e % 20000000)).otherwise(F.lit("0")),
+        F.lit("\r\nmem_fragmentation_ratio:"), s((e % 300) / 100.0),
+        F.lit("\r\n# Stats\r\ntotal_connections_received:"), s(e % 100000),
+        F.lit("\r\ntotal_commands_processed:"), s(e % 2000000),
+        F.lit("\r\ninstantaneous_ops_per_sec:"), s(e % 5000),
+        F.lit("\r\nrejected_connections:"), s(u % 10),
+        F.lit("\r\nexpired_keys:"), s(e % 3000),
+        F.lit("\r\nevicted_keys:"), s(u % 100),
+        F.lit("\r\nkeyspace_hits:"), s(e % 50000),
+        F.lit("\r\nkeyspace_misses:"), s(u % 5000),
+        F.lit("\r\nlatest_fork_usec:"), s(e % 700),
+        F.lit("\r\ntotal_net_input_bytes:"), s(e % 123456),
+        F.lit("\r\ntotal_net_output_bytes:"), s(u % 123456),
+        F.lit("\r\nrdb_changes_since_last_save:"), s(e % 77),
+        F.lit("\r\n# Replication\r\nrole:"),
+        F.when(u % 4 == 0, F.lit("slave")).otherwise(F.lit("master")),
+        F.lit("\r\nmaster_host:10.0.0.1:6379"),
+        F.lit("\r\nconnected_slaves:"), s(u % 3),
+        F.lit("\r\nmaster_repl_offset:"), s(e % 999999),
+        F.lit("\r\nrepl_backlog_first_byte_offset:"), s(u % 333),
+        F.lit("\r\nslave_repl_offset:"), s(e % 888888),
+        F.lit("\r\n# CPU\r\nused_cpu_sys:"), s((e % 10000) / 16.0),
+        F.lit("\r\nused_cpu_user:"), s((u % 10000) / 16.0),
+        F.lit("\r\nused_cpu_sys_children:"), s((e % 100) / 4.0),
+        F.lit("\r\nused_cpu_user_children:"), s((u % 100) / 4.0),
+        F.lit("\r\nused_cpu_sys_main_thread:"), s((e % 5000) / 8.0),
+        F.lit("\r\nused_cpu_user_main_thread:"), s((u % 5000) / 8.0),
+        F.lit("\r\n# Commandstats\r\ncmdstat_get:calls="), s(e % 10000),
+        F.lit(",usec="), s(e % 90000),
+        F.lit(",usec_per_call=3.58,rejected_calls=0,failed_calls=0"),
+        F.lit("\r\ncmdstat_set:calls="), s(u % 8000),
+        F.lit(",usec="), s(u % 80000), F.lit(",usec_per_call=2.5"),
+        F.when(e % 9 == 0,
+               F.concat(F.lit("\r\ncmdstat_bad:calls=xx,usec="),
+                        s(e % 70))).otherwise(F.lit("")),
+        F.lit("\r\n# Latencystats\r\nlatency_percentiles_usec_get:p50="),
+        s((e % 2000) / 16.0), F.lit(",p99="), s((e % 4000) / 8.0),
+        F.lit(",p99.9="), s((e % 8000) / 4.0),
+        F.lit("\r\nlatency_percentiles_usec_del:p50="), s((u % 64) / 4.0),
+        F.lit(",p95="), s((u % 16) / 4.0),
+        F.when(u % 5 == 0,
+               F.lit("\r\nlatency_percentiles_usec_set:p50=1.5,p99=oops")
+               ).otherwise(F.lit("")),
+        F.lit("\r\n# Keyspace\r\ndb0:keys="), s(e % 1000),
+        F.lit(",expires="), s(u % 100), F.lit(",avg_ttl="), s(e % 50000),
+        F.when(u % 2 == 0, F.concat(
+            F.lit("\r\ndb1:keys="), s(u % 2000), F.lit(",expires="),
+            s(e % 200), F.lit(",avg_ttl=0"))).otherwise(F.lit("")),
+        F.when(e % 21 == 0,
+               F.lit("\r\ndb2:keys=bad,expires=1,avg_ttl=2")
+               ).otherwise(F.lit("")),
+        F.lit("\r\n"),
+    )
+    out = redis_info(
+        ev.select("event_id", body.alias("body")), enabled=_REDIS_ALL_ON,
+    )
+    return out.select(
+        "event_id", "rd_version", "rd_metric", "rd_kind", "rd_mono",
+        "rd_state", "rd_role", "rd_cmd", "rd_db", "rd_percentile",
+        "rd_value", "rd_value_d", "rd_ok",
+    )
+
+
+def _redis_oracle() -> str:
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    # metric, kind, mono, state, role, cmd, db, pct, where, vi, vd, ok
+    rows = [
+        ("redis.clients.blocked", "sum", "FALSE", NS, NS, NS, NS, NS,
+         None, "e % 20", ND, "TRUE"),
+        ("redis.clients.max_input_buffer", "gauge", "FALSE", NS, NS, NS,
+         NS, NS, None, "e % 4096", ND, "TRUE"),
+        ("redis.clients.max_output_buffer", "gauge", "FALSE", NS, NS, NS,
+         NS, NS, None, "u % 4096", ND, "TRUE"),
+        ("redis.clients.connected", "sum", "FALSE", NS, NS, NS, NS, NS,
+         None, "CASE WHEN e % 23 = 0 THEN 0 ELSE u % 500 END", ND,
+         "e % 23 <> 0"),
+        ("redis.slaves.connected", "sum", "FALSE", NS, NS, NS, NS, NS,
+         None, "u % 3", ND, "TRUE"),
+        ("redis.keys.evicted", "sum", "TRUE", NS, NS, NS, NS, NS, None,
+         "u % 100", ND, "TRUE"),
+        ("redis.keys.expired", "sum", "TRUE", NS, NS, NS, NS, NS, None,
+         "e % 3000", ND, "TRUE"),
+        ("redis.commands", "gauge", "FALSE", NS, NS, NS, NS, NS, None,
+         "e % 5000", ND, "TRUE"),
+        ("redis.keyspace.hits", "sum", "TRUE", NS, NS, NS, NS, NS, None,
+         "e % 50000", ND, "TRUE"),
+        ("redis.keyspace.misses", "sum", "TRUE", NS, NS, NS, NS, NS,
+         None, "u % 5000", ND, "TRUE"),
+        ("redis.latest_fork", "gauge", "FALSE", NS, NS, NS, NS, NS, None,
+         "e % 700", ND, "TRUE"),
+        ("redis.replication.offset", "gauge", "FALSE", NS, NS, NS, NS,
+         NS, None, "e % 999999", ND, "TRUE"),
+        ("redis.maxmemory", "gauge", "FALSE", NS, NS, NS, NS, NS, None,
+         "CASE WHEN u % 2 = 0 THEN e % 20000000 ELSE 0 END", ND, "TRUE"),
+        ("redis.memory.fragmentation_ratio", "gauge", "FALSE", NS, NS,
+         NS, NS, NS, None, NI, "CAST(e % 300 AS DOUBLE) / 100.0",
+         "TRUE"),
+        ("redis.rdb.changes_since_last_save", "sum", "FALSE", NS, NS, NS,
+         NS, NS, None, "e % 77", ND, "TRUE"),
+        ("redis.connections.rejected", "sum", "TRUE", NS, NS, NS, NS, NS,
+         None, "u % 10", ND, "TRUE"),
+        ("redis.replication.backlog_first_byte_offset", "gauge", "FALSE",
+         NS, NS, NS, NS, NS, None, "u % 333", ND, "TRUE"),
+        ("redis.replication.replica_offset", "gauge", "FALSE", NS, NS,
+         NS, NS, NS, None, "e % 888888", ND, "TRUE"),
+        ("redis.commands.processed", "sum", "TRUE", NS, NS, NS, NS, NS,
+         None, "e % 2000000", ND, "TRUE"),
+        ("redis.connections.received", "sum", "TRUE", NS, NS, NS, NS, NS,
+         None, "e % 100000", ND, "TRUE"),
+        ("redis.net.input", "sum", "TRUE", NS, NS, NS, NS, NS, None,
+         "e % 123456", ND, "TRUE"),
+        ("redis.net.output", "sum", "TRUE", NS, NS, NS, NS, NS, None,
+         "u % 123456", ND, "TRUE"),
+        ("redis.uptime", "sum", "TRUE", NS, NS, NS, NS, NS, None,
+         "e % 1000000", ND, "TRUE"),
+        ("redis.cpu.time", "sum", "TRUE", "'sys'", NS, NS, NS, NS, None,
+         NI, "CAST(e % 10000 AS DOUBLE) / 16.0", "TRUE"),
+        ("redis.cpu.time", "sum", "TRUE", "'sys_children'", NS, NS, NS,
+         NS, None, NI, "CAST(e % 100 AS DOUBLE) / 4.0", "TRUE"),
+        ("redis.cpu.time", "sum", "TRUE", "'sys_main_thread'", NS, NS,
+         NS, NS, None, NI, "CAST(e % 5000 AS DOUBLE) / 8.0", "TRUE"),
+        ("redis.cpu.time", "sum", "TRUE", "'user'", NS, NS, NS, NS, None,
+         NI, "CAST(u % 10000 AS DOUBLE) / 16.0", "TRUE"),
+        ("redis.cpu.time", "sum", "TRUE", "'user_children'", NS, NS, NS,
+         NS, None, NI, "CAST(u % 100 AS DOUBLE) / 4.0", "TRUE"),
+        ("redis.cpu.time", "sum", "TRUE", "'user_main_thread'", NS, NS,
+         NS, NS, None, NI, "CAST(u % 5000 AS DOUBLE) / 8.0", "TRUE"),
+        ("redis.memory.used", "gauge", "FALSE", NS, NS, NS, NS, NS, None,
+         "e % 8000000", ND, "TRUE"),
+        ("redis.memory.lua", "gauge", "FALSE", NS, NS, NS, NS, NS, None,
+         "u % 50000", ND, "TRUE"),
+        ("redis.memory.peak", "gauge", "FALSE", NS, NS, NS, NS, NS, None,
+         "e % 10000000", ND, "TRUE"),
+        ("redis.memory.rss", "gauge", "FALSE", NS, NS, NS, NS, NS, None,
+         "e % 9000000", ND, "TRUE"),
+        ("redis.role", "sum", "FALSE", NS,
+         "CASE WHEN u % 4 = 0 THEN 'replica' ELSE 'primary' END", NS, NS,
+         NS, None, "1", ND, "TRUE"),
+        ("redis.cmd.calls", "sum", "TRUE", NS, NS, "'get'", NS, NS, None,
+         "e % 10000", ND, "TRUE"),
+        ("redis.cmd.usec", "sum", "TRUE", NS, NS, "'get'", NS, NS, None,
+         "e % 90000", ND, "TRUE"),
+        ("redis.cmd.calls", "sum", "TRUE", NS, NS, "'set'", NS, NS, None,
+         "u % 8000", ND, "TRUE"),
+        ("redis.cmd.usec", "sum", "TRUE", NS, NS, "'set'", NS, NS, None,
+         "u % 80000", ND, "TRUE"),
+        ("redis.cmd.usec", "sum", "TRUE", NS, NS, "'bad'", NS, NS,
+         "e % 9 = 0", "e % 70", ND, "TRUE"),
+        ("redis.cmd.latency", "gauge", "FALSE", NS, NS, "'get'", NS,
+         "'p50'", None, NI,
+         "CAST(e % 2000 AS DOUBLE) / 16.0 / 1000000.0", "TRUE"),
+        ("redis.cmd.latency", "gauge", "FALSE", NS, NS, "'get'", NS,
+         "'p99'", None, NI,
+         "CAST(e % 4000 AS DOUBLE) / 8.0 / 1000000.0", "TRUE"),
+        ("redis.cmd.latency", "gauge", "FALSE", NS, NS, "'get'", NS,
+         "'p99.9'", None, NI,
+         "CAST(e % 8000 AS DOUBLE) / 4.0 / 1000000.0", "TRUE"),
+        ("redis.cmd.latency", "gauge", "FALSE", NS, NS, "'del'", NS,
+         "'p50'", None, NI,
+         "CAST(u % 64 AS DOUBLE) / 4.0 / 1000000.0", "TRUE"),
+        ("redis.db.keys", "gauge", "FALSE", NS, NS, NS, "'0'", NS, None,
+         "e % 1000", ND, "TRUE"),
+        ("redis.db.expires", "gauge", "FALSE", NS, NS, NS, "'0'", NS,
+         None, "u % 100", ND, "TRUE"),
+        ("redis.db.avg_ttl", "gauge", "FALSE", NS, NS, NS, "'0'", NS,
+         None, "e % 50000", ND, "TRUE"),
+        ("redis.db.keys", "gauge", "FALSE", NS, NS, NS, "'1'", NS,
+         "u % 2 = 0", "u % 2000", ND, "TRUE"),
+        ("redis.db.expires", "gauge", "FALSE", NS, NS, NS, "'1'", NS,
+         "u % 2 = 0", "e % 200", ND, "TRUE"),
+        ("redis.db.avg_ttl", "gauge", "FALSE", NS, NS, NS, "'1'", NS,
+         "u % 2 = 0", "0", ND, "TRUE"),
+    ]
+    parts = []
+    for i, (metric, kind, mono, st, role, cmd, db, pct, where, vi, vd,
+            ok) in enumerate(rows):
+        a = (lambda n: f" AS {n}") if i == 0 else (lambda n: "")
+        w = "NOT bad" + (f" AND ({where})" if where else "")
+        parts.append(
+            f"SELECT event_id, ver{a('rd_version')}, "
+            f"'{metric}'{a('rd_metric')}, '{kind}'{a('rd_kind')}, "
+            f"{mono}{a('rd_mono')}, {st}{a('rd_state')}, "
+            f"{role}{a('rd_role')}, {cmd}{a('rd_cmd')}, {db}{a('rd_db')}, "
+            f"{pct}{a('rd_percentile')}, {vi}{a('rd_value')}, "
+            f"{vd}{a('rd_value_d')}, {ok}{a('rd_ok')} FROM a WHERE {w}"
+        )
+    parts.append(
+        "SELECT event_id, ver, NULL, NULL, CAST(NULL AS BOOLEAN), NULL, "
+        "NULL, NULL, NULL, NULL, CAST(NULL AS BIGINT), "
+        "CAST(NULL AS DOUBLE), FALSE FROM a WHERE bad"
+    )
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e, "
+        "'7.0.' || CAST(user_id % 15 AS VARCHAR) AS ver, "
+        "event_id % 43 = 0 AS bad FROM events)\n"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["redis_info_metrics"] = q_redis
+EXT16_ORACLES["redis_info_metrics"] = _redis_oracle()
