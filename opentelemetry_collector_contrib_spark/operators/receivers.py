@@ -3088,3 +3088,139 @@ def redis_info(
         )
         out = sel if out is None else out.unionByName(sel)
     return out
+
+
+# ---------------------------------------------------------------------------
+# memcached receiver (receiver/memcachedreceiver/scraper.go:38-211)
+# ---------------------------------------------------------------------------
+
+# stat key -> (metric, kind, mono, vt, attr dict)
+_MEMCACHED_STATS: tuple[tuple[str, str, str, bool, str, dict], ...] = (
+    ("bytes", "memcached.bytes", "gauge", False, "int", {}),
+    ("curr_connections", "memcached.connections.current", "sum", False,
+     "int", {}),
+    ("total_connections", "memcached.connections.total", "sum", True,
+     "int", {}),
+    ("cmd_get", "memcached.commands", "sum", True, "int",
+     {"command": "get"}),
+    ("cmd_set", "memcached.commands", "sum", True, "int",
+     {"command": "set"}),
+    ("cmd_flush", "memcached.commands", "sum", True, "int",
+     {"command": "flush"}),
+    ("cmd_touch", "memcached.commands", "sum", True, "int",
+     {"command": "touch"}),
+    ("curr_items", "memcached.current_items", "sum", False, "int", {}),
+    ("threads", "memcached.threads", "sum", False, "int", {}),
+    ("evictions", "memcached.evictions", "sum", True, "int", {}),
+    ("bytes_read", "memcached.network", "sum", True, "int",
+     {"direction": "received"}),
+    ("bytes_written", "memcached.network", "sum", True, "int",
+     {"direction": "sent"}),
+    ("get_hits", "memcached.operations", "sum", True, "int",
+     {"type": "hit", "operation": "get"}),
+    ("get_misses", "memcached.operations", "sum", True, "int",
+     {"type": "miss", "operation": "get"}),
+    ("incr_hits", "memcached.operations", "sum", True, "int",
+     {"type": "hit", "operation": "increment"}),
+    ("incr_misses", "memcached.operations", "sum", True, "int",
+     {"type": "miss", "operation": "increment"}),
+    ("decr_hits", "memcached.operations", "sum", True, "int",
+     {"type": "hit", "operation": "decrement"}),
+    ("decr_misses", "memcached.operations", "sum", True, "int",
+     {"type": "miss", "operation": "decrement"}),
+    ("rusage_system", "memcached.cpu.usage", "sum", True, "double",
+     {"state": "system"}),
+    ("rusage_user", "memcached.cpu.usage", "sum", True, "double",
+     {"state": "user"}),
+)
+
+
+def memcached_stats(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """``stats`` command output → one row per recorded metric.
+
+    Re-expresses ``receiver/memcachedreceiver/scraper.go:38-211`` over
+    raw ``STAT <key> <value>`` text: the 20 recorded stat keys with
+    their command/direction/type/operation/state attrs; values that
+    fail ParseInt/ParseFloat are logged and SKIPPED (:185-203 — no
+    zero-value record here, unlike redis). The derived
+    ``memcached.operation_hit_ratio`` replays calculateHitRatio
+    (:176-183) INCLUDING the reference's swapped-argument call
+    (:151-169 passes (hits, misses) into ``(misses, hits)``), so the
+    emitted "hit ratio" is numerically misses/(hits+misses)*100 — a
+    faithfully carried reference quirk; emitted only when both sides
+    parse, 0 when the sum is 0. Plan: one projection + inline
+    explode, zero shuffle, zero Python.
+    """
+    body = F.col(body_col)
+
+    def raw(key: str) -> Column:
+        return F.regexp_extract(
+            body, r"(?m)^STAT " + key + r" (\S+)\s*$", 1
+        )
+
+    def has(key: str) -> Column:
+        return body.rlike(r"(?m)^STAT " + key + " ")
+
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+    entries = []
+
+    def mk(metric, kind, mono, attrs, present, vi, vd):
+        entries.append(F.struct(
+            F.lit(metric).alias("metric"), F.lit(kind).alias("kind"),
+            F.lit(mono).alias("mono"),
+            F.lit(attrs.get("command")).cast("string").alias("command"),
+            F.lit(attrs.get("direction")).cast("string")
+                .alias("direction"),
+            F.lit(attrs.get("type")).cast("string").alias("type"),
+            F.lit(attrs.get("operation")).cast("string")
+                .alias("operation"),
+            F.lit(attrs.get("state")).cast("string").alias("state"),
+            present.alias("present"),
+            vi.cast("bigint").alias("value"),
+            vd.cast("double").alias("value_d"),
+        ))
+
+    for key, metric, kind, mono, vt, attrs in _MEMCACHED_STATS:
+        if vt == "int":
+            p = raw(key).try_cast("bigint")
+            mk(metric, kind, mono, attrs, has(key) & p.isNotNull(), p, nd)
+        else:
+            p = raw(key).try_cast("double")
+            mk(metric, kind, mono, attrs, has(key) & p.isNotNull(), nl, p)
+
+    # hit-ratio trio: replayed with the reference's swapped args
+    for op, hk, mk_ in (("increment", "incr_hits", "incr_misses"),
+                        ("decrement", "decr_hits", "decr_misses"),
+                        ("get", "get_hits", "get_misses")):
+        h = raw(hk).try_cast("bigint")
+        m_ = raw(mk_).try_cast("bigint")
+        both = h.isNotNull() & m_.isNotNull()
+        ratio = F.when(h + m_ == 0, F.lit(0.0)).otherwise(
+            m_.cast("double")
+            / (m_.cast("double") + h.cast("double")) * 100
+        )
+        mk("memcached.operation_hit_ratio", "gauge", False,
+           {"operation": op}, both, nl, ratio)
+
+    exploded = df.select(
+        *[c for c in df.columns if c != body_col],
+        F.explode(
+            F.filter(F.array(*entries), lambda x: x["present"])
+        ).alias("_m"),
+    )
+    m = F.col("_m")
+    return exploded.select(
+        *[c for c in exploded.columns if c != "_m"],
+        m["metric"].alias("mc_metric"),
+        m["kind"].alias("mc_kind"),
+        m["mono"].alias("mc_mono"),
+        m["command"].alias("mc_command"),
+        m["direction"].alias("mc_direction"),
+        m["type"].alias("mc_type"),
+        m["operation"].alias("mc_operation"),
+        m["state"].alias("mc_state"),
+        m["value"].alias("mc_value"),
+        m["value_d"].alias("mc_value_d"),
+    )

@@ -1039,3 +1039,134 @@ def _redis_oracle() -> str:
 
 EXT16_QUERIES["redis_info_metrics"] = q_redis
 EXT16_ORACLES["redis_info_metrics"] = _redis_oracle()
+
+
+# ---------------------------------------------------------------------------
+# memcached stats output -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_memcached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import memcached_stats
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    body = F.concat(
+        F.lit("STAT pid 1\nSTAT bytes "), s(e % 9000000),
+        F.lit("\nSTAT curr_connections "), s(u % 500),
+        F.lit("\nSTAT total_connections "), s(e % 100000),
+        F.lit("\nSTAT cmd_get "), s(e % 70000),
+        F.lit("\nSTAT cmd_set "), s(u % 60000),
+        F.lit("\nSTAT cmd_flush "), s(e % 10),
+        F.lit("\nSTAT cmd_touch "),
+        F.when(e % 11 == 0, F.lit("zz")).otherwise(s(e % 100)),
+        F.lit("\nSTAT curr_items "), s(e % 40000),
+        F.lit("\nSTAT threads "), s(u % 16 + 1),
+        F.lit("\nSTAT evictions "), s(e % 3000),
+        F.lit("\nSTAT bytes_read "), s(e % 888888),
+        F.lit("\nSTAT bytes_written "), s(u % 777777),
+        F.lit("\nSTAT get_hits "), s(e % 50000),
+        F.lit("\nSTAT get_misses "), s(u % 5000),
+        F.lit("\nSTAT incr_hits "), s(e % 400),
+        F.lit("\nSTAT incr_misses "), s(u % 40),
+        F.when(e % 7 != 0,
+               F.concat(F.lit("\nSTAT decr_hits "), s(e % 300))
+               ).otherwise(F.lit("")),
+        F.lit("\nSTAT decr_misses "), s(u % 30),
+        F.lit("\nSTAT rusage_system "), s((e % 40000) / 16.0),
+        F.lit("\nSTAT rusage_user "), s((u % 40000) / 16.0),
+        F.lit("\nEND\n"),
+    )
+    out = memcached_stats(ev.select("event_id", body.alias("body")))
+    return out.select(
+        "event_id", "mc_metric", "mc_kind", "mc_mono", "mc_command",
+        "mc_direction", "mc_type", "mc_operation", "mc_state", "mc_value",
+        "mc_value_d",
+    )
+
+
+def _memcached_oracle() -> str:
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    rows = [
+        ("memcached.bytes", "gauge", "FALSE", NS, NS, NS, NS, NS, None,
+         "e % 9000000", ND),
+        ("memcached.connections.current", "sum", "FALSE", NS, NS, NS, NS,
+         NS, None, "u % 500", ND),
+        ("memcached.connections.total", "sum", "TRUE", NS, NS, NS, NS,
+         NS, None, "e % 100000", ND),
+        ("memcached.commands", "sum", "TRUE", "'get'", NS, NS, NS, NS,
+         None, "e % 70000", ND),
+        ("memcached.commands", "sum", "TRUE", "'set'", NS, NS, NS, NS,
+         None, "u % 60000", ND),
+        ("memcached.commands", "sum", "TRUE", "'flush'", NS, NS, NS, NS,
+         None, "e % 10", ND),
+        ("memcached.commands", "sum", "TRUE", "'touch'", NS, NS, NS, NS,
+         "e % 11 <> 0", "e % 100", ND),
+        ("memcached.current_items", "sum", "FALSE", NS, NS, NS, NS, NS,
+         None, "e % 40000", ND),
+        ("memcached.threads", "sum", "FALSE", NS, NS, NS, NS, NS, None,
+         "u % 16 + 1", ND),
+        ("memcached.evictions", "sum", "TRUE", NS, NS, NS, NS, NS, None,
+         "e % 3000", ND),
+        ("memcached.network", "sum", "TRUE", NS, "'received'", NS, NS,
+         NS, None, "e % 888888", ND),
+        ("memcached.network", "sum", "TRUE", NS, "'sent'", NS, NS, NS,
+         None, "u % 777777", ND),
+        ("memcached.operations", "sum", "TRUE", NS, NS, "'hit'", "'get'",
+         NS, None, "e % 50000", ND),
+        ("memcached.operations", "sum", "TRUE", NS, NS, "'miss'",
+         "'get'", NS, None, "u % 5000", ND),
+        ("memcached.operations", "sum", "TRUE", NS, NS, "'hit'",
+         "'increment'", NS, None, "e % 400", ND),
+        ("memcached.operations", "sum", "TRUE", NS, NS, "'miss'",
+         "'increment'", NS, None, "u % 40", ND),
+        ("memcached.operations", "sum", "TRUE", NS, NS, "'hit'",
+         "'decrement'", NS, "e % 7 <> 0", "e % 300", ND),
+        ("memcached.operations", "sum", "TRUE", NS, NS, "'miss'",
+         "'decrement'", NS, None, "u % 30", ND),
+        ("memcached.cpu.usage", "sum", "TRUE", NS, NS, NS, NS,
+         "'system'", None, NI, "CAST(e % 40000 AS DOUBLE) / 16.0"),
+        ("memcached.cpu.usage", "sum", "TRUE", NS, NS, NS, NS, "'user'",
+         None, NI, "CAST(u % 40000 AS DOUBLE) / 16.0"),
+        # hit ratio replays the swapped-arg quirk: miss/(hit+miss)*100
+        ("memcached.operation_hit_ratio", "gauge", "FALSE", NS, NS, NS,
+         "'increment'", NS, None, NI,
+         "CASE WHEN e % 400 + u % 40 = 0 THEN 0.0 ELSE "
+         "CAST(u % 40 AS DOUBLE) / (CAST(u % 40 AS DOUBLE) "
+         "+ CAST(e % 400 AS DOUBLE)) * 100 END"),
+        ("memcached.operation_hit_ratio", "gauge", "FALSE", NS, NS, NS,
+         "'decrement'", NS, "e % 7 <> 0", NI,
+         "CASE WHEN e % 300 + u % 30 = 0 THEN 0.0 ELSE "
+         "CAST(u % 30 AS DOUBLE) / (CAST(u % 30 AS DOUBLE) "
+         "+ CAST(e % 300 AS DOUBLE)) * 100 END"),
+        ("memcached.operation_hit_ratio", "gauge", "FALSE", NS, NS, NS,
+         "'get'", NS, None, NI,
+         "CASE WHEN e % 50000 + u % 5000 = 0 THEN 0.0 ELSE "
+         "CAST(u % 5000 AS DOUBLE) / (CAST(u % 5000 AS DOUBLE) "
+         "+ CAST(e % 50000 AS DOUBLE)) * 100 END"),
+    ]
+    parts = []
+    for i, (metric, kind, mono, cmd, dr, tp, op, st, where, vi, vd) in \
+            enumerate(rows):
+        a = (lambda n: f" AS {n}") if i == 0 else (lambda n: "")
+        w = f" WHERE {where}" if where else ""
+        parts.append(
+            f"SELECT event_id, '{metric}'{a('mc_metric')}, "
+            f"'{kind}'{a('mc_kind')}, {mono}{a('mc_mono')}, "
+            f"{cmd}{a('mc_command')}, {dr}{a('mc_direction')}, "
+            f"{tp}{a('mc_type')}, {op}{a('mc_operation')}, "
+            f"{st}{a('mc_state')}, {vi}{a('mc_value')}, "
+            f"{vd}{a('mc_value_d')} FROM a{w}"
+        )
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e "
+        "FROM events)\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["memcached_stats"] = q_memcached
+EXT16_ORACLES["memcached_stats"] = _memcached_oracle()
