@@ -3224,3 +3224,207 @@ def memcached_stats(df: DataFrame, body_col: str = "body") -> DataFrame:
         m["value"].alias("mc_value"),
         m["value_d"].alias("mc_value_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# flinkmetrics receiver (receiver/flinkmetricsreceiver/process.go:15-194)
+# ---------------------------------------------------------------------------
+
+# shared JVM metric-ID table (jobmanager + taskmanager scopes)
+_FLINK_JVM: tuple[tuple[str, str, str, bool, str, str | None], ...] = (
+    ("Status.JVM.CPU.Load", "flink.jvm.cpu.load", "gauge", False,
+     "double", None),
+    ("Status.JVM.CPU.Time", "flink.jvm.cpu.time", "sum", True, "int",
+     None),
+    ("Status.JVM.Threads.Count", "flink.jvm.threads.count", "sum", False,
+     "int", None),
+    ("Status.JVM.Memory.Heap.Used", "flink.jvm.memory.heap.used", "sum",
+     False, "int", None),
+    ("Status.JVM.Memory.Heap.Committed",
+     "flink.jvm.memory.heap.committed", "sum", False, "int", None),
+    ("Status.JVM.Memory.Heap.Max", "flink.jvm.memory.heap.max", "sum",
+     False, "int", None),
+    ("Status.JVM.Memory.NonHeap.Used", "flink.jvm.memory.nonheap.used",
+     "sum", False, "int", None),
+    ("Status.JVM.Memory.NonHeap.Committed",
+     "flink.jvm.memory.nonheap.committed", "sum", False, "int", None),
+    ("Status.JVM.Memory.NonHeap.Max", "flink.jvm.memory.nonheap.max",
+     "sum", False, "int", None),
+    ("Status.JVM.Memory.Metaspace.Used",
+     "flink.jvm.memory.metaspace.used", "sum", False, "int", None),
+    ("Status.JVM.Memory.Metaspace.Committed",
+     "flink.jvm.memory.metaspace.committed", "sum", False, "int", None),
+    ("Status.JVM.Memory.Metaspace.Max", "flink.jvm.memory.metaspace.max",
+     "sum", False, "int", None),
+    ("Status.JVM.Memory.Direct.MemoryUsed",
+     "flink.jvm.memory.direct.used", "sum", False, "int", None),
+    ("Status.JVM.Memory.Direct.TotalCapacity",
+     "flink.jvm.memory.direct.total_capacity", "sum", False, "int", None),
+    ("Status.JVM.Memory.Mapped.MemoryUsed",
+     "flink.jvm.memory.mapped.used", "sum", False, "int", None),
+    ("Status.JVM.Memory.Mapped.TotalCapacity",
+     "flink.jvm.memory.mapped.total_capacity", "sum", False, "int", None),
+    ("Status.Flink.Memory.Managed.Used", "flink.memory.managed.used",
+     "sum", False, "int", None),
+    ("Status.Flink.Memory.Managed.Total", "flink.memory.managed.total",
+     "sum", False, "int", None),
+    ("Status.JVM.ClassLoader.ClassesLoaded",
+     "flink.jvm.class_loader.classes_loaded", "sum", True, "int", None),
+)
+
+_FLINK_GC_JM = ("PS_MarkSweep", "PS_Scavenge")
+_FLINK_GC_TM = ("G1_Young_Generation", "G1_Old_Generation")
+
+_FLINK_JOB: tuple[tuple[str, str, str, bool, str | None], ...] = (
+    ("numRestarts", "flink.job.restart.count", "sum", True, None),
+    ("lastCheckpointSize", "flink.job.last_checkpoint.size", "sum",
+     False, None),
+    ("lastCheckpointDuration", "flink.job.last_checkpoint.time", "gauge",
+     False, None),
+    ("numberOfInProgressCheckpoints", "flink.job.checkpoint.in_progress",
+     "sum", False, None),
+    ("numberOfCompletedCheckpoints", "flink.job.checkpoint.count", "sum",
+     True, "completed"),
+    ("numberOfFailedCheckpoints", "flink.job.checkpoint.count", "sum",
+     True, "failed"),
+)
+
+
+def flink_metrics(df: DataFrame) -> DataFrame:
+    """Flink REST metric snapshots → one row per recorded metric.
+
+    Re-expresses ``receiver/flinkmetricsreceiver/process.go:15-194``
+    over rows of the REST responses at rest: ``scope`` ∈ jobmanager |
+    taskmanager | job | subtask, identity columns (``host``,
+    ``taskmanager_id``, ``job_name``, ``task_name``,
+    ``subtask_index``) and ``metrics`` — the ``[{"id","value"}]``
+    JSON array (models/response_model.go:7-10, values are strings).
+
+    Scope tables are 1:1 with the Go switch blocks: the shared JVM
+    table (jobmanager :20-70 with PS_* GC names, taskmanager :77-128
+    with G1_* GC names), the job table (:135-159), and the subtask
+    rules (:160-193) — exact task-level ids first, then the
+    ``Contains``-driven operator split where the operator name is
+    everything before the first ``.numRecordsIn``-style marker. An
+    unmatched id records nothing; a matched value that fails the
+    generated int/float parse emits a ``fl_ok=false`` row (the
+    builder's silently-dropped error return). Plan: one from_json +
+    explode + inline metric table, zero shuffle, zero Python.
+    """
+    ms = F.from_json(
+        F.col("metrics"), "array<struct<id: string, value: string>>"
+    )
+    base = [c for c in df.columns if c != "metrics"]
+    staged = df.select(*base, F.explode(ms).alias("_mt"))
+    mid = F.col("_mt")["id"]
+    mval = F.col("_mt")["value"]
+    scope = F.col("scope")
+
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+
+    def ent(metric, kind, mono, gc, cp, rec, opname, cond, vi, vd, ok):
+        return F.struct(
+            (metric if not isinstance(metric, str) else F.lit(metric))
+                .alias("metric"),
+            F.lit(kind).alias("kind"), F.lit(mono).alias("mono"),
+            (F.lit(gc) if isinstance(gc, str) else ns).alias("gc"),
+            (F.lit(cp) if isinstance(cp, str) else ns).alias("cp"),
+            (F.lit(rec) if isinstance(rec, str) else rec
+             if rec is not None else ns).alias("rec"),
+            (opname if opname is not None else ns).alias("opname"),
+            cond.alias("present"),
+            vi.cast("bigint").alias("value"),
+            vd.cast("double").alias("value_d"),
+            ok.alias("ok"),
+        )
+
+    vi_ = mval.try_cast("bigint")
+    vd_ = mval.try_cast("double")
+
+    entries = []
+    jvm_scope = scope.isin("jobmanager", "taskmanager")
+    for mid_s, metric, kind, mono, vt, _ in _FLINK_JVM:
+        cond = jvm_scope & (mid == mid_s)
+        if vt == "int":
+            entries.append(ent(metric, kind, mono, None, None, None,
+                               None, cond, F.coalesce(vi_, F.lit(0)), nd,
+                               vi_.isNotNull()))
+        else:
+            entries.append(ent(metric, kind, mono, None, None, None,
+                               None, cond, nl,
+                               F.coalesce(vd_, F.lit(0.0)),
+                               vd_.isNotNull()))
+    for gc_set, sc in ((_FLINK_GC_JM, "jobmanager"),
+                       (_FLINK_GC_TM, "taskmanager")):
+        for gc in gc_set:
+            for suffix, metric in (
+                ("Count", "flink.jvm.gc.collections.count"),
+                ("Time", "flink.jvm.gc.collections.time"),
+            ):
+                cond = (scope == sc) & (
+                    mid == f"Status.JVM.GarbageCollector.{gc}.{suffix}"
+                )
+                entries.append(ent(metric, "sum", True, gc, None, None,
+                                   None, cond,
+                                   F.coalesce(vi_, F.lit(0)), nd,
+                                   vi_.isNotNull()))
+    for mid_s, metric, kind, mono, cp in _FLINK_JOB:
+        cond = (scope == "job") & (mid == mid_s)
+        entries.append(ent(metric, kind, mono, None, cp, None, None,
+                           cond, F.coalesce(vi_, F.lit(0)), nd,
+                           vi_.isNotNull()))
+    # subtask: exact task ids, then operator Contains rules (in order)
+    for mid_s, rec in (("numRecordsIn", "in"), ("numRecordsOut", "out"),
+                       ("numLateRecordsDropped", "dropped")):
+        cond = (scope == "subtask") & (mid == mid_s)
+        entries.append(ent("flink.task.record.count", "sum", True, None,
+                           None, rec, None, cond,
+                           F.coalesce(vi_, F.lit(0)), nd,
+                           vi_.isNotNull()))
+    for marker, rec in ((".numRecordsIn", "in"), (".numRecordsOut", "out"),
+                        (".numLateRecordsDropped", "dropped")):
+        cond = (scope == "subtask") & mid.contains(marker) & ~F.coalesce(
+            # earlier Contains rules win (Go switch order)
+            F.lit(False) if marker == ".numRecordsIn"
+            else mid.contains(".numRecordsIn")
+            if marker == ".numRecordsOut"
+            else (mid.contains(".numRecordsIn")
+                  | mid.contains(".numRecordsOut")),
+            F.lit(False),
+        )
+        opname = F.split(mid, marker.replace(".", "\\."), 2).getItem(0)
+        entries.append(ent("flink.operator.record.count", "sum", True,
+                           None, None, rec, opname, cond,
+                           F.coalesce(vi_, F.lit(0)), nd,
+                           vi_.isNotNull()))
+    cond = (scope == "subtask") & mid.contains(".currentOutputWatermark") \
+        & ~(mid.contains(".numRecordsIn") | mid.contains(".numRecordsOut")
+            | mid.contains(".numLateRecordsDropped"))
+    entries.append(ent(
+        "flink.operator.watermark.output", "sum", False, None, None,
+        None, F.split(mid, r"\.currentOutputWatermark", 2).getItem(0),
+        cond, F.coalesce(vi_, F.lit(0)), nd, vi_.isNotNull(),
+    ))
+
+    exploded = staged.select(
+        *base,
+        F.explode(
+            F.filter(F.array(*entries), lambda x: x["present"])
+        ).alias("_m"),
+    )
+    m = F.col("_m")
+    return exploded.select(
+        *base,
+        m["metric"].alias("fl_metric"),
+        m["kind"].alias("fl_kind"),
+        m["mono"].alias("fl_mono"),
+        m["gc"].alias("fl_gc_name"),
+        m["cp"].alias("fl_checkpoint"),
+        m["rec"].alias("fl_record"),
+        m["opname"].alias("fl_operator"),
+        m["value"].alias("fl_value"),
+        m["value_d"].alias("fl_value_d"),
+        m["ok"].alias("fl_ok"),
+    )

@@ -1170,3 +1170,172 @@ def _memcached_oracle() -> str:
 
 EXT16_QUERIES["memcached_stats"] = q_memcached
 EXT16_ORACLES["memcached_stats"] = _memcached_oracle()
+
+
+# ---------------------------------------------------------------------------
+# flink REST metric snapshots -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_flink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import flink_metrics
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    j = lambda mid, v: F.concat(  # noqa: E731
+        F.lit('{"id":"'), F.lit(mid), F.lit('","value":"'), v,
+        F.lit('"}'),
+    )
+    scope = F.element_at(
+        F.array(F.lit("jobmanager"), F.lit("taskmanager"), F.lit("job"),
+                F.lit("subtask")),
+        (e % 4 + 1).cast("int"),
+    )
+    jm = F.concat(
+        F.lit("["),
+        j("Status.JVM.CPU.Load", s((e % 100) / 16.0)), F.lit(","),
+        j("Status.JVM.Memory.Heap.Used",
+          F.when(e % 19 == 0, F.lit("x")).otherwise(s(e % 1000000))),
+        F.lit(","),
+        j("Status.JVM.GarbageCollector.PS_MarkSweep.Time", s(e % 1000)),
+        F.lit(","),
+        j("Status.JVM.GarbageCollector.PS_Scavenge.Count", s(u % 100)),
+        F.lit(","), j("someUnknownMetric", s(e)), F.lit("]"),
+    )
+    tm = F.concat(
+        F.lit("["),
+        j("Status.JVM.GarbageCollector.G1_Young_Generation.Count",
+          s(u % 50)), F.lit(","),
+        j("Status.JVM.GarbageCollector.G1_Old_Generation.Time",
+          s(e % 2000)), F.lit(","),
+        j("Status.JVM.CPU.Time", s(e % 100000)), F.lit(","),
+        j("Status.Flink.Memory.Managed.Used", s(u % 100000)), F.lit("]"),
+    )
+    job = F.concat(
+        F.lit("["),
+        j("numRestarts", s(e % 10)), F.lit(","),
+        j("lastCheckpointSize", s(e % 1000000)), F.lit(","),
+        j("lastCheckpointDuration", s(u % 10000)), F.lit(","),
+        j("numberOfInProgressCheckpoints", s(e % 3)), F.lit(","),
+        j("numberOfCompletedCheckpoints", s(e % 1000)), F.lit(","),
+        j("numberOfFailedCheckpoints", s(u % 20)), F.lit("]"),
+    )
+    sub = F.concat(
+        F.lit("["),
+        j("numRecordsIn", s(e % 100000)), F.lit(","),
+        j("numRecordsOut", s(u % 100000)), F.lit(","),
+        j("numLateRecordsDropped", s(e % 50)), F.lit(","),
+        F.concat(F.lit('{"id":"Op'), s(e % 3),
+                 F.lit('.numRecordsIn","value":"'), s(e % 500),
+                 F.lit('"}')), F.lit(","),
+        F.concat(F.lit('{"id":"Op'), s(e % 3),
+                 F.lit('.numRecordsOut","value":"'), s(u % 400),
+                 F.lit('"}')), F.lit(","),
+        j("W.currentOutputWatermark", s(e % 1000000)), F.lit("]"),
+    )
+    metrics = (
+        F.when(scope == "jobmanager", jm)
+        .when(scope == "taskmanager", tm)
+        .when(scope == "job", job).otherwise(sub)
+    )
+    df = ev.select(
+        "event_id", scope.alias("scope"),
+        F.concat(F.lit("h"), s(u % 6)).alias("host"),
+        F.when(scope.isin("taskmanager", "subtask"),
+               F.concat(F.lit("tm"), s(u % 8))).alias("taskmanager_id"),
+        F.when(scope.isin("job", "subtask"),
+               F.concat(F.lit("job"), s(u % 5))).alias("job_name"),
+        F.when(scope == "subtask",
+               F.concat(F.lit("task"), s(e % 7))).alias("task_name"),
+        F.when(scope == "subtask", s(u % 4)).alias("subtask_index"),
+        metrics.alias("metrics"),
+    )
+    out = flink_metrics(df)
+    return out.select(
+        "event_id", "scope", "host", "taskmanager_id", "job_name",
+        "task_name", "subtask_index", "fl_metric", "fl_kind", "fl_mono",
+        "fl_gc_name", "fl_checkpoint", "fl_record", "fl_operator",
+        "fl_value", "fl_value_d", "fl_ok",
+    )
+
+
+def _flink_oracle() -> str:
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    # scope#, metric, kind, mono, gc, cp, rec, op, vi, vd, ok
+    rows = [
+        (0, "flink.jvm.cpu.load", "gauge", "FALSE", NS, NS, NS, NS, NI,
+         "CAST(e % 100 AS DOUBLE) / 16.0", "TRUE"),
+        (0, "flink.jvm.memory.heap.used", "sum", "FALSE", NS, NS, NS,
+         NS, "CASE WHEN e % 19 = 0 THEN 0 ELSE e % 1000000 END", ND,
+         "e % 19 <> 0"),
+        (0, "flink.jvm.gc.collections.time", "sum", "TRUE",
+         "'PS_MarkSweep'", NS, NS, NS, "e % 1000", ND, "TRUE"),
+        (0, "flink.jvm.gc.collections.count", "sum", "TRUE",
+         "'PS_Scavenge'", NS, NS, NS, "u % 100", ND, "TRUE"),
+        (1, "flink.jvm.gc.collections.count", "sum", "TRUE",
+         "'G1_Young_Generation'", NS, NS, NS, "u % 50", ND, "TRUE"),
+        (1, "flink.jvm.gc.collections.time", "sum", "TRUE",
+         "'G1_Old_Generation'", NS, NS, NS, "e % 2000", ND, "TRUE"),
+        (1, "flink.jvm.cpu.time", "sum", "TRUE", NS, NS, NS, NS,
+         "e % 100000", ND, "TRUE"),
+        (1, "flink.memory.managed.used", "sum", "FALSE", NS, NS, NS, NS,
+         "u % 100000", ND, "TRUE"),
+        (2, "flink.job.restart.count", "sum", "TRUE", NS, NS, NS, NS,
+         "e % 10", ND, "TRUE"),
+        (2, "flink.job.last_checkpoint.size", "sum", "FALSE", NS, NS,
+         NS, NS, "e % 1000000", ND, "TRUE"),
+        (2, "flink.job.last_checkpoint.time", "gauge", "FALSE", NS, NS,
+         NS, NS, "u % 10000", ND, "TRUE"),
+        (2, "flink.job.checkpoint.in_progress", "sum", "FALSE", NS, NS,
+         NS, NS, "e % 3", ND, "TRUE"),
+        (2, "flink.job.checkpoint.count", "sum", "TRUE", NS,
+         "'completed'", NS, NS, "e % 1000", ND, "TRUE"),
+        (2, "flink.job.checkpoint.count", "sum", "TRUE", NS, "'failed'",
+         NS, NS, "u % 20", ND, "TRUE"),
+        (3, "flink.task.record.count", "sum", "TRUE", NS, NS, "'in'",
+         NS, "e % 100000", ND, "TRUE"),
+        (3, "flink.task.record.count", "sum", "TRUE", NS, NS, "'out'",
+         NS, "u % 100000", ND, "TRUE"),
+        (3, "flink.task.record.count", "sum", "TRUE", NS, NS,
+         "'dropped'", NS, "e % 50", ND, "TRUE"),
+        (3, "flink.operator.record.count", "sum", "TRUE", NS, NS,
+         "'in'", "'Op' || CAST(e % 3 AS VARCHAR)", "e % 500", ND,
+         "TRUE"),
+        (3, "flink.operator.record.count", "sum", "TRUE", NS, NS,
+         "'out'", "'Op' || CAST(e % 3 AS VARCHAR)", "u % 400", ND,
+         "TRUE"),
+        (3, "flink.operator.watermark.output", "sum", "FALSE", NS, NS,
+         NS, "'W'", "e % 1000000", ND, "TRUE"),
+    ]
+    scopes = ["jobmanager", "taskmanager", "job", "subtask"]
+    parts = []
+    for i, (sc, metric, kind, mono, gc, cp, rec, op, vi, vd, ok) in \
+            enumerate(rows):
+        a = (lambda n: f" AS {n}") if i == 0 else (lambda n: "")
+        tm = ("'tm' || CAST(u % 8 AS VARCHAR)" if sc in (1, 3) else NS)
+        jn = ("'job' || CAST(u % 5 AS VARCHAR)" if sc in (2, 3) else NS)
+        tn = ("'task' || CAST(e % 7 AS VARCHAR)" if sc == 3 else NS)
+        si = ("CAST(u % 4 AS VARCHAR)" if sc == 3 else NS)
+        parts.append(
+            f"SELECT event_id, '{scopes[sc]}'{a('scope')}, "
+            f"'h' || CAST(u % 6 AS VARCHAR){a('host')}, "
+            f"{tm}{a('taskmanager_id')}, {jn}{a('job_name')}, "
+            f"{tn}{a('task_name')}, {si}{a('subtask_index')}, "
+            f"'{metric}'{a('fl_metric')}, '{kind}'{a('fl_kind')}, "
+            f"{mono}{a('fl_mono')}, {gc}{a('fl_gc_name')}, "
+            f"{cp}{a('fl_checkpoint')}, {rec}{a('fl_record')}, "
+            f"{op}{a('fl_operator')}, {vi}{a('fl_value')}, "
+            f"{vd}{a('fl_value_d')}, {ok}{a('fl_ok')} "
+            f"FROM a WHERE e % 4 = {sc}"
+        )
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e "
+        "FROM events)\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["flink_metrics"] = q_flink
+EXT16_ORACLES["flink_metrics"] = _flink_oracle()
