@@ -3428,3 +3428,232 @@ def flink_metrics(df: DataFrame) -> DataFrame:
         m["value_d"].alias("fl_value_d"),
         m["ok"].alias("fl_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rabbitmq receiver (receiver/rabbitmqreceiver/scraper.go:60-280)
+# ---------------------------------------------------------------------------
+
+# (json field, metric, int|double|bool) — one row per Record call in
+# collectNode (scraper.go:166-262), table generated 1:1 from the Go
+# model's json tags + generated_metrics names. All are non-monotonic
+# sums, all disabled by default. NOTE the `*_details.rate` tags are
+# LITERAL dotted keys — Go's encoding/json does not treat the dot as
+# a path, so the real API's nested {x_details:{rate}} objects never
+# populate them; mirrored faithfully (flat dotted keys parse, nested
+# objects read as the zero value).
+_RABBITMQ_NODE: tuple[tuple[str, str, str], ...] = (
+    ("disk_free", "rabbitmq.node.disk_free", "int"),
+    ("disk_free_limit", "rabbitmq.node.disk_free_limit", "int"),
+    ("disk_free_alarm", "rabbitmq.node.disk_free_alarm", "bool"),
+    ("disk_free_details.rate", "rabbitmq.node.disk_free_details.rate", "double"),
+    ("fd_used", "rabbitmq.node.fd_used", "int"),
+    ("fd_total", "rabbitmq.node.fd_total", "int"),
+    ("fd_used_details.rate", "rabbitmq.node.fd_used_details.rate", "double"),
+    ("sockets_used", "rabbitmq.node.sockets_used", "int"),
+    ("sockets_total", "rabbitmq.node.sockets_total", "int"),
+    ("sockets_used_details.rate", "rabbitmq.node.sockets_used_details.rate", "double"),
+    ("proc_used", "rabbitmq.node.proc_used", "int"),
+    ("proc_total", "rabbitmq.node.proc_total", "int"),
+    ("proc_used_details.rate", "rabbitmq.node.proc_used_details.rate", "double"),
+    ("mem_used", "rabbitmq.node.mem_used", "int"),
+    ("mem_used_details.rate", "rabbitmq.node.mem_used_details.rate", "double"),
+    ("mem_limit", "rabbitmq.node.mem_limit", "int"),
+    ("mem_alarm", "rabbitmq.node.mem_alarm", "bool"),
+    ("uptime", "rabbitmq.node.uptime", "int"),
+    ("run_queue", "rabbitmq.node.run_queue", "int"),
+    ("processors", "rabbitmq.node.processors", "int"),
+    ("context_switches", "rabbitmq.node.context_switches", "int"),
+    ("context_switches_details.rate", "rabbitmq.node.context_switches_details.rate", "double"),
+    ("gc_num", "rabbitmq.node.gc_num", "int"),
+    ("gc_num_details.rate", "rabbitmq.node.gc_num_details.rate", "double"),
+    ("gc_bytes_reclaimed", "rabbitmq.node.gc_bytes_reclaimed", "int"),
+    ("gc_bytes_reclaimed_details.rate", "rabbitmq.node.gc_bytes_reclaimed_details.rate", "double"),
+    ("io_read_count", "rabbitmq.node.io_read_count", "int"),
+    ("io_read_count_details.rate", "rabbitmq.node.io_read_count_details.rate", "double"),
+    ("io_read_bytes", "rabbitmq.node.io_read_bytes", "int"),
+    ("io_read_bytes_details.rate", "rabbitmq.node.io_read_bytes_details.rate", "double"),
+    ("io_read_avg_time", "rabbitmq.node.io_read_avg_time", "double"),
+    ("io_read_avg_time_details.rate", "rabbitmq.node.io_read_avg_time_details.rate", "double"),
+    ("io_write_count", "rabbitmq.node.io_write_count", "int"),
+    ("io_write_count_details.rate", "rabbitmq.node.io_write_count_details.rate", "double"),
+    ("io_write_bytes", "rabbitmq.node.io_write_bytes", "int"),
+    ("io_write_bytes_details.rate", "rabbitmq.node.io_write_bytes_details.rate", "double"),
+    ("io_write_avg_time", "rabbitmq.node.io_write_avg_time", "double"),
+    ("io_write_avg_time_details.rate", "rabbitmq.node.io_write_avg_time_details.rate", "double"),
+    ("io_sync_count", "rabbitmq.node.io_sync_count", "int"),
+    ("io_sync_count_details.rate", "rabbitmq.node.io_sync_count_details.rate", "double"),
+    ("io_sync_avg_time", "rabbitmq.node.io_sync_avg_time", "double"),
+    ("io_sync_avg_time_details.rate", "rabbitmq.node.io_sync_avg_time_details.rate", "double"),
+    ("io_seek_count", "rabbitmq.node.io_seek_count", "int"),
+    ("io_seek_count_details.rate", "rabbitmq.node.io_seek_count_details.rate", "double"),
+    ("io_seek_avg_time", "rabbitmq.node.io_seek_avg_time", "double"),
+    ("io_seek_avg_time_details.rate", "rabbitmq.node.io_seek_avg_time_details.rate", "double"),
+    ("io_reopen_count", "rabbitmq.node.io_reopen_count", "int"),
+    ("io_reopen_count_details.rate", "rabbitmq.node.io_reopen_count_details.rate", "double"),
+    ("mnesia_ram_tx_count", "rabbitmq.node.mnesia_ram_tx_count", "int"),
+    ("mnesia_ram_tx_count_details.rate", "rabbitmq.node.mnesia_ram_tx_count_details.rate", "double"),
+    ("mnesia_disk_tx_count", "rabbitmq.node.mnesia_disk_tx_count", "int"),
+    ("mnesia_disk_tx_count_details.rate", "rabbitmq.node.mnesia_disk_tx_count_details.rate", "double"),
+    ("msg_store_read_count", "rabbitmq.node.msg_store_read_count", "int"),
+    ("msg_store_read_count_details.rate", "rabbitmq.node.msg_store_read_count_details.rate", "double"),
+    ("msg_store_write_count", "rabbitmq.node.msg_store_write_count", "int"),
+    ("msg_store_write_count_details.rate", "rabbitmq.node.msg_store_write_count_details.rate", "double"),
+    ("queue_index_write_count", "rabbitmq.node.queue_index_write_count", "int"),
+    ("queue_index_write_count_details.rate", "rabbitmq.node.queue_index_write_count_details.rate", "double"),
+    ("queue_index_read_count", "rabbitmq.node.queue_index_read_count", "int"),
+    ("queue_index_read_count_details.rate", "rabbitmq.node.queue_index_read_count_details.rate", "double"),
+    ("connection_created", "rabbitmq.node.connection_created", "int"),
+    ("connection_created_details.rate", "rabbitmq.node.connection_created_details.rate", "double"),
+    ("connection_closed", "rabbitmq.node.connection_closed", "int"),
+    ("connection_closed_details.rate", "rabbitmq.node.connection_closed_details.rate", "double"),
+    ("channel_created", "rabbitmq.node.channel_created", "int"),
+    ("channel_created_details.rate", "rabbitmq.node.channel_created_details.rate", "double"),
+    ("channel_closed", "rabbitmq.node.channel_closed", "int"),
+    ("channel_closed_details.rate", "rabbitmq.node.channel_closed_details.rate", "double"),
+    ("queue_declared", "rabbitmq.node.queue_declared", "int"),
+    ("queue_declared_details.rate", "rabbitmq.node.queue_declared_details.rate", "double"),
+    ("queue_created", "rabbitmq.node.queue_created", "int"),
+    ("queue_created_details.rate", "rabbitmq.node.queue_created_details.rate", "double"),
+    ("queue_deleted", "rabbitmq.node.queue_deleted", "int"),
+    ("queue_deleted_details.rate", "rabbitmq.node.queue_deleted_details.rate", "double"),)
+
+_RABBITMQ_MSG_STATS = (
+    ("deliver", "rabbitmq.message.delivered"),
+    ("publish", "rabbitmq.message.published"),
+    ("ack", "rabbitmq.message.acknowledged"),
+    ("drop_unroutable", "rabbitmq.message.dropped"),
+)
+
+
+def rabbitmq_api(
+    df: DataFrame,
+    body_col: str = "body",
+    kind_col: str = "kind",
+    enable_node_metrics: bool = False,
+) -> DataFrame:
+    """RabbitMQ management-API objects → one row per recorded metric.
+
+    Re-expresses ``receiver/rabbitmqreceiver/scraper.go:60-280`` over
+    rows each holding one ``/api/queues`` or ``/api/nodes`` object
+    (``kind`` = queue | node):
+
+    - queues (collectQueue :126-165): consumer.count,
+      message.current with unacknowledged/ready states, and the four
+      message_stats counters — a stat key that is absent or not a
+      JSON number is skipped (convertValToInt64 :273-280, float64 →
+      int64 double cast); resource attrs queue/node/vhost names;
+    - nodes (collectNode :166-262): all 74 fields recorded
+      unconditionally — absent fields are Go zero values, bools fold
+      via boolToInt64; the ``*_details.rate`` json tags are literal
+      dotted keys (see table note). Node metrics are all disabled by
+      default (metadata.yaml), gated by ``enable_node_metrics``.
+
+    A row whose JSON fails the model decode is the reference's
+    whole-endpoint scrape error → ``rq_ok=false`` dead letter. Plan:
+    one from_json per kind + inline explode, zero shuffle/Python.
+    """
+    from pyspark.sql import types as T
+
+    kind = F.col(kind_col)
+    q = F.from_json(F.col(body_col), (
+        "struct<name: string, node: string, vhost: string,"
+        " consumers: bigint, messages_unacknowledged: bigint,"
+        " messages_ready: bigint, message_stats: map<string,variant>>"
+    ))
+    node_fields = [T.StructField("name", T.StringType())]
+    for tag, _, vt in _RABBITMQ_NODE:
+        t = {"int": T.LongType(), "double": T.DoubleType(),
+             "bool": T.BooleanType()}[vt]
+        node_fields.append(T.StructField(tag, t))
+    n = F.from_json(F.col(body_col), T.StructType(node_fields))
+
+    # Go json.Unmarshal errors on non-object payloads; from_json is
+    # PERMISSIVE (all-null struct), so gate on the variant shape.
+    is_obj = F.schema_of_variant(
+        F.try_parse_json(F.col(body_col))
+    ).startswith("OBJECT")
+    df = df.select(
+        *[c for c in df.columns if c != body_col],
+        q.alias("_q"), n.alias("_n"),
+        F.coalesce(is_obj, F.lit(False)).alias("_is_obj"),
+    )
+    q, n = F.col("_q"), F.col("_n")
+
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+
+    def mk(metric, mkind, mono, state, present, vi, vd):
+        return F.struct(
+            F.lit(metric).alias("metric"), F.lit(mkind).alias("mkind"),
+            F.lit(mono).alias("mono"),
+            (F.lit(state) if state else ns).alias("state"),
+            present.alias("present"),
+            vi.cast("bigint").alias("value"),
+            vd.cast("double").alias("value_d"),
+        )
+
+    z = lambda c: F.coalesce(c, F.lit(0))  # noqa: E731
+
+    entries = [
+        mk("rabbitmq.consumer.count", "sum", False, None,
+           kind == "queue", z(q["consumers"]), nd),
+        mk("rabbitmq.message.current", "sum", False, "unacknowledged",
+           kind == "queue", z(q["messages_unacknowledged"]), nd),
+        mk("rabbitmq.message.current", "sum", False, "ready",
+           kind == "queue", z(q["messages_ready"]), nd),
+    ]
+    for stat, metric in _RABBITMQ_MSG_STATS:
+        v = F.try_element_at(q["message_stats"], F.lit(stat))
+        num = F.try_variant_get(v, "$", "double")
+        entries.append(mk(
+            metric, "sum", True, None,
+            (kind == "queue") & v.isNotNull() & num.isNotNull(),
+            num.cast("bigint"), nd,
+        ))
+    if enable_node_metrics:
+        for tag, metric, vt in _RABBITMQ_NODE:
+            col = n[tag]
+            if vt == "bool":
+                vi = F.when(F.coalesce(col, F.lit(False)), 1).otherwise(0)
+                entries.append(mk(metric, "sum", False, None,
+                                  kind == "node", vi, nd))
+            elif vt == "int":
+                entries.append(mk(metric, "sum", False, None,
+                                  kind == "node", z(col), nd))
+            else:
+                entries.append(mk(metric, "sum", False, None,
+                                  kind == "node", nl,
+                                  F.coalesce(col, F.lit(0.0))))
+
+    parsed_ok = F.col("_is_obj")
+    entry_type = (
+        "struct<metric:string,mkind:string,mono:boolean,state:string,"
+        "present:boolean,value:bigint,value_d:double>"
+    )
+    exploded = df.select(
+        *[c for c in df.columns if c not in ("_q", "_n", "_is_obj")],
+        F.when(kind == "queue", q["name"]).alias("rq_queue_name"),
+        F.coalesce(
+            F.when(kind == "queue", q["node"]).otherwise(n["name"]),
+            F.lit(""),
+        ).alias("rq_node_name"),
+        F.when(kind == "queue", q["vhost"]).alias("rq_vhost"),
+        parsed_ok.alias("rq_ok"),
+        F.explode(F.when(
+            parsed_ok,
+            F.filter(F.array(*entries), lambda x: x["present"]),
+        ).otherwise(F.array(F.lit(None).cast(entry_type))))
+            .alias("_m"),
+    )
+    m = F.col("_m")
+    return exploded.select(
+        *[c for c in exploded.columns if c != "_m"],
+        m["metric"].alias("rq_metric"),
+        m["mkind"].alias("rq_mkind"),
+        m["mono"].alias("rq_mono"),
+        m["state"].alias("rq_state"),
+        m["value"].alias("rq_value"),
+        m["value_d"].alias("rq_value_d"),
+    )

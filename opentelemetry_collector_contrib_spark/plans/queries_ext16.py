@@ -1339,3 +1339,134 @@ def _flink_oracle() -> str:
 
 EXT16_QUERIES["flink_metrics"] = q_flink
 EXT16_ORACLES["flink_metrics"] = _flink_oracle()
+
+
+# ---------------------------------------------------------------------------
+# rabbitmq management API objects -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_rabbitmq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import rabbitmq_api
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    qbody = F.concat(
+        F.lit('{"name":"q'), s(e % 20),
+        F.lit('","node":"rabbit@n'), s(u % 4),
+        F.lit('","vhost":"vh'), s(u % 3),
+        F.lit('","consumers":'), s(u % 50),
+        F.lit(',"messages_unacknowledged":'), s(e % 100),
+        F.lit(',"messages_ready":'), s(e % 1000),
+        F.lit(',"message_stats":{"deliver":'), s(e % 100000),
+        F.lit(',"publish":'), s(u % 100000), F.lit(".5"),
+        F.when(e % 5 != 0,
+               F.concat(F.lit(',"ack":'), s(u % 50000))
+               ).otherwise(F.lit(',"ack":"oops"')),
+        F.when(u % 7 != 0,
+               F.concat(F.lit(',"drop_unroutable":'), s(e % 300))
+               ).otherwise(F.lit("")),
+        F.lit(',"unrelated":1}}'),
+    )
+    nbody = F.concat(
+        F.lit('{"name":"rabbit@n'), s(u % 4),
+        F.lit('","disk_free":'), s(e % 1000000000),
+        F.lit(',"fd_used":'), s(u % 1000),
+        F.lit(',"mem_alarm":'),
+        F.when(u % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(',"disk_free_alarm":false'),
+        F.lit(',"fd_used_details.rate":'), s((e % 1000) / 16.0),
+        F.lit(',"mem_used_details":{"rate":'), s((u % 100) / 4.0),
+        F.lit('},"io_read_avg_time":'), s((e % 4000) / 8.0),
+        F.lit(',"gc_num":'), s(e % 10000),
+        F.lit(',"connection_created":'), s(u % 500), F.lit("}"),
+    )
+    kind = F.when(e % 3 == 0, F.lit("queue")).otherwise(F.lit("node"))
+    body = F.when(e % 31 == 0, F.lit("junk")).otherwise(
+        F.when(e % 3 == 0, qbody).otherwise(nbody)
+    )
+    out = rabbitmq_api(
+        ev.select("event_id", kind.alias("kind"), body.alias("body")),
+        enable_node_metrics=True,
+    )
+    return out.select(
+        "event_id", "kind", "rq_queue_name", "rq_node_name", "rq_vhost",
+        "rq_ok", "rq_metric", "rq_mkind", "rq_mono", "rq_state",
+        "rq_value", "rq_value_d",
+    )
+
+
+def _rabbitmq_oracle() -> str:
+    from ..operators.receivers import _RABBITMQ_NODE
+
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    node_vals = {
+        "disk_free": "e % 1000000000",
+        "fd_used": "u % 1000",
+        "mem_alarm": "CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END",
+        "fd_used_details.rate": "CAST(e % 1000 AS DOUBLE) / 16.0",
+        "io_read_avg_time": "CAST(e % 4000 AS DOUBLE) / 8.0",
+        "gc_num": "e % 10000",
+        "connection_created": "u % 500",
+    }
+    qrows = [
+        ("rabbitmq.consumer.count", "FALSE", NS, None, "u % 50", ND),
+        ("rabbitmq.message.current", "FALSE", "'unacknowledged'", None,
+         "e % 100", ND),
+        ("rabbitmq.message.current", "FALSE", "'ready'", None,
+         "e % 1000", ND),
+        ("rabbitmq.message.delivered", "TRUE", NS, None, "e % 100000",
+         ND),
+        ("rabbitmq.message.published", "TRUE", NS, None, "u % 100000",
+         ND),
+        ("rabbitmq.message.acknowledged", "TRUE", NS, "e % 5 <> 0",
+         "u % 50000", ND),
+        ("rabbitmq.message.dropped", "TRUE", NS, "u % 7 <> 0", "e % 300",
+         ND),
+    ]
+    parts = []
+    first = True
+    for metric, mono, st, where, vi, vd in qrows:
+        a = (lambda n: f" AS {n}") if first else (lambda n: "")
+        first = False
+        w = "e % 3 = 0 AND NOT junk" + (f" AND ({where})" if where else "")
+        parts.append(
+            f"SELECT event_id, 'queue'{a('kind')}, "
+            f"'q' || CAST(e % 20 AS VARCHAR){a('rq_queue_name')}, "
+            f"'rabbit@n' || CAST(u % 4 AS VARCHAR){a('rq_node_name')}, "
+            f"'vh' || CAST(u % 3 AS VARCHAR){a('rq_vhost')}, "
+            f"TRUE{a('rq_ok')}, '{metric}'{a('rq_metric')}, "
+            f"'sum'{a('rq_mkind')}, {mono}{a('rq_mono')}, "
+            f"{st}{a('rq_state')}, {vi}{a('rq_value')}, "
+            f"{vd}{a('rq_value_d')} FROM a WHERE {w}"
+        )
+    for tag, metric, vt in _RABBITMQ_NODE:
+        if vt == "double":
+            vi, vd = NI, node_vals.get(tag, "CAST(0.0 AS DOUBLE)")
+        else:
+            vi, vd = node_vals.get(tag, "0"), ND
+        parts.append(
+            f"SELECT event_id, 'node', NULL, "
+            f"'rabbit@n' || CAST(u % 4 AS VARCHAR), NULL, TRUE, "
+            f"'{metric}', 'sum', FALSE, NULL, {vi}, {vd} "
+            f"FROM a WHERE e % 3 <> 0 AND NOT junk"
+        )
+    parts.append(
+        "SELECT event_id, CASE WHEN e % 3 = 0 THEN 'queue' ELSE 'node' "
+        "END, NULL, '', NULL, FALSE, NULL, NULL, "
+        "CAST(NULL AS BOOLEAN), NULL, CAST(NULL AS BIGINT), "
+        "CAST(NULL AS DOUBLE) FROM a WHERE junk"
+    )
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e, "
+        "event_id % 31 = 0 AS junk FROM events)\n"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["rabbitmq_api"] = q_rabbitmq
+EXT16_ORACLES["rabbitmq_api"] = _rabbitmq_oracle()
