@@ -3657,3 +3657,117 @@ def rabbitmq_api(
         m["value"].alias("rq_value"),
         m["value_d"].alias("rq_value_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# couchdb receiver (receiver/couchdbreceiver/metrics.go:15-185)
+# ---------------------------------------------------------------------------
+
+_COUCHDB_METHODS = ("COPY", "DELETE", "GET", "HEAD", "OPTIONS", "POST",
+                    "PUT")
+_COUCHDB_CODES = ("200", "201", "202", "204", "206", "301", "302", "304",
+                  "400", "401", "403", "404", "405", "406", "409", "412",
+                  "413", "414", "415", "416", "417", "500", "501", "503")
+_COUCHDB_VIEWS = ("temporary_view_reads", "view_reads")
+
+
+def couchdb_stats(
+    df: DataFrame, body_col: str = "body", node_name: str = ""
+) -> DataFrame:
+    """``_node/_local/_stats`` documents → one row per recorded metric.
+
+    Re-expresses ``receiver/couchdbreceiver/metrics.go:15-185`` +
+    ``scraper.go:47-77``: each metric walks its fixed key path with
+    getValueFromBody (missing key at any depth → AddPartial, metric
+    skipped — mirrored as a ``cd_ok=false`` row), values accept JSON
+    numbers only (parseInt truncates float64); the per-method
+    httpd_request_methods / per-code httpd_status_codes / per-view
+    httpd views fans use the reference's exact enum sets. Resource:
+    the endpoint as ``couchdb.node.name``. Plan: one schema-pruned
+    from_json + inline explode, zero shuffle/Python.
+    """
+    v = F.try_parse_json(F.col(body_col))
+    df = df.withColumn("_v", v)
+    v = F.col("_v")
+
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+    entries = []
+
+    def _num(path: str) -> Column:
+        # Go's parseInt/parseFloat type-switch accepts JSON numbers
+        # only — a JSON string "123" must NOT pass, so gate on the
+        # variant's own type before casting.
+        pv = F.try_variant_get(v, path, "variant")
+        is_num = F.schema_of_variant(pv).rlike(
+            "^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)"
+        )
+        return F.when(is_num, F.try_variant_get(pv, "$", "double"))
+
+    def path_num(*keys) -> Column:
+        return _num("$." + ".".join(keys))
+
+    def mk(metric, kind, mono, method, code, view, op, vi, vd, ok):
+        entries.append(F.struct(
+            F.lit(metric).alias("metric"), F.lit(kind).alias("kind"),
+            F.lit(mono).alias("mono"),
+            (F.lit(method) if method else ns).alias("method"),
+            (F.lit(code) if code else ns).alias("code"),
+            (F.lit(view) if view else ns).alias("view"),
+            (F.lit(op) if op else ns).alias("op"),
+            vi.cast("bigint").alias("value"),
+            vd.cast("double").alias("value_d"),
+            ok.alias("ok"),
+        ))
+
+    art = path_num("request_time", "value", "arithmetic_mean")
+    mk("couchdb.average_request_time", "gauge", False, None, None, None,
+       None, nl, art, art.isNotNull())
+    bulk = path_num("httpd", "bulk_requests", "value")
+    mk("couchdb.httpd.bulk_requests", "sum", True, None, None, None,
+       None, bulk, nd, bulk.isNotNull())
+    for method in _COUCHDB_METHODS:
+        p = path_num("httpd_request_methods", method, "value")
+        mk("couchdb.httpd.requests", "sum", True, method, None, None,
+           None, p, nd, p.isNotNull())
+    for code in _COUCHDB_CODES:
+        # numeric keys need bracket quoting in variant paths
+        p = _num("$.httpd_status_codes['" + code + "'].value")
+        mk("couchdb.httpd.responses", "sum", True, None, code, None,
+           None, p, nd, p.isNotNull())
+    for view in _COUCHDB_VIEWS:
+        p = path_num("httpd", view, "value")
+        mk("couchdb.httpd.views", "sum", True, None, None, view, None,
+           p, nd, p.isNotNull())
+    dbo = path_num("open_databases", "value")
+    mk("couchdb.database.open", "sum", False, None, None, None, None,
+       dbo, nd, dbo.isNotNull())
+    fdo = path_num("open_os_files", "value")
+    mk("couchdb.file_descriptor.open", "sum", False, None, None, None,
+       None, fdo, nd, fdo.isNotNull())
+    for op, key in (("reads", "database_reads"),
+                    ("writes", "database_writes")):
+        p = path_num(key, "value")
+        mk("couchdb.database.operations", "sum", True, None, None, None,
+           op, p, nd, p.isNotNull())
+
+    exploded = df.select(
+        *[c for c in df.columns if c not in ("_v", body_col)],
+        F.lit(node_name).alias("cd_node_name"),
+        F.explode(F.array(*entries)).alias("_m"),
+    )
+    m = F.col("_m")
+    return exploded.select(
+        *[c for c in exploded.columns if c != "_m"],
+        m["metric"].alias("cd_metric"),
+        m["kind"].alias("cd_kind"),
+        m["mono"].alias("cd_mono"),
+        m["method"].alias("cd_method"),
+        m["code"].alias("cd_code"),
+        m["view"].alias("cd_view"),
+        m["op"].alias("cd_operation"),
+        m["value"].alias("cd_value"),
+        m["value_d"].alias("cd_value_d"),
+        m["ok"].alias("cd_ok"),
+    )

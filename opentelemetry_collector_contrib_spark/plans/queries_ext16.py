@@ -1470,3 +1470,135 @@ def _rabbitmq_oracle() -> str:
 
 EXT16_QUERIES["rabbitmq_api"] = q_rabbitmq
 EXT16_ORACLES["rabbitmq_api"] = _rabbitmq_oracle()
+
+
+# ---------------------------------------------------------------------------
+# couchdb _stats document -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_couchdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import couchdb_stats
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    methods = F.concat(
+        F.lit('"GET":{"value":'), s(e % 100000),
+        F.lit('},"POST":{"value":'), s(u % 50000),
+        F.lit('},"PUT":{"value":'), s(e % 9000), F.lit("}"),
+        F.when(e % 2 == 0,
+               F.concat(F.lit(',"DELETE":{"value":'), s(u % 800),
+                        F.lit("}"))).otherwise(F.lit("")),
+        F.when(e % 5 == 0, F.lit(',"HEAD":{"value":"oops"}')
+               ).otherwise(F.lit("")),
+    )
+    codes = F.concat(
+        F.lit('"200":{"value":'), s(e % 1000000),
+        F.lit('},"404":{"value":'), s(u % 10000),
+        F.lit('},"500":{"value":'), s(e % 77), F.lit("}"),
+    )
+    body = F.concat(
+        F.lit('{"request_time":{"value":{"arithmetic_mean":'),
+        s((e % 8000) / 16.0),
+        F.lit('}},"httpd":{"bulk_requests":{"value":'), s(e % 5000),
+        F.lit('},"view_reads":{"value":'), s(u % 4000), F.lit("}"),
+        F.when(u % 3 != 0,
+               F.concat(F.lit(',"temporary_view_reads":{"value":'),
+                        s(e % 60), F.lit("}"))).otherwise(F.lit("")),
+        F.lit('},"httpd_request_methods":{'), methods,
+        F.lit('},"httpd_status_codes":{'), codes,
+        F.lit('},"open_databases":{"value":'), s(u % 200),
+        F.lit('},"open_os_files":{"value":'), s(e % 3000),
+        F.lit('},"database_reads":{"value":'), s(e % 400000),
+        F.lit('},"database_writes":{"value":'), s(u % 300000),
+        F.lit(".7}}"),
+    )
+    out = couchdb_stats(
+        ev.select("event_id", body.alias("body")),
+        node_name="http://localhost:5984",
+    )
+    return out.select(
+        "event_id", "cd_node_name", "cd_metric", "cd_kind", "cd_mono",
+        "cd_method", "cd_code", "cd_view", "cd_operation", "cd_value",
+        "cd_value_d", "cd_ok",
+    )
+
+
+def _couchdb_oracle() -> str:
+    from ..operators.receivers import (
+        _COUCHDB_CODES,
+        _COUCHDB_METHODS,
+        _COUCHDB_VIEWS,
+    )
+
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    method_vals = {"GET": "e % 100000", "POST": "u % 50000",
+                   "PUT": "e % 9000"}
+    code_vals = {"200": "e % 1000000", "404": "u % 10000",
+                 "500": "e % 77"}
+    rows = [("couchdb.average_request_time", "gauge", "FALSE", NS, NS,
+             NS, NS, NI, "CAST(e % 8000 AS DOUBLE) / 16.0", "TRUE"),
+            ("couchdb.httpd.bulk_requests", "sum", "TRUE", NS, NS, NS,
+             NS, "e % 5000", ND, "TRUE")]
+    for mth in _COUCHDB_METHODS:
+        if mth in method_vals:
+            rows.append(("couchdb.httpd.requests", "sum", "TRUE",
+                         f"'{mth}'", NS, NS, NS, method_vals[mth], ND,
+                         "TRUE"))
+        elif mth == "DELETE":
+            rows.append(("couchdb.httpd.requests", "sum", "TRUE",
+                         "'DELETE'", NS, NS, NS,
+                         "CASE WHEN e % 2 = 0 THEN u % 800 END", ND,
+                         "e % 2 = 0"))
+        else:  # HEAD (string value on e%5=0), OPTIONS, COPY: never ok
+            rows.append(("couchdb.httpd.requests", "sum", "TRUE",
+                         f"'{mth}'", NS, NS, NS, NI, ND, "FALSE"))
+    for code in _COUCHDB_CODES:
+        rows.append(("couchdb.httpd.responses", "sum", "TRUE", NS,
+                     f"'{code}'", NS, NS,
+                     code_vals.get(code, NI), ND,
+                     "TRUE" if code in code_vals else "FALSE"))
+    for view in _COUCHDB_VIEWS:
+        if view == "view_reads":
+            rows.append(("couchdb.httpd.views", "sum", "TRUE", NS, NS,
+                         f"'{view}'", NS, "u % 4000", ND, "TRUE"))
+        else:
+            rows.append(("couchdb.httpd.views", "sum", "TRUE", NS, NS,
+                         f"'{view}'", NS,
+                         "CASE WHEN u % 3 <> 0 THEN e % 60 END", ND,
+                         "u % 3 <> 0"))
+    rows += [
+        ("couchdb.database.open", "sum", "FALSE", NS, NS, NS, NS,
+         "u % 200", ND, "TRUE"),
+        ("couchdb.file_descriptor.open", "sum", "FALSE", NS, NS, NS, NS,
+         "e % 3000", ND, "TRUE"),
+        ("couchdb.database.operations", "sum", "TRUE", NS, NS, NS,
+         "'reads'", "e % 400000", ND, "TRUE"),
+        ("couchdb.database.operations", "sum", "TRUE", NS, NS, NS,
+         "'writes'", "u % 300000", ND, "TRUE"),
+    ]
+    parts = []
+    for i, (metric, kind, mono, mth, code, view, op, vi, vd, ok) in \
+            enumerate(rows):
+        a = (lambda n: f" AS {n}") if i == 0 else (lambda n: "")
+        parts.append(
+            f"SELECT event_id, 'http://localhost:5984'"
+            f"{a('cd_node_name')}, '{metric}'{a('cd_metric')}, "
+            f"'{kind}'{a('cd_kind')}, {mono}{a('cd_mono')}, "
+            f"{mth}{a('cd_method')}, {code}{a('cd_code')}, "
+            f"{view}{a('cd_view')}, {op}{a('cd_operation')}, "
+            f"{vi}{a('cd_value')}, {vd}{a('cd_value_d')}, "
+            f"{ok}{a('cd_ok')} FROM a"
+        )
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e "
+        "FROM events)\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["couchdb_stats"] = q_couchdb
+EXT16_ORACLES["couchdb_stats"] = _couchdb_oracle()
