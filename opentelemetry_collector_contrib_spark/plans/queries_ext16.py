@@ -1602,3 +1602,238 @@ def _couchdb_oracle() -> str:
 
 EXT16_QUERIES["couchdb_stats"] = q_couchdb
 EXT16_ORACLES["couchdb_stats"] = _couchdb_oracle()
+
+
+# ---------------------------------------------------------------------------
+# docker container stats + inspect -> metric rows
+# ---------------------------------------------------------------------------
+
+_DOCKER_NOW_NS = 1704074400 * 10**9  # 2024-01-01T02:00:00Z
+
+
+def q_docker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dockerstats import docker_container_stats
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    percpu = F.when(
+        e % 2 == 0,
+        F.concat(F.lit(',"percpu_usage":['), s(e % 1000), F.lit(","),
+                 s(u % 1000), F.lit(","), s(e % 77), F.lit("]")),
+    ).otherwise(F.lit(""))
+    memstats = F.when(
+        u % 2 == 0,
+        F.concat(F.lit('"total_inactive_file":'), s(e % 400)),
+    ).otherwise(F.concat(F.lit('"inactive_file":'), s(e % 300)))
+    stats = F.concat(
+        F.lit('{"cpu_stats":{"cpu_usage":{"total_usage":'),
+        s(e % 100000 + e % 500),
+        F.lit(',"usage_in_kernelmode":'), s(e % 3000),
+        F.lit(',"usage_in_usermode":'), s(u % 3000), percpu,
+        F.lit('},"system_cpu_usage":'), s(u % 1000000 + u % 5000),
+        F.lit(',"online_cpus":'), s(u % 5),
+        F.lit(',"throttling_data":{"periods":'), s(e % 50),
+        F.lit(',"throttled_periods":'), s(u % 50),
+        F.lit(',"throttled_time":'), s(e % 7777),
+        F.lit('}},"precpu_stats":{"cpu_usage":{"total_usage":'),
+        s(e % 100000), F.lit('},"system_cpu_usage":'), s(u % 1000000),
+        F.lit('},"memory_stats":{"usage":'), s(e % 100000 + 500),
+        F.lit(',"max_usage":'), s(e % 150000),
+        F.lit(',"limit":'),
+        F.when(e % 9 == 0, F.lit("0")).otherwise(s(u % 200000 + 1000)),
+        F.lit(',"failcnt":'), s(u % 5),
+        F.lit(',"stats":{'), memstats,
+        F.lit(',"cache":'), s(e % 222),
+        F.lit(',"rss":'), s(u % 888),
+        F.lit(',"shmem":5}},"blkio_stats":{'),
+        F.lit('"io_service_bytes_recursive":[{"major":8,"minor":0,'
+              '"op":"Read","value":'), s(e % 5000),
+        F.lit('},{"major":8,"minor":0,"op":"Write","value":'),
+        s(u % 5000),
+        F.lit('}],"io_serviced_recursive":[{"major":252,"minor":'),
+        s(e % 3), F.lit(',"op":"Async","value":'), s(e % 600),
+        F.lit('}]},"networks":{"eth0":{"rx_bytes":'), s(e % 1000000),
+        F.lit(',"tx_bytes":'), s(u % 1000000),
+        F.lit(',"rx_dropped":'), s(e % 10),
+        F.lit(',"tx_dropped":'), s(u % 10),
+        F.lit(',"rx_packets":'), s(e % 100000),
+        F.lit(',"tx_packets":'), s(u % 100000),
+        F.lit(',"rx_errors":'), s(e % 5),
+        F.lit(',"tx_errors":'), s(u % 5),
+        F.lit('}},"pids_stats":{"current":'), s(e % 20),
+        F.lit(',"limit":'),
+        F.when(u % 4 == 0, F.lit("0")).otherwise(s(u % 1000)),
+        F.lit("}}"),
+    )
+    hostcfg = (
+        F.when(u % 4 == 0, F.concat(
+            F.lit('"NanoCpus":'), s((e % 8 + 1) * 500000000)))
+        .when(u % 4 == 1, F.concat(
+            F.lit('"CpusetCpus":"'),
+            F.when(e % 13 == 0, F.lit("0,x-2"))
+            .when(e % 2 == 0, F.lit("0,2-4")).otherwise(F.lit("1,3")),
+            F.lit('"')))
+        .when(u % 4 == 2, F.concat(
+            F.lit('"CpuQuota":'), s(e % 50000 + 50000),
+            F.lit(',"CpuPeriod":'),
+            F.when(e % 3 == 0, F.lit("0")).otherwise(F.lit("200000"))))
+        .otherwise(F.lit('"CpuQuota":0'))
+    )
+    started = F.when(e % 17 == 0, F.lit("bogus")).otherwise(
+        F.concat(F.lit("2024-01-01T00:"), F.lpad(s(e % 60), 2, "0"),
+                 F.lit(":00Z")),
+    )
+    container = F.concat(
+        F.lit('{"Id":"c'), s(e), F.lit('","Name":"/cont'), s(e % 50),
+        F.lit('","Image":"sha256:'), s(u),
+        F.lit('","RestartCount":'), s(e % 6),
+        F.lit(',"Config":{"Hostname":"h'), s(u % 6),
+        F.lit('","Image":"img'), s(e % 9),
+        F.lit('","Cmd":["run","--x'), s(u % 3),
+        F.lit('"]},"State":{"StartedAt":"'), started,
+        F.lit('"},"HostConfig":{"CpuShares":'), s(u % 1024),
+        F.lit(","), hostcfg, F.lit("}}"),
+    )
+    out = docker_container_stats(
+        ev.select("event_id", stats.alias("stats"),
+                  container.alias("container")),
+        now_ns=_DOCKER_NOW_NS,
+    )
+    return out.select(
+        "event_id", "dk_container_id", "dk_container_name",
+        "dk_hostname", "dk_image_name", "dk_image_id", "dk_command_line",
+        "dk_metric", "dk_device_major", "dk_device_minor",
+        "dk_operation", "dk_interface", "dk_core", "dk_value",
+        "dk_value_d", "dk_ok",
+    )
+
+
+def _docker_oracle() -> str:
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    total_usage = ("(e % 100000 + 500) - CASE WHEN u % 2 = 0 "
+                   "THEN e % 400 ELSE e % 300 END")
+    online = ("CASE WHEN u % 5 = 0 THEN "
+              "CASE WHEN e % 2 = 0 THEN 3 ELSE 0 END ELSE u % 5 END")
+    cpu_pct = (
+        f"CASE WHEN e % 500 > 0 AND u % 5000 > 0 THEN "
+        f"CAST(e % 500 AS DOUBLE) / CAST(u % 5000 AS DOUBLE) "
+        f"* CAST({online} AS DOUBLE) * 100.0 ELSE 0.0 END"
+    )
+    mem_pct = (
+        f"CASE WHEN e % 9 = 0 THEN 0.0 ELSE "
+        f"CAST({total_usage} AS DOUBLE) "
+        f"/ CAST(u % 200000 + 1000 AS DOUBLE) * 100.0 END"
+    )
+    uptime = ("CASE WHEN e % 17 <> 0 THEN "
+              "CAST(7200 - 60 * (e % 60) AS DOUBLE) END")
+    cpu_limit = (
+        "CASE WHEN u % 4 = 0 THEN CAST((e % 8 + 1) AS DOUBLE) / 2.0 "
+        "WHEN u % 4 = 1 AND e % 13 = 0 THEN CAST(NULL AS DOUBLE) "
+        "WHEN u % 4 = 1 AND e % 2 = 0 THEN 4.0 "
+        "WHEN u % 4 = 1 THEN 2.0 "
+        "ELSE CAST(e % 50000 + 50000 AS DOUBLE) / "
+        "CASE WHEN e % 3 = 0 THEN 100000.0 ELSE 200000.0 END END"
+    )
+    # metric, maj, min, op, iface, core, where, vi, vd, ok
+    rows = [
+        ("container.cpu.usage.system", NS, NS, NS, NS, NS, None,
+         "u % 1000000 + u % 5000", ND, "TRUE"),
+        ("container.cpu.usage.total", NS, NS, NS, NS, NS, None,
+         "e % 100000 + e % 500", ND, "TRUE"),
+        ("container.cpu.usage.kernelmode", NS, NS, NS, NS, NS, None,
+         "e % 3000", ND, "TRUE"),
+        ("container.cpu.usage.usermode", NS, NS, NS, NS, NS, None,
+         "u % 3000", ND, "TRUE"),
+        ("container.cpu.throttling_data.throttled_periods", NS, NS, NS,
+         NS, NS, None, "u % 50", ND, "TRUE"),
+        ("container.cpu.throttling_data.periods", NS, NS, NS, NS, NS,
+         None, "e % 50", ND, "TRUE"),
+        ("container.cpu.throttling_data.throttled_time", NS, NS, NS, NS,
+         NS, None, "e % 7777", ND, "TRUE"),
+        ("container.cpu.logical.count", NS, NS, NS, NS, NS, None,
+         "u % 5", ND, "TRUE"),
+        ("container.cpu.utilization", NS, NS, NS, NS, NS, None, NI,
+         cpu_pct, "TRUE"),
+        ("container.memory.usage.total", NS, NS, NS, NS, NS, None,
+         total_usage, ND, "TRUE"),
+        ("container.memory.usage.limit", NS, NS, NS, NS, NS, None,
+         "CASE WHEN e % 9 = 0 THEN 0 ELSE u % 200000 + 1000 END", ND,
+         "TRUE"),
+        ("container.memory.percent", NS, NS, NS, NS, NS, None, NI,
+         mem_pct, "TRUE"),
+        ("container.memory.usage.max", NS, NS, NS, NS, NS, None,
+         "e % 150000", ND, "TRUE"),
+        ("container.memory.fails", NS, NS, NS, NS, NS, None, "u % 5",
+         ND, "TRUE"),
+        ("container.memory.total_inactive_file", NS, NS, NS, NS, NS,
+         "u % 2 = 0", "e % 400", ND, "TRUE"),
+        ("container.memory.inactive_file", NS, NS, NS, NS, NS,
+         "u % 2 <> 0", "e % 300", ND, "TRUE"),
+        ("container.memory.cache", NS, NS, NS, NS, NS, None, "e % 222",
+         ND, "TRUE"),
+        ("container.memory.rss", NS, NS, NS, NS, NS, None, "u % 888",
+         ND, "TRUE"),
+        ("container.pids.count", NS, NS, NS, NS, NS, "e % 20 <> 0",
+         "e % 20", ND, "TRUE"),
+        ("container.pids.limit", NS, NS, NS, NS, NS,
+         "e % 20 <> 0 AND u % 4 <> 0", "u % 1000", ND, "TRUE"),
+        ("container.uptime", NS, NS, NS, NS, NS, None, NI, uptime,
+         "e % 17 <> 0"),
+        ("container.cpu.shares", NS, NS, NS, NS, NS, None, "u % 1024",
+         ND, "TRUE"),
+        ("container.cpu.limit", NS, NS, NS, NS, NS,
+         "u % 4 <> 3", NI, cpu_limit,
+         "NOT (u % 4 = 1 AND e % 13 = 0)"),
+        ("container.restarts", NS, NS, NS, NS, NS, None, "e % 6", ND,
+         "TRUE"),
+        ("container.blockio.io_service_bytes_recursive", "'8'", "'0'",
+         "'read'", NS, NS, None, "e % 5000", ND, "TRUE"),
+        ("container.blockio.io_service_bytes_recursive", "'8'", "'0'",
+         "'write'", NS, NS, None, "u % 5000", ND, "TRUE"),
+        ("container.blockio.io_serviced_recursive", "'252'",
+         "CAST(e % 3 AS VARCHAR)", "'async'", NS, NS, None, "e % 600",
+         ND, "TRUE"),
+    ]
+    for i in range(3):
+        rows.append(("container.cpu.usage.percpu", NS, NS, NS, NS,
+                     f"'cpu{i}'", "e % 2 = 0",
+                     ["e % 1000", "u % 1000", "e % 77"][i], ND, "TRUE"))
+    for field, metric in (
+        ("e % 1000000", "rx_bytes"), ("u % 1000000", "tx_bytes"),
+        ("e % 10", "rx_dropped"), ("u % 10", "tx_dropped"),
+        ("e % 100000", "rx_packets"), ("u % 100000", "tx_packets"),
+        ("e % 5", "rx_errors"), ("u % 5", "tx_errors"),
+    ):
+        rows.append((f"container.network.io.usage.{metric}", NS, NS,
+                     NS, "'eth0'", NS, None, field, ND, "TRUE"))
+    parts = []
+    for i, (metric, mj, mn, op, ifc, core, where, vi, vd, ok) in \
+            enumerate(rows):
+        a = (lambda n: f" AS {n}") if i == 0 else (lambda n: "")
+        w = f" WHERE {where}" if where else ""
+        parts.append(
+            f"SELECT event_id, 'c' || CAST(e AS VARCHAR)"
+            f"{a('dk_container_id')}, "
+            f"'cont' || CAST(e % 50 AS VARCHAR){a('dk_container_name')},"
+            f" 'h' || CAST(u % 6 AS VARCHAR){a('dk_hostname')}, "
+            f"'img' || CAST(e % 9 AS VARCHAR){a('dk_image_name')}, "
+            f"'sha256:' || CAST(u AS VARCHAR){a('dk_image_id')}, "
+            f"'run --x' || CAST(u % 3 AS VARCHAR){a('dk_command_line')},"
+            f" '{metric}'{a('dk_metric')}, {mj}{a('dk_device_major')}, "
+            f"{mn}{a('dk_device_minor')}, {op}{a('dk_operation')}, "
+            f"{ifc}{a('dk_interface')}, {core}{a('dk_core')}, "
+            f"{vi}{a('dk_value')}, {vd}{a('dk_value_d')}, "
+            f"{ok}{a('dk_ok')} FROM a{w}"
+        )
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e "
+        "FROM events)\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["docker_stats"] = q_docker
+EXT16_ORACLES["docker_stats"] = _docker_oracle()
