@@ -3771,3 +3771,200 @@ def couchdb_stats(
         m["value_d"].alias("cd_value_d"),
         m["ok"].alias("cd_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mysql receiver, global-status half (receiver/mysqlreceiver/scraper.go:
+# 134-450,673-708)
+# ---------------------------------------------------------------------------
+
+# (status variable, metric, optional attr value) — 1:1 with the
+# scrapeGlobalStats switch; table generated from the Go switch + the
+# generated_metrics attr strings. Every value is ParseInt input.
+_MYSQL_GLOBAL_STATS: tuple[tuple[str, str, tuple], ...] = (
+    ("Bytes_received", "mysql.client.network.io", ("received",)),
+    ("Bytes_sent", "mysql.client.network.io", ("sent",)),
+    ("Innodb_buffer_pool_pages_data", "mysql.buffer_pool.pages", ("data",)),
+    ("Innodb_buffer_pool_pages_free", "mysql.buffer_pool.pages", ("free",)),
+    ("Innodb_buffer_pool_pages_total", "mysql.buffer_pool.pages", ("total",)),
+    ("Innodb_buffer_pool_pages_misc", "mysql.buffer_pool.pages", ("misc",)),
+    ("Innodb_buffer_pool_pages_flushed", "mysql.buffer_pool.page_flushes", ()),
+    ("Innodb_buffer_pool_read_ahead_rnd", "mysql.buffer_pool.operations", ("read_ahead_rnd",)),
+    ("Innodb_buffer_pool_read_ahead", "mysql.buffer_pool.operations", ("read_ahead",)),
+    ("Innodb_buffer_pool_read_ahead_evicted", "mysql.buffer_pool.operations", ("read_ahead_evicted",)),
+    ("Innodb_buffer_pool_read_requests", "mysql.buffer_pool.operations", ("read_requests",)),
+    ("Innodb_buffer_pool_reads", "mysql.buffer_pool.operations", ("reads",)),
+    ("Innodb_buffer_pool_wait_free", "mysql.buffer_pool.operations", ("wait_free",)),
+    ("Innodb_buffer_pool_write_requests", "mysql.buffer_pool.operations", ("write_requests",)),
+    ("Connection_errors_accept", "mysql.connection.errors", ("accept",)),
+    ("Connection_errors_internal", "mysql.connection.errors", ("internal",)),
+    ("Connection_errors_max_connections", "mysql.connection.errors", ("max_connections",)),
+    ("Connection_errors_peer_address", "mysql.connection.errors", ("peer_address",)),
+    ("Connection_errors_select", "mysql.connection.errors", ("select",)),
+    ("Connection_errors_tcpwrap", "mysql.connection.errors", ("tcpwrap",)),
+    ("Aborted_clients", "mysql.connection.errors", ("aborted_clients",)),
+    ("Aborted_connects", "mysql.connection.errors", ("aborted",)),
+    ("Locked_connects", "mysql.connection.errors", ("locked",)),
+    ("Connections", "mysql.connection.count", ()),
+    ("Max_used_connections", "mysql.max_used_connections", ()),
+    ("Com_stmt_execute", "mysql.prepared_statements", ("execute",)),
+    ("Com_stmt_close", "mysql.prepared_statements", ("close",)),
+    ("Com_stmt_fetch", "mysql.prepared_statements", ("fetch",)),
+    ("Com_stmt_prepare", "mysql.prepared_statements", ("prepare",)),
+    ("Com_stmt_reset", "mysql.prepared_statements", ("reset",)),
+    ("Com_stmt_send_long_data", "mysql.prepared_statements", ("send_long_data",)),
+    ("Com_delete", "mysql.commands", ("delete",)),
+    ("Com_delete_multi", "mysql.commands", ("delete_multi",)),
+    ("Com_insert", "mysql.commands", ("insert",)),
+    ("Com_select", "mysql.commands", ("select",)),
+    ("Com_update", "mysql.commands", ("update",)),
+    ("Com_update_multi", "mysql.commands", ("update_multi",)),
+    ("Created_tmp_disk_tables", "mysql.tmp_resources", ("disk_tables",)),
+    ("Created_tmp_files", "mysql.tmp_resources", ("files",)),
+    ("Created_tmp_tables", "mysql.tmp_resources", ("tables",)),
+    ("Handler_commit", "mysql.handlers", ("commit",)),
+    ("Handler_delete", "mysql.handlers", ("delete",)),
+    ("Handler_discover", "mysql.handlers", ("discover",)),
+    ("Handler_external_lock", "mysql.handlers", ("external_lock",)),
+    ("Handler_mrr_init", "mysql.handlers", ("mrr_init",)),
+    ("Handler_prepare", "mysql.handlers", ("prepare",)),
+    ("Handler_read_first", "mysql.handlers", ("read_first",)),
+    ("Handler_read_key", "mysql.handlers", ("read_key",)),
+    ("Handler_read_last", "mysql.handlers", ("read_last",)),
+    ("Handler_read_next", "mysql.handlers", ("read_next",)),
+    ("Handler_read_prev", "mysql.handlers", ("read_prev",)),
+    ("Handler_read_rnd", "mysql.handlers", ("read_rnd",)),
+    ("Handler_read_rnd_next", "mysql.handlers", ("read_rnd_next",)),
+    ("Handler_rollback", "mysql.handlers", ("rollback",)),
+    ("Handler_savepoint", "mysql.handlers", ("savepoint",)),
+    ("Handler_savepoint_rollback", "mysql.handlers", ("savepoint_rollback",)),
+    ("Handler_update", "mysql.handlers", ("update",)),
+    ("Handler_write", "mysql.handlers", ("write",)),
+    ("Innodb_dblwr_pages_written", "mysql.double_writes", ("pages_written",)),
+    ("Innodb_dblwr_writes", "mysql.double_writes", ("writes",)),
+    ("Innodb_log_waits", "mysql.log_operations", ("waits",)),
+    ("Innodb_log_write_requests", "mysql.log_operations", ("write_requests",)),
+    ("Innodb_log_writes", "mysql.log_operations", ("writes",)),
+    ("Innodb_os_log_fsyncs", "mysql.log_operations", ("fsyncs",)),
+    ("Innodb_data_fsyncs", "mysql.operations", ("fsyncs",)),
+    ("Innodb_data_reads", "mysql.operations", ("reads",)),
+    ("Innodb_data_writes", "mysql.operations", ("writes",)),
+    ("Innodb_pages_created", "mysql.page_operations", ("created",)),
+    ("Innodb_pages_read", "mysql.page_operations", ("read",)),
+    ("Innodb_pages_written", "mysql.page_operations", ("written",)),
+    ("Innodb_row_lock_waits", "mysql.row_locks", ("waits",)),
+    ("Innodb_row_lock_time", "mysql.row_locks", ("time",)),
+    ("Innodb_rows_deleted", "mysql.row_operations", ("deleted",)),
+    ("Innodb_rows_inserted", "mysql.row_operations", ("inserted",)),
+    ("Innodb_rows_read", "mysql.row_operations", ("read",)),
+    ("Innodb_rows_updated", "mysql.row_operations", ("updated",)),
+    ("Table_locks_immediate", "mysql.locks", ("immediate",)),
+    ("Table_locks_waited", "mysql.locks", ("waited",)),
+    ("Select_full_join", "mysql.joins", ("full",)),
+    ("Select_full_range_join", "mysql.joins", ("full_range",)),
+    ("Select_range", "mysql.joins", ("range",)),
+    ("Select_range_check", "mysql.joins", ("range_check",)),
+    ("Select_scan", "mysql.joins", ("scan",)),
+    ("Table_open_cache_hits", "mysql.table_open_cache", ("hit",)),
+    ("Table_open_cache_misses", "mysql.table_open_cache", ("miss",)),
+    ("Table_open_cache_overflows", "mysql.table_open_cache", ("overflow",)),
+    ("Queries", "mysql.query.count", ()),
+    ("Questions", "mysql.query.client.count", ()),
+    ("Slow_queries", "mysql.query.slow.count", ()),
+    ("Sort_merge_passes", "mysql.sorts", ("merge_passes",)),
+    ("Sort_range", "mysql.sorts", ("range",)),
+    ("Sort_rows", "mysql.sorts", ("rows",)),
+    ("Sort_scan", "mysql.sorts", ("scan",)),
+    ("Threads_cached", "mysql.threads", ("cached",)),
+    ("Threads_connected", "mysql.threads", ("connected",)),
+    ("Threads_created", "mysql.threads", ("created",)),
+    ("Threads_running", "mysql.threads", ("running",)),
+    ("Opened_files", "mysql.opened_resources", ("file",)),
+    ("Opened_tables", "mysql.opened_resources", ("table",)),
+    ("Opened_table_definitions", "mysql.opened_resources", ("table_definition",)),
+    ("Mysqlx_worker_threads", "mysql.mysqlx_worker_threads", ("available",)),
+    ("Mysqlx_worker_threads_active", "mysql.mysqlx_worker_threads", ("active",)),
+    ("Mysqlx_connections_accepted", "mysql.mysqlx_connections", ("accepted",)),
+    ("Mysqlx_connections_closed", "mysql.mysqlx_connections", ("closed",)),
+    ("Mysqlx_connections_rejected", "mysql.mysqlx_connections", ("rejected",)),
+    ("Uptime", "mysql.uptime", ()),
+    ("Innodb_page_size", "mysql.page_size", ()),
+)
+
+
+def mysql_global_status(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """``SHOW GLOBAL STATUS`` maps → one row per recorded metric.
+
+    Re-expresses the global-status half of the mysql receiver
+    (``scraper.go:134-450``) over rows holding the status variables as
+    a JSON object (the at-rest form of the name→value result set):
+
+    - the 107-case switch maps status variables to metrics with their
+      attr values (buffer-pool page/operation kinds, connection error
+      kinds, command/handler/sort/join/lock kinds, …); a present
+      variable that fails ParseInt is the reference's AddPartial →
+      ``my_ok=false`` row; an absent variable emits nothing;
+    - ``Innodb_buffer_pool_pages_misc`` is special-cased: an
+      unparseable value is silently IGNORED (no partial error —
+      scraper.go:164-170, mysql bug 59550);
+    - derived clean/dirty splits (recordDataPages/recordDataUsage,
+      :673-703): dirty first — if it fails to parse both points are
+      lost (one ``my_ok=false`` row); clean = data − dirty.
+
+    Plan: one from_json map + inline explode, zero shuffle/Python.
+    """
+    mp = F.from_json(F.col(body_col), "map<string,string>")
+    df = df.withColumn("_g", mp)
+    mp = F.col("_g")
+
+    ns = F.lit(None).cast("string")
+    entries = []
+
+    def val(key: str) -> Column:
+        return F.try_element_at(mp, F.lit(key))
+
+    def mk(metric, attr, present, vi, ok):
+        entries.append(F.struct(
+            F.lit(metric).alias("metric"),
+            (F.lit(attr) if attr else ns).alias("attr"),
+            present.alias("present"),
+            vi.cast("bigint").alias("value"),
+            ok.alias("ok"),
+        ))
+
+    for key, metric, attrs in _MYSQL_GLOBAL_STATS:
+        v = val(key)
+        p = v.try_cast("bigint")
+        attr = attrs[0] if attrs else None
+        if key == "Innodb_buffer_pool_pages_misc":
+            mk(metric, attr, v.isNotNull() & p.isNotNull(), p, F.lit(True))
+        else:
+            mk(metric, attr, v.isNotNull(), p, p.isNotNull())
+
+    # recordDataPages / recordDataUsage (:673-703)
+    for metric, dirty_key, data_key in (
+        ("mysql.buffer_pool.data_pages", "Innodb_buffer_pool_pages_dirty",
+         "Innodb_buffer_pool_pages_data"),
+        ("mysql.buffer_pool.usage", "Innodb_buffer_pool_bytes_dirty",
+         "Innodb_buffer_pool_bytes_data"),
+    ):
+        dirty = val(dirty_key).try_cast("bigint")
+        data = val(data_key).try_cast("bigint")
+        mk(metric, "dirty", F.lit(True), dirty, dirty.isNotNull())
+        mk(metric, "clean", dirty.isNotNull(), data - dirty,
+           data.isNotNull())
+
+    exploded = df.select(
+        *[c for c in df.columns if c not in ("_g", body_col)],
+        F.explode(
+            F.filter(F.array(*entries), lambda x: x["present"])
+        ).alias("_m"),
+    )
+    m = F.col("_m")
+    return exploded.select(
+        *[c for c in exploded.columns if c != "_m"],
+        m["metric"].alias("my_metric"),
+        m["attr"].alias("my_attr"),
+        m["value"].alias("my_value"),
+        m["ok"].alias("my_ok"),
+    )

@@ -1837,3 +1837,95 @@ def _docker_oracle() -> str:
 
 EXT16_QUERIES["docker_stats"] = q_docker
 EXT16_ORACLES["docker_stats"] = _docker_oracle()
+
+
+# ---------------------------------------------------------------------------
+# mysql SHOW GLOBAL STATUS map -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_mysql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import _MYSQL_GLOBAL_STATS, mysql_global_status
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    parts = [F.lit("{")]
+    for i, (key, _, _) in enumerate(_MYSQL_GLOBAL_STATS):
+        if i:
+            parts.append(F.lit(","))
+        parts.append(F.lit(f'"{key}":"'))
+        if key == "Connections":
+            parts.append(
+                F.when(e % 13 == 0, F.lit("xx")).otherwise(
+                    s((e * 31 + i * 97) % 100000))
+            )
+        elif key == "Innodb_buffer_pool_pages_misc":
+            parts.append(
+                F.when(e % 7 == 0, F.lit("oops")).otherwise(
+                    s((e * 31 + i * 97) % 100000))
+            )
+        else:
+            parts.append(s((e * 31 + i * 97) % 100000))
+        parts.append(F.lit('"'))
+    parts.append(F.concat(
+        F.lit(',"Innodb_buffer_pool_pages_dirty":"'),
+        F.when(e % 5 == 0, F.lit("bad")).otherwise(s(e % 3000)),
+        F.lit('","Innodb_buffer_pool_bytes_dirty":"'), s(u % 4000),
+        F.lit('","Innodb_buffer_pool_bytes_data":"'),
+        s(u % 90000 + 100000),
+        F.lit('","Some_unknown_var":"5"}'),
+    ))
+    body = F.concat(*parts)
+    out = mysql_global_status(ev.select("event_id", body.alias("body")))
+    return out.select("event_id", "my_metric", "my_attr", "my_value",
+                      "my_ok")
+
+
+def _mysql_oracle() -> str:
+    from ..operators.receivers import _MYSQL_GLOBAL_STATS
+
+    parts = []
+    first = True
+    for i, (key, metric, attrs) in enumerate(_MYSQL_GLOBAL_STATS):
+        a = (lambda n: f" AS {n}") if first else (lambda n: "")
+        first = False
+        attr = f"'{attrs[0]}'" if attrs else "CAST(NULL AS VARCHAR)"
+        vi = f"(e * 31 + {i} * 97) % 100000"
+        ok, where = "TRUE", None
+        if key == "Connections":
+            vi = f"CASE WHEN e % 13 = 0 THEN NULL ELSE {vi} END"
+            ok = "e % 13 <> 0"
+        elif key == "Innodb_buffer_pool_pages_misc":
+            where = "e % 7 <> 0"
+        parts.append(
+            f"SELECT event_id, '{metric}'{a('my_metric')}, "
+            f"{attr}{a('my_attr')}, {vi}{a('my_value')}, "
+            f"{ok}{a('my_ok')} FROM a"
+            + (f" WHERE {where}" if where else "")
+        )
+    data_i = [i for i, (k, _, _) in enumerate(_MYSQL_GLOBAL_STATS)
+              if k == "Innodb_buffer_pool_pages_data"][0]
+    pages_data = f"(e * 31 + {data_i} * 97) % 100000"
+    parts += [
+        # data_pages: dirty row always (ok=false when 'bad'), clean
+        # only when dirty parsed
+        "SELECT event_id, 'mysql.buffer_pool.data_pages', 'dirty', "
+        "CASE WHEN e % 5 = 0 THEN NULL ELSE e % 3000 END, e % 5 <> 0 "
+        "FROM a",
+        f"SELECT event_id, 'mysql.buffer_pool.data_pages', 'clean', "
+        f"{pages_data} - e % 3000, TRUE FROM a WHERE e % 5 <> 0",
+        "SELECT event_id, 'mysql.buffer_pool.usage', 'dirty', u % 4000, "
+        "TRUE FROM a",
+        "SELECT event_id, 'mysql.buffer_pool.usage', 'clean', "
+        "u % 90000 + 100000 - u % 4000, TRUE FROM a",
+    ]
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e "
+        "FROM events)\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["mysql_global_status"] = q_mysql
+EXT16_ORACLES["mysql_global_status"] = _mysql_oracle()
