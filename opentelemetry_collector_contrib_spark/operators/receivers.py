@@ -3968,3 +3968,164 @@ def mysql_global_status(df: DataFrame, body_col: str = "body") -> DataFrame:
         m["value"].alias("my_value"),
         m["ok"].alias("my_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mongodb receiver (receiver/mongodbreceiver/metrics.go + scraper.go)
+# ---------------------------------------------------------------------------
+
+
+def mongodb_stats(
+    df: DataFrame,
+    kind_col: str = "kind",
+    body_col: str = "body",
+    db_col: str = "database",
+    mongo_version: str = "5.0",
+) -> DataFrame:
+    """MongoDB dbStats / serverStatus documents → metric rows.
+
+    Re-expresses the stateless core of the mongodb receiver
+    (``metrics.go:62-521`` + ``scraper.go:233-270``) over rows of the
+    command responses at rest (``kind`` ∈ dbstats | serverstatus |
+    admin, one JSON document per row, ``database`` carries the db
+    resource attr):
+
+    - dbstats (:62-143): collections/dataSize/storageSize/objects/
+      indexes/indexSize; ``numExtents`` only when the server version
+      is < 4.4 (the MMAPv1 cleanup gate, mirrored by the
+      ``mongo_version`` param);
+    - per-db serverStatus (:145-188): connections
+      active/available/current, mem resident/virtual (Mi → bytes
+      ×1048576), metrics.document inserted/updated/deleted;
+    - admin serverStatus (:189-521): session count and cache
+      operations gated on ``storageEngine.name == wiredTiger`` (cache
+      hit = requested − read, miss recorded first), opLatencies
+      read/write/command, opcounters (6 operations), globalLock
+      activeClients readers/writers + totalTime µs→ms, wtcache bytes
+      read, extra_info page_faults, cursor open/timedOut, network
+      bytesIn/bytesOut/numRequests, uptimeMillis, ``ok`` health.
+
+    A missing/non-numeric path is the reference's AddPartial →
+    ``mb_ok=false`` row. The cross-scrape ``*.per.second`` telegraf
+    rates and the top/index per-collection stats are session-stateful
+    / fan-out paths intentionally not carried here (the streaming
+    pipeline owns rate state). Plan: one try_parse_json + inline
+    explode, zero shuffle/Python.
+    """
+    v = F.try_parse_json(F.col(body_col))
+    df = df.withColumn("_v", v)
+    v = F.col("_v")
+    kind = F.col(kind_col)
+
+    ns = F.lit(None).cast("string")
+    entries = []
+
+    def num(path: str) -> Column:
+        pv = F.try_variant_get(v, path, "variant")
+        is_num = F.schema_of_variant(pv).rlike(
+            "^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)"
+        )
+        return F.when(is_num, F.try_variant_get(pv, "$", "double"))
+
+    def mk(cond, metric, attr, vi, ok):
+        entries.append(F.struct(
+            F.lit(metric).alias("metric"),
+            (F.lit(attr) if attr else ns).alias("attr"),
+            cond.alias("present"),
+            vi.cast("bigint").alias("value"),
+            ok.alias("ok"),
+        ))
+
+    is_db = kind == "dbstats"
+    for path, metric in (
+        ("collections", "mongodb.collection.count"),
+        ("dataSize", "mongodb.data.size"),
+        ("storageSize", "mongodb.storage.size"),
+        ("objects", "mongodb.object.count"),
+        ("indexes", "mongodb.index.count"),
+        ("indexSize", "mongodb.index.size"),
+    ):
+        p = num("$." + path)
+        mk(is_db, metric, None, p, p.isNotNull())
+    major, minor = (mongo_version.split(".") + ["0"])[:2]
+    if (int(major), int(minor)) < (4, 4):
+        p = num("$.numExtents")
+        mk(is_db, "mongodb.extent.count", None, p, p.isNotNull())
+
+    is_ss = kind == "serverstatus"
+    for ct in ("active", "available", "current"):
+        p = num("$.connections." + ct)
+        mk(is_ss, "mongodb.connection.count", ct, p, p.isNotNull())
+    for mt in ("resident", "virtual"):
+        p = num("$.mem." + mt)
+        mk(is_ss, "mongodb.memory.usage", mt, p * 1048576, p.isNotNull())
+    for op, attr in (("inserted", "insert"), ("updated", "update"),
+                     ("deleted", "delete")):
+        p = num("$.metrics.document." + op)
+        mk(is_ss, "mongodb.document.operation.count", attr, p,
+           p.isNotNull())
+
+    is_adm = kind == "admin"
+    engine = F.try_variant_get(v, "$.storageEngine.name", "string")
+    is_wt = engine == "wiredTiger"
+    p = num("$.wiredTiger.session['open session count']")
+    mk(is_adm & (engine.isNull() | is_wt), "mongodb.session.count",
+       None, F.when(is_wt, p),
+       F.when(is_wt, p.isNotNull()).otherwise(F.lit(False)))
+    for lat in ("read", "write", "command"):
+        p = num(f"$.opLatencies.{lat}s.latency")
+        mk(is_adm, "mongodb.operation.latency.time", lat, p,
+           p.isNotNull())
+    for op in ("insert", "query", "update", "delete", "getmore",
+               "command"):
+        p = num("$.opcounters." + op)
+        mk(is_adm, "mongodb.operation.count", op, p, p.isNotNull())
+    p = num("$.globalLock.activeClients.writers")
+    mk(is_adm, "mongodb.active.writes", None, p, p.isNotNull())
+    p = num("$.globalLock.activeClients.readers")
+    mk(is_adm, "mongodb.active.reads", None, p, p.isNotNull())
+    p = num("$.wiredTiger.cache['bytes read into cache']")
+    mk(is_adm, "mongodb.wtcache.bytes.read", None, p, p.isNotNull())
+    p = num("$.extra_info.page_faults")
+    mk(is_adm, "mongodb.page_faults", None, p, p.isNotNull())
+    miss = num("$.wiredTiger.cache['pages read into cache']")
+    req = num("$.wiredTiger.cache['pages requested from the cache']")
+    mk(is_adm & (engine.isNull() | is_wt), "mongodb.cache.operations",
+       "miss", F.when(is_wt, miss),
+       F.when(is_wt, miss.isNotNull()).otherwise(F.lit(False)))
+    mk(is_adm & is_wt & miss.isNotNull(), "mongodb.cache.operations",
+       "hit", req - miss, req.isNotNull())
+    p = num("$.globalLock.totalTime")
+    # integer µs -> ms division (Go int64 / 1000 truncates)
+    mk(is_adm, "mongodb.global_lock.time", None,
+       (p.cast("bigint") - F.pmod(p.cast("bigint"), 1000)) / 1000, p.isNotNull())
+    p = num("$.metrics.cursor.open.total")
+    mk(is_adm, "mongodb.cursor.count", None, p, p.isNotNull())
+    p = num("$.metrics.cursor.timedOut")
+    mk(is_adm, "mongodb.cursor.timeout.count", None, p, p.isNotNull())
+    for key, metric in (
+        ("bytesIn", "mongodb.network.io.receive"),
+        ("bytesOut", "mongodb.network.io.transmit"),
+        ("numRequests", "mongodb.network.request.count"),
+    ):
+        p = num("$.network." + key)
+        mk(is_adm, metric, None, p, p.isNotNull())
+    p = num("$.uptimeMillis")
+    mk(is_adm, "mongodb.uptime", None, p, p.isNotNull())
+    p = num("$.ok")
+    mk(is_adm, "mongodb.health", None, p, p.isNotNull())
+
+    exploded = df.select(
+        *[c for c in df.columns if c not in ("_v", body_col)],
+        F.explode(
+            F.filter(F.array(*entries), lambda x: x["present"])
+        ).alias("_m"),
+    )
+    m = F.col("_m")
+    return exploded.select(
+        *[c for c in exploded.columns if c != "_m"],
+        m["metric"].alias("mb_metric"),
+        m["attr"].alias("mb_attr"),
+        m["value"].alias("mb_value"),
+        m["ok"].alias("mb_ok"),
+    )

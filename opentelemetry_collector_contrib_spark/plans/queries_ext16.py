@@ -1929,3 +1929,174 @@ def _mysql_oracle() -> str:
 
 EXT16_QUERIES["mysql_global_status"] = q_mysql
 EXT16_ORACLES["mysql_global_status"] = _mysql_oracle()
+
+
+# ---------------------------------------------------------------------------
+# mongodb dbstats / serverstatus documents -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_mongodb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import mongodb_stats
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    dbstats = F.concat(
+        F.lit('{"collections":'), s(u % 100),
+        F.lit(',"dataSize":'), s(e % 1000000000),
+        F.lit(',"storageSize":'), s(e % 500000000),
+        F.lit(',"objects":'), s(e % 1000000),
+        F.when(u % 5 != 0,
+               F.concat(F.lit(',"indexes":'), s(u % 50))
+               ).otherwise(F.lit("")),
+        F.lit(',"indexSize":'), s(e % 10000000),
+        F.lit(',"numExtents":3}'),
+    )
+    serverstatus = F.concat(
+        F.lit('{"connections":{"active":'), s(u % 100),
+        F.lit(',"available":'), s(e % 1000),
+        F.lit(',"current":'), s(u % 200),
+        F.lit('},"mem":{"resident":'), s(e % 4096),
+        F.lit(',"virtual":'), s(u % 8192),
+        F.lit('},"metrics":{"document":{"inserted":'), s(e % 100000),
+        F.lit(',"updated":'), s(u % 100000),
+        F.lit(',"deleted":'), s(e % 5000), F.lit("}}}"),
+    )
+    engine = F.when(u % 6 == 0, F.lit("inMemory")).otherwise(
+        F.lit("wiredTiger"))
+    admin = F.concat(
+        F.lit('{"storageEngine":{"name":"'), engine,
+        F.lit('"},"wiredTiger":{"session":{"open session count":'),
+        s(u % 300),
+        F.lit('},"cache":{"bytes read into cache":'), s(e % 100000000),
+        F.lit(',"pages read into cache":'), s(e % 10000),
+        F.lit(',"pages requested from the cache":'),
+        s(e % 10000 + u % 10000),
+        F.lit('}},"opLatencies":{"reads":{"latency":'), s(e % 1000000),
+        F.lit('},"writes":{"latency":'), s(u % 1000000),
+        F.lit('},"commands":{"latency":'), s(e % 77777),
+        F.lit('}},"opcounters":{"insert":'), s(e % 100000),
+        F.lit(',"query":'), s(u % 100000),
+        F.lit(',"update":'), s(e % 90000),
+        F.lit(',"delete":'), s(u % 90000),
+        F.lit(',"getmore":'), s(e % 80000),
+        F.lit(',"command":'), s(u % 80000),
+        F.lit('},"globalLock":{"totalTime":'), s(e % 1000000000),
+        F.lit(',"activeClients":{"readers":'), s(u % 50),
+        F.lit(',"writers":'), s(e % 50),
+        F.lit('}},"extra_info":{"page_faults":'), s(e % 10000),
+        F.lit('},"metrics":{"cursor":{"open":{"total":'), s(u % 500),
+        F.lit('},"timedOut":'), s(e % 100),
+        F.lit('}},"network":{"bytesIn":'), s(e % 1000000000),
+        F.lit(',"bytesOut":'), s(u % 1000000000),
+        F.lit(',"numRequests":'), s(e % 1000000),
+        F.lit('},"uptimeMillis":'), s(e % 100000000),
+        F.lit(',"ok":1}'),
+    )
+    kind = F.element_at(
+        F.array(F.lit("dbstats"), F.lit("serverstatus"), F.lit("admin")),
+        (e % 3 + 1).cast("int"),
+    )
+    body = (
+        F.when(e % 3 == 0, dbstats)
+        .when(e % 3 == 1, serverstatus).otherwise(admin)
+    )
+    db = F.concat(F.lit("db"), s(u % 4))
+    out = mongodb_stats(ev.select(
+        "event_id", kind.alias("kind"), body.alias("body"),
+        db.alias("database"),
+    ))
+    return out.select("event_id", "kind", "database", "mb_metric",
+                      "mb_attr", "mb_value", "mb_ok")
+
+
+def _mongodb_oracle() -> str:
+    NS = "CAST(NULL AS VARCHAR)"
+    rows = [
+        (0, "mongodb.collection.count", NS, "u % 100", "TRUE", None),
+        (0, "mongodb.data.size", NS, "e % 1000000000", "TRUE", None),
+        (0, "mongodb.storage.size", NS, "e % 500000000", "TRUE", None),
+        (0, "mongodb.object.count", NS, "e % 1000000", "TRUE", None),
+        (0, "mongodb.index.count", NS,
+         "CASE WHEN u % 5 = 0 THEN NULL ELSE u % 50 END", "u % 5 <> 0",
+         None),
+        (0, "mongodb.index.size", NS, "e % 10000000", "TRUE", None),
+        (1, "mongodb.connection.count", "'active'", "u % 100", "TRUE",
+         None),
+        (1, "mongodb.connection.count", "'available'", "e % 1000",
+         "TRUE", None),
+        (1, "mongodb.connection.count", "'current'", "u % 200", "TRUE",
+         None),
+        (1, "mongodb.memory.usage", "'resident'",
+         "(e % 4096) * 1048576", "TRUE", None),
+        (1, "mongodb.memory.usage", "'virtual'",
+         "(u % 8192) * 1048576", "TRUE", None),
+        (1, "mongodb.document.operation.count", "'insert'", "e % 100000",
+         "TRUE", None),
+        (1, "mongodb.document.operation.count", "'update'", "u % 100000",
+         "TRUE", None),
+        (1, "mongodb.document.operation.count", "'delete'", "e % 5000",
+         "TRUE", None),
+        (2, "mongodb.session.count", NS, "u % 300", "TRUE", "u % 6 <> 0"),
+        (2, "mongodb.operation.latency.time", "'read'", "e % 1000000",
+         "TRUE", None),
+        (2, "mongodb.operation.latency.time", "'write'", "u % 1000000",
+         "TRUE", None),
+        (2, "mongodb.operation.latency.time", "'command'", "e % 77777",
+         "TRUE", None),
+        (2, "mongodb.operation.count", "'insert'", "e % 100000", "TRUE",
+         None),
+        (2, "mongodb.operation.count", "'query'", "u % 100000", "TRUE",
+         None),
+        (2, "mongodb.operation.count", "'update'", "e % 90000", "TRUE",
+         None),
+        (2, "mongodb.operation.count", "'delete'", "u % 90000", "TRUE",
+         None),
+        (2, "mongodb.operation.count", "'getmore'", "e % 80000", "TRUE",
+         None),
+        (2, "mongodb.operation.count", "'command'", "u % 80000", "TRUE",
+         None),
+        (2, "mongodb.active.writes", NS, "e % 50", "TRUE", None),
+        (2, "mongodb.active.reads", NS, "u % 50", "TRUE", None),
+        (2, "mongodb.wtcache.bytes.read", NS, "e % 100000000", "TRUE",
+         None),
+        (2, "mongodb.page_faults", NS, "e % 10000", "TRUE", None),
+        (2, "mongodb.cache.operations", "'miss'", "e % 10000", "TRUE",
+         "u % 6 <> 0"),
+        (2, "mongodb.cache.operations", "'hit'", "u % 10000", "TRUE",
+         "u % 6 <> 0"),
+        (2, "mongodb.global_lock.time", NS,
+         "(e % 1000000000) // 1000", "TRUE", None),
+        (2, "mongodb.cursor.count", NS, "u % 500", "TRUE", None),
+        (2, "mongodb.cursor.timeout.count", NS, "e % 100", "TRUE",
+         None),
+        (2, "mongodb.network.io.receive", NS, "e % 1000000000", "TRUE",
+         None),
+        (2, "mongodb.network.io.transmit", NS, "u % 1000000000", "TRUE",
+         None),
+        (2, "mongodb.network.request.count", NS, "e % 1000000", "TRUE",
+         None),
+        (2, "mongodb.uptime", NS, "e % 100000000", "TRUE", None),
+        (2, "mongodb.health", NS, "1", "TRUE", None),
+    ]
+    kinds = ["dbstats", "serverstatus", "admin"]
+    parts = []
+    for i, (k, metric, attr, vi, ok, where) in enumerate(rows):
+        a = (lambda n: f" AS {n}") if i == 0 else (lambda n: "")
+        w = f"e % 3 = {k}" + (f" AND ({where})" if where else "")
+        parts.append(
+            f"SELECT event_id, '{kinds[k]}'{a('kind')}, "
+            f"'db' || CAST(u % 4 AS VARCHAR){a('database')}, "
+            f"'{metric}'{a('mb_metric')}, {attr}{a('mb_attr')}, "
+            f"{vi}{a('mb_value')}, {ok}{a('mb_ok')} FROM a WHERE {w}"
+        )
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e "
+        "FROM events)\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["mongodb_stats"] = q_mongodb
+EXT16_ORACLES["mongodb_stats"] = _mongodb_oracle()
