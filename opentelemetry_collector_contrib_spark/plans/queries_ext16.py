@@ -2100,3 +2100,227 @@ def _mongodb_oracle() -> str:
 
 EXT16_QUERIES["mongodb_stats"] = q_mongodb
 EXT16_ORACLES["mongodb_stats"] = _mongodb_oracle()
+
+
+# ---------------------------------------------------------------------------
+# elasticsearch /_nodes/stats -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def _es_segments(path: str) -> list:
+    return path.replace("['", ".").replace("']", "").split(".")
+
+
+def _es_value_exprs():
+    """Shared path -> SQL value expr map (u/e column aliases)."""
+    from ..operators.elasticsearch import ES_NODE_SCALARS
+
+    exprs = {}
+    uniq = []
+    for path, _, _, vt in ES_NODE_SCALARS:
+        if path in exprs:
+            continue
+        i = len(uniq)
+        uniq.append(path)
+        if vt == "d":
+            exprs[path] = f"CAST((e * 3 + {i} * 7) % 1600 AS DOUBLE) / 16.0"
+        else:
+            exprs[path] = f"(e * 7 + {i} * 131) % 99991"
+    exprs["indices.store.total_data_set_size_in_bytes"] = "e % 77777"
+    exprs["indexing_pressure.memory.limit_in_bytes"] = "u % 66666"
+    exprs["process.cpu.percent"] = \
+        "CASE WHEN e % 11 = 0 THEN -1 ELSE e % 101 END"
+    exprs["process.cpu.total_in_millis"] = \
+        "CASE WHEN e % 19 = 0 THEN -1 ELSE e % 100000 END"
+    exprs["jvm.mem.heap_used_percent"] = "u % 101"
+    exprs["fs.io_stats.total.read_kilobytes"] = "e % 55555"
+    exprs["fs.io_stats.total.write_kilobytes"] = "u % 55555"
+    return exprs
+
+# fan fixtures: (map path, name, {field: sql})
+_ES_FANS = (
+    ("thread_pool", "search",
+     {"threads": "e % 50 + 5", "active": "e % 5", "queue": "u % 20",
+      "completed": "e % 10000", "rejected": "u % 100"}),
+    ("thread_pool", "write",
+     {"threads": "u % 40 + 4", "active": "u % 4", "queue": "e % 15",
+      "completed": "u % 9000", "rejected": "e % 90"}),
+    ("breakers", "fielddata",
+     {"estimated_size_in_bytes": "e % 1000000",
+      "limit_size_in_bytes": "1000000 + u % 1000000",
+      "tripped": "e % 5"}),
+    ("breakers", "request",
+     {"estimated_size_in_bytes": "u % 1000000",
+      "limit_size_in_bytes": "2000000", "tripped": "u % 7"}),
+    ("discovery.cluster_state_update", "unchanged",
+     {"count": "e % 1000", "computation_time_millis": "e % 50",
+      "notification_time_millis": "u % 50",
+      "context_construction_time_millis": "999"}),
+    ("discovery.cluster_state_update", "success",
+     {"count": "u % 1000", "computation_time_millis": "e % 60",
+      "notification_time_millis": "u % 60",
+      "context_construction_time_millis": "e % 70",
+      "commit_time_millis": "u % 70",
+      "completion_time_millis": "e % 80",
+      "master_apply_time_millis": "u % 80"}),
+    ("ingest.pipelines", "p1",
+     {"count": "e % 5000", "failed": "e % 20", "current": "u % 10"}),
+)
+
+
+def q_elasticsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.elasticsearch import elasticsearch_node_stats
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("u"),
+        F.col("event_id").alias("e"),
+    )
+    exprs = _es_value_exprs()
+
+    tree: dict = {}
+    for path, sql in exprs.items():
+        node = tree
+        segs = _es_segments(path)
+        for seg in segs[:-1]:
+            node = node.setdefault(seg, {})
+        node[segs[-1]] = sql
+    for map_path, name, fields in _ES_FANS:
+        node = tree
+        for seg in _es_segments(map_path):
+            node = node.setdefault(seg, {})
+        node[name] = dict(fields)
+
+    def render(node) -> F.col:
+        parts = [F.lit("{")]
+        for i, (k, sub) in enumerate(node.items()):
+            if i:
+                parts.append(F.lit(","))
+            parts.append(F.lit(f'"{k}":'))
+            if isinstance(sub, dict):
+                parts.append(render(sub))
+            else:
+                parts.append(F.expr(sub).cast("string"))
+        parts.append(F.lit("}"))
+        return F.concat(*parts)
+
+    # io_stats present only when u % 3 <> 0 (the fs.io_stats pointer)
+    fs_without = {k: v for k, v in tree["fs"].items() if k != "io_stats"}
+    full_tree_without = dict(tree)
+    full_tree_without["fs"] = fs_without
+    body = F.when(F.col("u") % 3 == 0, render(full_tree_without)) \
+        .otherwise(render(tree))
+
+    out = elasticsearch_node_stats(
+        ev.select("event_id", "u", "e", body.alias("body"))
+            .select("event_id", "body"),
+    )
+    return out.select("event_id", "es_metric", "es_attr", "es_attr2",
+                      "es_name", "es_value", "es_value_d")
+
+
+def _elasticsearch_oracle() -> str:
+    from ..operators.elasticsearch import ES_NODE_SCALARS
+
+    exprs = _es_value_exprs()
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    rows = []
+    for path, metric, attr, vt in ES_NODE_SCALARS:
+        a = f"'{attr}'" if attr else NS
+        if vt == "d":
+            rows.append((metric, a, NS, NS, NI, exprs[path], None))
+        else:
+            rows.append((metric, a, NS, NS, exprs[path], ND, None))
+    rows += [
+        ("elasticsearch.node.shards.data_set.size", NS, NS, NS,
+         exprs["indices.store.total_data_set_size_in_bytes"], ND, None),
+        ("elasticsearch.indexing_pressure.memory.limit", NS, NS, NS,
+         exprs["indexing_pressure.memory.limit_in_bytes"], ND, None),
+        ("elasticsearch.node.disk.io.read", NS, NS, NS,
+         exprs["fs.io_stats.total.read_kilobytes"], ND, "u % 3 <> 0"),
+        ("elasticsearch.node.disk.io.write", NS, NS, NS,
+         exprs["fs.io_stats.total.write_kilobytes"], ND, "u % 3 <> 0"),
+        ("elasticsearch.process.cpu.usage", NS, NS, NS, NI,
+         "CAST(e % 101 AS DOUBLE) / 100.0", "e % 11 <> 0"),
+        ("elasticsearch.process.cpu.time", NS, NS, NS, "e % 100000",
+         ND, "e % 19 <> 0"),
+        ("jvm.memory.heap.utilization", NS, NS, NS, NI,
+         "CAST(u % 101 AS DOUBLE) / 100.0", None),
+    ]
+    for map_path, name, fields in _ES_FANS:
+        nm = f"'{name}'"
+        if map_path == "thread_pool":
+            rows += [
+                ("elasticsearch.node.thread_pool.threads", "'active'",
+                 NS, nm, fields["active"], ND, None),
+                ("elasticsearch.node.thread_pool.threads", "'idle'", NS,
+                 nm, f"({fields['threads']}) - ({fields['active']})",
+                 ND, None),
+                ("elasticsearch.node.thread_pool.tasks.queued", NS, NS,
+                 nm, fields["queue"], ND, None),
+                ("elasticsearch.node.thread_pool.tasks.finished",
+                 "'completed'", NS, nm, fields["completed"], ND, None),
+                ("elasticsearch.node.thread_pool.tasks.finished",
+                 "'rejected'", NS, nm, fields["rejected"], ND, None),
+            ]
+        elif map_path == "breakers":
+            rows += [
+                ("elasticsearch.breaker.memory.estimated", NS, NS, nm,
+                 fields["estimated_size_in_bytes"], ND, None),
+                ("elasticsearch.breaker.memory.limit", NS, NS, nm,
+                 fields["limit_size_in_bytes"], ND, None),
+                ("elasticsearch.breaker.tripped", NS, NS, nm,
+                 fields["tripped"], ND, None),
+            ]
+        elif map_path == "discovery.cluster_state_update":
+            rows += [
+                ("elasticsearch.cluster.state_update.count", NS, NS,
+                 nm, fields["count"], ND, None),
+                ("elasticsearch.cluster.state_update.time",
+                 "'computation'", NS, nm,
+                 fields["computation_time_millis"], ND, None),
+                ("elasticsearch.cluster.state_update.time",
+                 "'notification'", NS, nm,
+                 fields["notification_time_millis"], ND, None),
+            ]
+            if name != "unchanged":
+                for attr, fld in (
+                    ("context_construction",
+                     "context_construction_time_millis"),
+                    ("commit", "commit_time_millis"),
+                    ("completion", "completion_time_millis"),
+                    ("master_apply", "master_apply_time_millis"),
+                ):
+                    rows.append((
+                        "elasticsearch.cluster.state_update.time",
+                        f"'{attr}'", NS, nm, fields[fld], ND, None))
+        else:  # ingest pipeline
+            rows += [
+                ("elasticsearch.node.pipeline.ingest.documents."
+                 "preprocessed", NS, NS, nm, fields["count"], ND, None),
+                ("elasticsearch.node.pipeline.ingest.operations."
+                 "failed", NS, NS, nm, fields["failed"], ND, None),
+                ("elasticsearch.node.pipeline.ingest.documents."
+                 "current", NS, NS, nm, fields["current"], ND, None),
+            ]
+    parts = []
+    for i, (metric, attr, attr2, nm, vi, vd, where) in enumerate(rows):
+        a = (lambda n: f" AS {n}") if i == 0 else (lambda n: "")
+        vi_s = vi if vi is not None else NI
+        vd_s = vd if vd is not None else ND
+        parts.append(
+            f"SELECT event_id, '{metric}'{a('es_metric')}, "
+            f"{attr}{a('es_attr')}, {attr2}{a('es_attr2')}, "
+            f"{nm}{a('es_name')}, {vi_s}{a('es_value')}, "
+            f"{vd_s}{a('es_value_d')} FROM a"
+            + (f" WHERE {where}" if where else "")
+        )
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e "
+        "FROM events)\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["elasticsearch_node_stats"] = q_elasticsearch
+EXT16_ORACLES["elasticsearch_node_stats"] = _elasticsearch_oracle()
