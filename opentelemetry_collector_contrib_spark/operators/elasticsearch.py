@@ -413,3 +413,100 @@ def elasticsearch_node_stats(
         m["value"].alias("es_value"),
         m["value_d"].alias("es_value_d"),
     )
+
+
+def elasticsearch_cluster_health(
+    df: DataFrame, body_col: str = "body"
+) -> DataFrame:
+    """``/_cluster/health`` + ``/_cluster/stats`` documents → rows.
+
+    Re-expresses scrapeClusterHealthMetrics (scraper.go:362-400) and
+    scrapeClusterStatsMetrics (:341-360) over rows holding either
+    document (``kind`` column = health | stats): node/data-node
+    counts, the six shard-state rows, pending tasks / in-flight fetch,
+    and the green/yellow/red one-hot health triple — an unknown status
+    is the reference's AddPartial (one ``es_ok=false`` row, no health
+    rows). Cluster stats contribute jvm heap used + the two cache
+    eviction rows.
+    """
+    v = F.try_parse_json(F.col(body_col))
+    base = [c for c in df.columns if c != body_col]
+    df = df.select(*base, v.alias("_v"))
+    v = F.col("_v")
+    kind = F.col("kind")
+
+    ns = F.lit(None).cast("string")
+
+    def zi(path: str) -> Column:
+        return F.coalesce(
+            F.try_variant_get(v, "$." + path, "double"), F.lit(0.0)
+        ).cast("bigint")
+
+    def mk(metric, attr, cond, vi, ok=None):
+        return F.struct(
+            F.lit(metric).alias("metric"),
+            (F.lit(attr) if attr else ns).alias("attr"),
+            cond.alias("present"),
+            vi.cast("bigint").alias("value"),
+            (ok if ok is not None else F.lit(True)).alias("ok"),
+        )
+
+    h = kind == "health"
+    status = F.try_variant_get(v, "$.status", "string")
+    known = status.isin("green", "yellow", "red")
+    entries = [
+        mk("elasticsearch.cluster.nodes", None, h,
+           zi("number_of_nodes")),
+        mk("elasticsearch.cluster.data_nodes", None, h,
+           zi("number_of_data_nodes")),
+        mk("elasticsearch.cluster.shards", "active", h,
+           zi("active_shards")),
+        mk("elasticsearch.cluster.shards", "initializing", h,
+           zi("initializing_shards")),
+        mk("elasticsearch.cluster.shards", "relocating", h,
+           zi("relocating_shards")),
+        mk("elasticsearch.cluster.shards", "unassigned", h,
+           zi("unassigned_shards")),
+        mk("elasticsearch.cluster.shards", "active_primary", h,
+           zi("active_primary_shards")),
+        mk("elasticsearch.cluster.shards", "unassigned_delayed", h,
+           zi("delayed_unassigned_shards")),
+        mk("elasticsearch.cluster.pending_tasks", None, h,
+           zi("number_of_pending_tasks")),
+        mk("elasticsearch.cluster.in_flight_fetch", None, h,
+           zi("number_of_in_flight_fetch")),
+    ]
+    for color in ("green", "yellow", "red"):
+        entries.append(mk(
+            "elasticsearch.cluster.health", color, h & known,
+            F.when(status == color, 1).otherwise(0),
+        ))
+    # unknown status -> AddPartial dead letter
+    entries.append(mk("elasticsearch.cluster.health", None,
+                      h & ~known, F.lit(None).cast("bigint"),
+                      ok=F.lit(False)))
+
+    st = kind == "stats"
+    entries += [
+        mk("jvm.memory.heap.used", None, st,
+           zi("nodes.jvm.mem.heap_used_in_bytes")),
+        mk("elasticsearch.cluster.indices.cache.evictions", "fielddata",
+           st, zi("indices.fielddata.evictions")),
+        mk("elasticsearch.cluster.indices.cache.evictions", "query",
+           st, zi("indices.query_cache.evictions")),
+    ]
+
+    exploded = df.select(
+        *base,
+        F.explode(
+            F.filter(F.array(*entries), lambda x: x["present"])
+        ).alias("_m"),
+    )
+    m = F.col("_m")
+    return exploded.select(
+        *base,
+        m["metric"].alias("es_metric"),
+        m["attr"].alias("es_attr"),
+        m["value"].alias("es_value"),
+        m["ok"].alias("es_ok"),
+    )

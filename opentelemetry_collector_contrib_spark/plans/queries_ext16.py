@@ -2324,3 +2324,105 @@ def _elasticsearch_oracle() -> str:
 
 EXT16_QUERIES["elasticsearch_node_stats"] = q_elasticsearch
 EXT16_ORACLES["elasticsearch_node_stats"] = _elasticsearch_oracle()
+
+
+# ---------------------------------------------------------------------------
+# elasticsearch cluster health/stats -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_es_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.elasticsearch import elasticsearch_cluster_health
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    status = F.element_at(
+        F.array(F.lit("green"), F.lit("yellow"), F.lit("red"),
+                F.lit("purple")),
+        (e % 4 + 1).cast("int"),
+    )
+    health = F.concat(
+        F.lit('{"cluster_name":"c1","status":"'), status,
+        F.lit('","active_shards":'), s(e % 500),
+        F.lit(',"active_primary_shards":'), s(u % 250),
+        F.lit(',"relocating_shards":'), s(e % 5),
+        F.lit(',"initializing_shards":'), s(u % 5),
+        F.lit(',"unassigned_shards":'), s(e % 10),
+        F.lit(',"delayed_unassigned_shards":'), s(u % 10),
+        F.lit(',"number_of_nodes":'), s(u % 20 + 1),
+        F.lit(',"number_of_data_nodes":'), s(u % 15 + 1),
+        F.lit(',"number_of_pending_tasks":'), s(e % 8),
+        F.lit(',"number_of_in_flight_fetch":'), s(u % 8), F.lit("}"),
+    )
+    stats = F.concat(
+        F.lit('{"cluster_name":"c1","indices":{"fielddata":'
+              '{"evictions":'), s(e % 100),
+        F.lit('},"query_cache":{"evictions":'), s(u % 100),
+        F.lit('}},"nodes":{"jvm":{"mem":{"heap_used_in_bytes":'),
+        s(e % 100000000), F.lit("}}}}"),
+    )
+    kind = F.when(e % 2 == 0, F.lit("health")).otherwise(F.lit("stats"))
+    body = F.when(e % 2 == 0, health).otherwise(stats)
+    out = elasticsearch_cluster_health(ev.select(
+        "event_id", kind.alias("kind"), body.alias("body"),
+    ))
+    return out.select("event_id", "kind", "es_metric", "es_attr",
+                      "es_value", "es_ok")
+
+
+O_ES_CLUSTER = """
+WITH a AS (
+  SELECT event_id, user_id AS u, event_id AS e,
+         CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'green'
+              WHEN 1 THEN 'yellow' WHEN 2 THEN 'red'
+              ELSE 'purple' END AS st
+  FROM events
+), h AS (SELECT * FROM a WHERE e % 2 = 0),
+   t AS (SELECT * FROM a WHERE e % 2 <> 0)
+SELECT event_id, 'health' AS kind,
+       'elasticsearch.cluster.nodes' AS es_metric,
+       CAST(NULL AS VARCHAR) AS es_attr, u % 20 + 1 AS es_value,
+       TRUE AS es_ok FROM h
+UNION ALL SELECT event_id, 'health',
+  'elasticsearch.cluster.data_nodes', NULL, u % 15 + 1, TRUE FROM h
+UNION ALL SELECT event_id, 'health', 'elasticsearch.cluster.shards',
+  'active', e % 500, TRUE FROM h
+UNION ALL SELECT event_id, 'health', 'elasticsearch.cluster.shards',
+  'initializing', u % 5, TRUE FROM h
+UNION ALL SELECT event_id, 'health', 'elasticsearch.cluster.shards',
+  'relocating', e % 5, TRUE FROM h
+UNION ALL SELECT event_id, 'health', 'elasticsearch.cluster.shards',
+  'unassigned', e % 10, TRUE FROM h
+UNION ALL SELECT event_id, 'health', 'elasticsearch.cluster.shards',
+  'active_primary', u % 250, TRUE FROM h
+UNION ALL SELECT event_id, 'health', 'elasticsearch.cluster.shards',
+  'unassigned_delayed', u % 10, TRUE FROM h
+UNION ALL SELECT event_id, 'health',
+  'elasticsearch.cluster.pending_tasks', NULL, e % 8, TRUE FROM h
+UNION ALL SELECT event_id, 'health',
+  'elasticsearch.cluster.in_flight_fetch', NULL, u % 8, TRUE FROM h
+UNION ALL SELECT event_id, 'health', 'elasticsearch.cluster.health',
+  'green', CASE WHEN st = 'green' THEN 1 ELSE 0 END, TRUE
+  FROM h WHERE st <> 'purple'
+UNION ALL SELECT event_id, 'health', 'elasticsearch.cluster.health',
+  'yellow', CASE WHEN st = 'yellow' THEN 1 ELSE 0 END, TRUE
+  FROM h WHERE st <> 'purple'
+UNION ALL SELECT event_id, 'health', 'elasticsearch.cluster.health',
+  'red', CASE WHEN st = 'red' THEN 1 ELSE 0 END, TRUE
+  FROM h WHERE st <> 'purple'
+UNION ALL SELECT event_id, 'health', 'elasticsearch.cluster.health',
+  NULL, NULL, FALSE FROM h WHERE st = 'purple'
+UNION ALL SELECT event_id, 'stats', 'jvm.memory.heap.used', NULL,
+  e % 100000000, TRUE FROM t
+UNION ALL SELECT event_id, 'stats',
+  'elasticsearch.cluster.indices.cache.evictions', 'fielddata',
+  e % 100, TRUE FROM t
+UNION ALL SELECT event_id, 'stats',
+  'elasticsearch.cluster.indices.cache.evictions', 'query', u % 100,
+  TRUE FROM t
+"""
+
+
+EXT16_QUERIES["es_cluster_health"] = q_es_cluster
+EXT16_ORACLES["es_cluster_health"] = O_ES_CLUSTER

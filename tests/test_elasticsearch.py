@@ -84,3 +84,32 @@ def test_es_version_gates_and_io_pointer(spark):
     assert "elasticsearch.node.disk.io.read" not in metrics
     assert "elasticsearch.node.shards.data_set.size" not in metrics
     assert "elasticsearch.indexing_pressure.memory.limit" not in metrics
+
+
+def test_es_cluster_health(spark):
+    from opentelemetry_collector_contrib_spark.operators.elasticsearch \
+        import elasticsearch_cluster_health
+
+    health = json.dumps({"status": "yellow", "active_shards": 5,
+                         "number_of_nodes": 3})
+    bad = json.dumps({"status": "purple", "number_of_nodes": 3})
+    stats = json.dumps({"indices": {"fielddata": {"evictions": 7}},
+                        "nodes": {"jvm": {"mem":
+                                          {"heap_used_in_bytes": 99}}}})
+    rows = elasticsearch_cluster_health(spark.createDataFrame(
+        [(1, "health", health), (2, "health", bad), (3, "stats", stats)],
+        ["id", "kind", "body"],
+    )).collect()
+    h = {(r.es_metric, r.es_attr): r for r in rows if r.id == 1}
+    # one-hot health triple
+    assert h[("elasticsearch.cluster.health", "green")].es_value == 0
+    assert h[("elasticsearch.cluster.health", "yellow")].es_value == 1
+    assert h[("elasticsearch.cluster.shards", "active")].es_value == 5
+    # unknown status: dead-letter row, no health rows
+    badh = [r for r in rows
+            if r.id == 2 and r.es_metric == "elasticsearch.cluster.health"]
+    assert len(badh) == 1 and badh[0].es_ok is False
+    st = {(r.es_metric, r.es_attr): r for r in rows if r.id == 3}
+    assert st[("jvm.memory.heap.used", None)].es_value == 99
+    assert st[("elasticsearch.cluster.indices.cache.evictions",
+               "fielddata")].es_value == 7
