@@ -2426,3 +2426,161 @@ UNION ALL SELECT event_id, 'stats',
 
 EXT16_QUERIES["es_cluster_health"] = q_es_cluster
 EXT16_ORACLES["es_cluster_health"] = O_ES_CLUSTER
+
+
+# ---------------------------------------------------------------------------
+# kubelet /stats/summary -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_kubelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kubeletstats import kubelet_stats_summary
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    node = F.concat(
+        F.lit('{"nodeName":"n'), s(u % 6), F.lit('","cpu":{'),
+        F.when(e % 7 != 0, F.concat(
+            F.lit('"usageNanoCores":'), s(e % 4000000000), F.lit(",")
+        )).otherwise(F.lit("")),
+        F.lit('"usageCoreNanoSeconds":'), s(e % 9000000000),
+        F.lit('},"memory":{"availableBytes":'), s(u % 1000000),
+        F.lit(',"usageBytes":'), s(e % 1000000),
+        F.when(u % 2 != 0, F.concat(
+            F.lit(',"rssBytes":'), s(u % 500000))).otherwise(F.lit("")),
+        F.lit(',"workingSetBytes":'), s(e % 400000),
+        F.lit(',"pageFaults":'), s(u % 1000),
+        F.lit('},"fs":{"availableBytes":'), s(e % 800000),
+        F.lit(',"capacityBytes":'), s(u % 800000 + 1000000),
+        F.lit(',"usedBytes":'), s(e % 600000),
+        F.lit('},"network":{"name":"eth0","rxBytes":'), s(e % 1000000),
+        F.lit(',"txBytes":'), s(u % 1000000),
+        F.lit(',"rxErrors":'), s(e % 100), F.lit("}}"),
+    )
+    sidecar = F.when(e % 3 == 0, F.concat(
+        F.lit(',{"name":"sidecar","memory":{"usageBytes":'), s(u % 900),
+        F.lit("}}"),
+    )).otherwise(F.lit(""))
+    volume = F.when(u % 5 == 0, F.concat(
+        F.lit(',"volume":[{"name":"v0","availableBytes":'), s(e % 10),
+        F.lit(',"capacityBytes":'), s(u % 10 + 10),
+        F.lit(',"inodes":'), s(e % 1000),
+        F.lit(',"inodesFree":'), s(u % 1000),
+        F.lit(',"inodesUsed":'), s(e % 500), F.lit("}]"),
+    )).otherwise(F.lit(""))
+    pod = F.concat(
+        F.lit('{"podRef":{"name":"pod'), s(e % 30),
+        F.lit('","namespace":"ns'), s(u % 4),
+        F.lit('","uid":"u-'), s(e),
+        F.lit('"},"cpu":{"usageNanoCores":'), s(u % 3000000000),
+        F.lit('},"memory":{"usageBytes":'), s(e % 700000),
+        F.lit('},"ephemeral-storage":{"usedBytes":'), s(e % 300),
+        F.lit('},"network":{"name":"eth0","rxBytes":'), s(e % 50),
+        F.lit('},"containers":[{"name":"app","cpu":'
+              '{"usageCoreNanoSeconds":'), s(e % 6000000000),
+        F.lit('},"memory":{"workingSetBytes":'), s(u % 80000),
+        F.lit('},"rootfs":{"capacityBytes":'), s(e % 4000),
+        F.lit("}}"), sidecar, F.lit("]"), volume, F.lit("}"),
+    )
+    body = F.concat(F.lit('{"node":'), node, F.lit(',"pods":['), pod,
+                    F.lit("]}"))
+    out = kubelet_stats_summary(
+        ev.select("event_id", body.alias("body")), include_volumes=True,
+    )
+    return out.select(
+        "event_id", "ks_scope", "ks_node", "ks_pod_uid", "ks_pod",
+        "ks_namespace", "ks_container", "ks_volume", "ks_metric",
+        "ks_interface", "ks_direction", "ks_value", "ks_value_d",
+    )
+
+
+def _kubelet_oracle() -> str:
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    # scope, container, volume, metric, iface, dir, where, vi, vd
+    rows = [
+        ("node", NS, NS, "k8s.node.cpu.usage", NS, NS, "e % 7 <> 0",
+         NI, "CAST(e % 4000000000 AS DOUBLE) / 1e9"),
+        ("node", NS, NS, "k8s.node.cpu.time", NS, NS, None, NI,
+         "CAST(e % 9000000000 AS DOUBLE) / 1e9"),
+        ("node", NS, NS, "k8s.node.memory.available", NS, NS, None,
+         "u % 1000000", ND),
+        ("node", NS, NS, "k8s.node.memory.usage", NS, NS, None,
+         "e % 1000000", ND),
+        ("node", NS, NS, "k8s.node.memory.rss", NS, NS, "u % 2 <> 0",
+         "u % 500000", ND),
+        ("node", NS, NS, "k8s.node.memory.working_set", NS, NS, None,
+         "e % 400000", ND),
+        ("node", NS, NS, "k8s.node.memory.page_faults", NS, NS, None,
+         "u % 1000", ND),
+        ("node", NS, NS, "k8s.node.filesystem.available", NS, NS, None,
+         "e % 800000", ND),
+        ("node", NS, NS, "k8s.node.filesystem.capacity", NS, NS, None,
+         "u % 800000 + 1000000", ND),
+        ("node", NS, NS, "k8s.node.filesystem.usage", NS, NS, None,
+         "e % 600000", ND),
+        ("node", NS, NS, "k8s.node.network.io", "'eth0'", "'receive'",
+         None, "e % 1000000", ND),
+        ("node", NS, NS, "k8s.node.network.io", "'eth0'", "'transmit'",
+         None, "u % 1000000", ND),
+        ("node", NS, NS, "k8s.node.network.errors", "'eth0'",
+         "'receive'", None, "e % 100", ND),
+        ("pod", NS, NS, "k8s.pod.cpu.usage", NS, NS, None, NI,
+         "CAST(u % 3000000000 AS DOUBLE) / 1e9"),
+        ("pod", NS, NS, "k8s.pod.memory.usage", NS, NS, None,
+         "e % 700000", ND),
+        ("pod", NS, NS, "k8s.pod.filesystem.usage", NS, NS, None,
+         "e % 300", ND),
+        ("pod", NS, NS, "k8s.pod.network.io", "'eth0'", "'receive'",
+         None, "e % 50", ND),
+        ("container", "'app'", NS, "container.cpu.time", NS, NS, None,
+         NI, "CAST(e % 6000000000 AS DOUBLE) / 1e9"),
+        ("container", "'app'", NS, "container.memory.working_set", NS,
+         NS, None, "u % 80000", ND),
+        ("container", "'app'", NS, "container.filesystem.capacity", NS,
+         NS, None, "e % 4000", ND),
+        ("container", "'sidecar'", NS, "container.memory.usage", NS,
+         NS, "e % 3 = 0", "u % 900", ND),
+        ("volume", NS, "'v0'", "k8s.volume.available", NS, NS,
+         "u % 5 = 0", "e % 10", ND),
+        ("volume", NS, "'v0'", "k8s.volume.capacity", NS, NS,
+         "u % 5 = 0", "u % 10 + 10", ND),
+        ("volume", NS, "'v0'", "k8s.volume.inodes", NS, NS,
+         "u % 5 = 0", "e % 1000", ND),
+        ("volume", NS, "'v0'", "k8s.volume.inodes.free", NS, NS,
+         "u % 5 = 0", "u % 1000", ND),
+        ("volume", NS, "'v0'", "k8s.volume.inodes.used", NS, NS,
+         "u % 5 = 0", "e % 500", ND),
+    ]
+    parts = []
+    for i, (scope, cont, vol, metric, iface, dr, where, vi, vd) in \
+            enumerate(rows):
+        a = (lambda n: f" AS {n}") if i == 0 else (lambda n: "")
+        pod_cols = (
+            "NULL, NULL, NULL" if scope == "node" else
+            "'u-' || CAST(e AS VARCHAR), 'pod' || CAST(e % 30 AS "
+            "VARCHAR), 'ns' || CAST(u % 4 AS VARCHAR)"
+        )
+        if i == 0:
+            pod_cols = ("NULL AS ks_pod_uid, NULL AS ks_pod, "
+                        "NULL AS ks_namespace")
+        parts.append(
+            f"SELECT event_id, '{scope}'{a('ks_scope')}, "
+            f"'n' || CAST(u % 6 AS VARCHAR){a('ks_node')}, {pod_cols}, "
+            f"{cont}{a('ks_container')}, {vol}{a('ks_volume')}, "
+            f"'{metric}'{a('ks_metric')}, {iface}{a('ks_interface')}, "
+            f"{dr}{a('ks_direction')}, {vi}{a('ks_value')}, "
+            f"{vd}{a('ks_value_d')} FROM a"
+            + (f" WHERE {where}" if where else "")
+        )
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e "
+        "FROM events)\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["kubelet_stats"] = q_kubelet
+EXT16_ORACLES["kubelet_stats"] = _kubelet_oracle()
