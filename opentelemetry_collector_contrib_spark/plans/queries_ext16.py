@@ -2584,3 +2584,150 @@ def _kubelet_oracle() -> str:
 
 EXT16_QUERIES["kubelet_stats"] = q_kubelet
 EXT16_ORACLES["kubelet_stats"] = _kubelet_oracle()
+
+
+# ---------------------------------------------------------------------------
+# k8scluster pod/deployment objects -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_k8scluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.k8scluster import k8s_cluster_metrics
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    phase = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ("Pending", "Running", "Succeeded", "Failed",
+                   "Unknown", "")]), (e % 6 + 1).cast("int"))
+    reason = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ("", "Evicted", "NodeAffinity", "NodeLost",
+                   "Shutdown", "UnexpectedAdmissionError",
+                   "Whatever")]), (u % 7 + 1).cast("int"))
+    state = F.element_at(
+        F.array(F.lit('"running":{"startedAt":"2024-01-01T00:00:00Z"}'),
+                F.lit('"waiting":{"reason":"ImagePullBackOff"}'),
+                F.lit('"terminated":{"reason":"Completed"}')),
+        (e % 3 + 1).cast("int"))
+    noctr = F.when(u % 3 == 0, F.concat(
+        F.lit(',{"name":"noctr","resources":{"requests":{"cpu":"'),
+        s(u % 2000), F.lit('m"},"limits":{}}}'),
+    )).otherwise(F.lit(""))
+    pod = F.concat(
+        F.lit('{"metadata":{"name":"p'), s(e % 40),
+        F.lit('","namespace":"ns'), s(u % 4),
+        F.lit('","uid":"u'), s(e),
+        F.lit('"},"spec":{"nodeName":"n'), s(u % 6),
+        F.lit('","containers":[{"name":"app","resources":'
+              '{"requests":{"cpu":"'), s(e % 4000),
+        F.lit('m","memory":"'), s(e % 512),
+        F.lit('Mi"},"limits":{"cpu":"'), s(u % 8 + 1),
+        F.lit('","memory":"'), s(u % 4),
+        F.lit('Gi"}}}'), noctr,
+        F.lit(']},"status":{"phase":"'), phase,
+        F.lit('","reason":"'), reason,
+        F.lit('","containerStatuses":[{"name":"app","image":"repo'),
+        s(u % 5), F.lit(":v"), s(e % 9),
+        F.lit('","containerID":"docker://id'), s(e),
+        F.lit('","restartCount":'), s(e % 10),
+        F.lit(',"ready":'),
+        F.when(u % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(',"state":{'), state, F.lit("}}]}}"),
+    )
+    dep = F.concat(
+        F.lit('{"metadata":{"name":"d'), s(e % 25),
+        F.lit('","namespace":"ns'), s(u % 4),
+        F.lit('","uid":"du'), s(e),
+        F.lit('"},"spec":{"replicas":'), s(u % 10),
+        F.lit('},"status":{"availableReplicas":'), s(e % 10),
+        F.lit("}}"),
+    )
+    kind = F.when(e % 4 == 3, F.lit("deployment")).otherwise(F.lit("pod"))
+    body = F.when(e % 4 == 3, dep).otherwise(pod)
+    out = k8s_cluster_metrics(ev.select(
+        "event_id", kind.alias("kind"), body.alias("body"),
+    ))
+    return out.select(
+        "event_id", "kc_pod_uid", "kc_pod", "kc_namespace", "kc_node",
+        "kc_container", "kc_container_id", "kc_image", "kc_image_tag",
+        "kc_deployment", "kc_deployment_uid", "kc_metric", "kc_state",
+        "kc_value", "kc_value_d",
+    )
+
+
+def _k8scluster_oracle() -> str:
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    phase_i = ("CASE CAST(e % 6 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 "
+               "WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 5 END")
+    reason_i = ("CASE CAST(u % 7 AS INT) WHEN 1 THEN 1 WHEN 2 THEN 2 "
+                "WHEN 3 THEN 3 WHEN 4 THEN 4 WHEN 5 THEN 5 ELSE 6 END")
+    app = ("'app', 'id' || CAST(e AS VARCHAR), "
+           "'repo' || CAST(u % 5 AS VARCHAR), "
+           "'v' || CAST(e % 9 AS VARCHAR)")
+    noc = "'noctr', '', '', ''"
+    # container, cid/img/tag, metric, state, where, vi, vd
+    rows = [
+        (None, "k8s.pod.phase", NS, None, phase_i, ND),
+        (None, "k8s.pod.status_reason", NS, None, reason_i, ND),
+        ("app", "k8s.container.cpu_request", NS, None, NI,
+         "CAST(e % 4000 AS DOUBLE) / 1000.0"),
+        ("app", "k8s.container.memory_request", NS, None,
+         "(e % 512) * 1048576", ND),
+        ("app", "k8s.container.cpu_limit", NS, None, NI,
+         "CAST(u % 8 + 1 AS DOUBLE)"),
+        ("app", "k8s.container.memory_limit", NS, None,
+         "(u % 4) * 1073741824", ND),
+        ("app", "k8s.container.restarts", NS, None, "e % 10", ND),
+        ("app", "k8s.container.ready", NS, None,
+         "CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END", ND),
+        ("app", "k8s.container.status.state", "'running'", None,
+         "CASE WHEN e % 3 = 0 THEN 1 ELSE 0 END", ND),
+        ("app", "k8s.container.status.state", "'waiting'", None,
+         "CASE WHEN e % 3 = 1 THEN 1 ELSE 0 END", ND),
+        ("app", "k8s.container.status.state", "'terminated'", None,
+         "CASE WHEN e % 3 = 2 THEN 1 ELSE 0 END", ND),
+        ("noctr", "k8s.container.cpu_request", NS, "u % 3 = 0", NI,
+         "CAST(u % 2000 AS DOUBLE) / 1000.0"),
+    ]
+    parts = []
+    for i, (cont, metric, state, where, vi, vd) in enumerate(rows):
+        a = (lambda n: f" AS {n}") if i == 0 else (lambda n: "")
+        cc = NS + ", " + NS + ", " + NS + ", " + NS if cont is None \
+            else (app if cont == "app" else noc)
+        w = "e % 4 <> 3" + (f" AND ({where})" if where else "")
+        parts.append(
+            f"SELECT event_id, 'u' || CAST(e AS VARCHAR)"
+            f"{a('kc_pod_uid')}, "
+            f"'p' || CAST(e % 40 AS VARCHAR){a('kc_pod')}, "
+            f"'ns' || CAST(u % 4 AS VARCHAR){a('kc_namespace')}, "
+            f"'n' || CAST(u % 6 AS VARCHAR){a('kc_node')}, "
+            + (f"{cc.split(', ')[0]}{a('kc_container')}, "
+               f"{cc.split(', ')[1]}{a('kc_container_id')}, "
+               f"{cc.split(', ')[2]}{a('kc_image')}, "
+               f"{cc.split(', ')[3]}{a('kc_image_tag')}, ")
+            + f"{NS}{a('kc_deployment')}, {NS}{a('kc_deployment_uid')}, "
+            f"'{metric}'{a('kc_metric')}, {state or NS}{a('kc_state')}, "
+            f"{vi}{a('kc_value')}, {vd}{a('kc_value_d')} FROM a WHERE {w}"
+        )
+    for metric, vi in (("k8s.deployment.desired", "u % 10"),
+                       ("k8s.deployment.available", "e % 10")):
+        parts.append(
+            f"SELECT event_id, NULL, NULL, "
+            f"'ns' || CAST(u % 4 AS VARCHAR), NULL, NULL, NULL, NULL, "
+            f"NULL, 'd' || CAST(e % 25 AS VARCHAR), "
+            f"'du' || CAST(e AS VARCHAR), '{metric}', NULL, {vi}, "
+            f"CAST(NULL AS DOUBLE) FROM a WHERE e % 4 = 3"
+        )
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e "
+        "FROM events)\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["k8s_cluster_metrics"] = q_k8scluster
+EXT16_ORACLES["k8s_cluster_metrics"] = _k8scluster_oracle()
