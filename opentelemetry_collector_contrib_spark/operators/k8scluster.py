@@ -250,3 +250,149 @@ def k8s_cluster_metrics(
         )
         out = sel if out is None else out.unionByName(sel)
     return out
+
+
+_WL_SCHEMA = """struct<
+  metadata: struct<name: string, namespace: string, uid: string>,
+  spec: struct<replicas: bigint, completions: bigint,
+               parallelism: bigint, minReplicas: bigint,
+               maxReplicas: bigint>,
+  status: struct<readyReplicas: bigint, currentReplicas: bigint,
+    updatedReplicas: bigint, availableReplicas: bigint,
+    currentNumberScheduled: bigint, desiredNumberScheduled: bigint,
+    numberMisscheduled: bigint, numberReady: bigint, phase: string,
+    desiredReplicas: bigint, active: variant, failed: bigint,
+    succeeded: bigint,
+    conditions: array<struct<type: string, status: string>>>
+>"""
+
+
+def k8s_cluster_workloads(
+    df: DataFrame, kind_col: str = "kind", body_col: str = "body"
+) -> DataFrame:
+    """Remaining k8scluster object kinds → metric rows.
+
+    Re-expresses the node / statefulset / daemonset / replicaset /
+    replicationcontroller / namespace / hpa / job / cronjob
+    conversions (``internal/<kind>/*.go``):
+
+    - node conditions: one ``k8s.node.condition`` row per condition
+      with True=1 False=0 else −1 (nodes.go:54-58,131-135);
+    - statefulset desired(*Spec.Replicas)/ready/current/updated pods;
+    - daemonset current/desired scheduled, misscheduled, ready nodes;
+    - replicaset + replication_controller desired/available — the
+      desired pair emits only when ``Spec.Replicas`` is non-nil;
+    - namespace phase: Active=1 Terminating=0 else −1;
+    - hpa max/min(*pointer)/current/desired replicas;
+    - job active/failed/successful pods always, desired_successful /
+      max_parallel only when their spec pointers exist (jobs.go:16-25);
+    - cronjob active_jobs = len(Status.Active) (cronjobs.go:22).
+    """
+    kind = F.col(kind_col)
+    o = F.from_json(F.col(body_col), _WL_SCHEMA)
+    base = [c for c in df.columns if c not in (kind_col, body_col)]
+    staged = df.select(*base, kind.alias("_kind"), o.alias("_o"))
+    kind, o = F.col("_kind"), F.col("_o")
+
+    ns = F.lit(None).cast("string")
+    nd = F.lit(None).cast("double")
+
+    def mk(metric, cond_attr, present, vi):
+        return F.struct(
+            F.lit(metric).alias("metric"),
+            (cond_attr if cond_attr is not None else ns)
+                .alias("condition"),
+            present.alias("present"),
+            vi.cast("bigint").alias("value"),
+        )
+
+    spec, st = o["spec"], o["status"]
+    z = lambda c: F.coalesce(c, F.lit(0))  # noqa: E731
+    entries = [
+        mk("k8s.statefulset.desired_pods", None, kind == "statefulset",
+           z(spec["replicas"])),
+        mk("k8s.statefulset.ready_pods", None, kind == "statefulset",
+           z(st["readyReplicas"])),
+        mk("k8s.statefulset.current_pods", None, kind == "statefulset",
+           z(st["currentReplicas"])),
+        mk("k8s.statefulset.updated_pods", None, kind == "statefulset",
+           z(st["updatedReplicas"])),
+        mk("k8s.daemonset.current_scheduled_nodes", None,
+           kind == "daemonset", z(st["currentNumberScheduled"])),
+        mk("k8s.daemonset.desired_scheduled_nodes", None,
+           kind == "daemonset", z(st["desiredNumberScheduled"])),
+        mk("k8s.daemonset.misscheduled_nodes", None,
+           kind == "daemonset", z(st["numberMisscheduled"])),
+        mk("k8s.daemonset.ready_nodes", None, kind == "daemonset",
+           z(st["numberReady"])),
+        mk("k8s.replicaset.desired", None,
+           (kind == "replicaset") & spec["replicas"].isNotNull(),
+           spec["replicas"]),
+        mk("k8s.replicaset.available", None,
+           (kind == "replicaset") & spec["replicas"].isNotNull(),
+           z(st["availableReplicas"])),
+        mk("k8s.replication_controller.desired", None,
+           (kind == "replicationcontroller")
+           & spec["replicas"].isNotNull(), spec["replicas"]),
+        mk("k8s.replication_controller.available", None,
+           (kind == "replicationcontroller")
+           & spec["replicas"].isNotNull(), z(st["availableReplicas"])),
+        mk("k8s.namespace.phase", None, kind == "namespace",
+           F.when(st["phase"] == "Active", 1)
+           .when(st["phase"] == "Terminating", 0).otherwise(-1)),
+        mk("k8s.hpa.max_replicas", None, kind == "hpa",
+           z(spec["maxReplicas"])),
+        mk("k8s.hpa.min_replicas", None, kind == "hpa",
+           z(spec["minReplicas"])),
+        mk("k8s.hpa.current_replicas", None, kind == "hpa",
+           z(st["currentReplicas"])),
+        mk("k8s.hpa.desired_replicas", None, kind == "hpa",
+           z(st["desiredReplicas"])),
+        mk("k8s.job.active_pods", None, kind == "job",
+           F.coalesce(
+               F.try_variant_get(st["active"], "$", "bigint"),
+               F.lit(0))),
+        mk("k8s.job.failed_pods", None, kind == "job", z(st["failed"])),
+        mk("k8s.job.successful_pods", None, kind == "job",
+           z(st["succeeded"])),
+        mk("k8s.job.desired_successful_pods", None,
+           (kind == "job") & spec["completions"].isNotNull(),
+           spec["completions"]),
+        mk("k8s.job.max_parallel_pods", None,
+           (kind == "job") & spec["parallelism"].isNotNull(),
+           spec["parallelism"]),
+        mk("k8s.cronjob.active_jobs", None, kind == "cronjob",
+           F.size(F.coalesce(
+               F.from_json(F.to_json(st["active"]), "array<variant>"),
+               F.array().cast("array<variant>")))),
+    ]
+    scalar = F.filter(F.array(*entries), lambda x: x["present"])
+
+    cond_type = ("struct<metric:string,condition:string,"
+                 "present:boolean,value:bigint>")
+    conds = F.when(kind == "node", F.flatten(F.transform(
+        F.coalesce(st["conditions"],
+                   F.array().cast(
+                       "array<struct<type:string,status:string>>")),
+        lambda c: F.array(mk(
+            "k8s.node.condition", c["type"], F.lit(True),
+            F.when(c["status"] == "True", 1)
+            .when(c["status"] == "False", 0).otherwise(-1),
+        )),
+    ))).otherwise(F.array().cast(f"array<{cond_type}>"))
+
+    exploded = staged.select(
+        *base,
+        kind.alias(kind_col),
+        o["metadata"]["name"].alias("kc_name"),
+        o["metadata"]["namespace"].alias("kc_namespace"),
+        o["metadata"]["uid"].alias("kc_uid"),
+        F.explode(F.concat(scalar, conds)).alias("_m"),
+    )
+    m = F.col("_m")
+    return exploded.select(
+        *[c for c in exploded.columns if c != "_m"],
+        m["metric"].alias("kc_metric"),
+        m["condition"].alias("kc_condition"),
+        m["value"].alias("kc_value"),
+    )

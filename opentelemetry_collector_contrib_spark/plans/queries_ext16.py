@@ -2731,3 +2731,163 @@ def _k8scluster_oracle() -> str:
 
 EXT16_QUERIES["k8s_cluster_metrics"] = q_k8scluster
 EXT16_ORACLES["k8s_cluster_metrics"] = _k8scluster_oracle()
+
+
+# ---------------------------------------------------------------------------
+# k8scluster workload kinds -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_k8s_workloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.k8scluster import k8s_cluster_workloads
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    kinds = ("node", "statefulset", "daemonset", "replicaset",
+             "namespace", "hpa", "job", "cronjob")
+    kind = F.element_at(F.array(*[F.lit(k) for k in kinds]),
+                        (e % 8 + 1).cast("int"))
+    ready = F.element_at(
+        F.array(F.lit("True"), F.lit("False"), F.lit("Unknown")),
+        (u % 3 + 1).cast("int"))
+    disk = F.when(e % 2 == 0, F.lit("True")).otherwise(F.lit("False"))
+    meta = F.concat(
+        F.lit('"metadata":{"name":"o'), s(e % 50),
+        F.lit('","namespace":"ns'), s(u % 4),
+        F.lit('","uid":"w'), s(e), F.lit('"}'),
+    )
+    bodies = {
+        "node": F.concat(
+            F.lit("{"), meta,
+            F.lit(',"status":{"conditions":[{"type":"Ready","status":"'),
+            ready,
+            F.lit('"},{"type":"MemoryPressure","status":"False"},'
+                  '{"type":"DiskPressure","status":"'), disk,
+            F.lit('"}]}}'),
+        ),
+        "statefulset": F.concat(
+            F.lit("{"), meta, F.lit(',"spec":{"replicas":'), s(u % 10),
+            F.lit('},"status":{"readyReplicas":'), s(e % 10),
+            F.lit(',"currentReplicas":'), s(u % 7),
+            F.lit(',"updatedReplicas":'), s(e % 7), F.lit("}}"),
+        ),
+        "daemonset": F.concat(
+            F.lit("{"), meta,
+            F.lit(',"status":{"currentNumberScheduled":'), s(e % 20),
+            F.lit(',"desiredNumberScheduled":'), s(e % 20 + 1),
+            F.lit(',"numberMisscheduled":'), s(u % 3),
+            F.lit(',"numberReady":'), s(u % 20), F.lit("}}"),
+        ),
+        "replicaset": F.concat(
+            F.lit("{"), meta, F.lit(',"spec":{'),
+            F.when(u % 2 == 0,
+                   F.concat(F.lit('"replicas":'), s(u % 10))
+                   ).otherwise(F.lit("")),
+            F.lit('},"status":{"availableReplicas":'), s(e % 10),
+            F.lit("}}"),
+        ),
+        "namespace": F.concat(
+            F.lit("{"), meta, F.lit(',"status":{"phase":"'),
+            F.element_at(F.array(F.lit("Active"), F.lit("Terminating"),
+                                 F.lit("")), (e % 3 + 1).cast("int")),
+            F.lit('"}}'),
+        ),
+        "hpa": F.concat(
+            F.lit("{"), meta, F.lit(',"spec":{"minReplicas":'),
+            s(u % 5 + 1), F.lit(',"maxReplicas":'), s(u % 5 + 5),
+            F.lit('},"status":{"currentReplicas":'), s(e % 10),
+            F.lit(',"desiredReplicas":'), s(u % 10), F.lit("}}"),
+        ),
+        "job": F.concat(
+            F.lit("{"), meta, F.lit(',"spec":{'),
+            F.when(e % 2 == 0,
+                   F.concat(F.lit('"completions":'), s(e % 6), F.lit(","))
+                   ).otherwise(F.lit("")),
+            F.when(e % 3 == 0,
+                   F.concat(F.lit('"parallelism":'), s(u % 6), F.lit(","))
+                   ).otherwise(F.lit("")),
+            F.lit('"x":1},"status":{"active":'), s(e % 5),
+            F.lit(',"failed":'), s(u % 5),
+            F.lit(',"succeeded":'), s(e % 9), F.lit("}}"),
+        ),
+        "cronjob": F.concat(
+            F.lit("{"), meta, F.lit(',"status":{"active":['),
+            F.array_join(F.transform(
+                F.sequence(F.lit(1), (e % 4).cast("int")),
+                lambda i: F.concat(F.lit('{"name":"a'),
+                                   i.cast("string"), F.lit('"}')),
+            ), ","),
+            F.lit("]}}"),
+        ),
+    }
+    body = F.lit(None).cast("string")
+    for k in reversed(kinds):
+        body = F.when(kind == k, bodies[k]).otherwise(body)
+    out = k8s_cluster_workloads(ev.select(
+        "event_id", kind.alias("kind"), body.alias("body"),
+    ))
+    return out.select("event_id", "kind", "kc_name", "kc_namespace",
+                      "kc_uid", "kc_metric", "kc_condition", "kc_value")
+
+
+def _k8s_workloads_oracle() -> str:
+    NS = "CAST(NULL AS VARCHAR)"
+    ready_i = ("CASE CAST(u % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 0 "
+               "ELSE -1 END")
+    disk_i = "CASE WHEN e % 2 = 0 THEN 1 ELSE 0 END"
+    phase_i = ("CASE CAST(e % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 0 "
+               "ELSE -1 END")
+    # kind#, metric, condition, where, value
+    rows = [
+        (0, "k8s.node.condition", "'Ready'", None, ready_i),
+        (0, "k8s.node.condition", "'MemoryPressure'", None, "0"),
+        (0, "k8s.node.condition", "'DiskPressure'", None, disk_i),
+        (1, "k8s.statefulset.desired_pods", NS, None, "u % 10"),
+        (1, "k8s.statefulset.ready_pods", NS, None, "e % 10"),
+        (1, "k8s.statefulset.current_pods", NS, None, "u % 7"),
+        (1, "k8s.statefulset.updated_pods", NS, None, "e % 7"),
+        (2, "k8s.daemonset.current_scheduled_nodes", NS, None,
+         "e % 20"),
+        (2, "k8s.daemonset.desired_scheduled_nodes", NS, None,
+         "e % 20 + 1"),
+        (2, "k8s.daemonset.misscheduled_nodes", NS, None, "u % 3"),
+        (2, "k8s.daemonset.ready_nodes", NS, None, "u % 20"),
+        (3, "k8s.replicaset.desired", NS, "u % 2 = 0", "u % 10"),
+        (3, "k8s.replicaset.available", NS, "u % 2 = 0", "e % 10"),
+        (4, "k8s.namespace.phase", NS, None, phase_i),
+        (5, "k8s.hpa.max_replicas", NS, None, "u % 5 + 5"),
+        (5, "k8s.hpa.min_replicas", NS, None, "u % 5 + 1"),
+        (5, "k8s.hpa.current_replicas", NS, None, "e % 10"),
+        (5, "k8s.hpa.desired_replicas", NS, None, "u % 10"),
+        (6, "k8s.job.active_pods", NS, None, "e % 5"),
+        (6, "k8s.job.failed_pods", NS, None, "u % 5"),
+        (6, "k8s.job.successful_pods", NS, None, "e % 9"),
+        (6, "k8s.job.desired_successful_pods", NS, "e % 2 = 0",
+         "e % 6"),
+        (6, "k8s.job.max_parallel_pods", NS, "e % 3 = 0", "u % 6"),
+        (7, "k8s.cronjob.active_jobs", NS, None, "e % 4"),
+    ]
+    kinds = ("node", "statefulset", "daemonset", "replicaset",
+             "namespace", "hpa", "job", "cronjob")
+    parts = []
+    for i, (k, metric, cond, where, vi) in enumerate(rows):
+        a = (lambda n: f" AS {n}") if i == 0 else (lambda n: "")
+        w = f"e % 8 = {k}" + (f" AND ({where})" if where else "")
+        parts.append(
+            f"SELECT event_id, '{kinds[k]}'{a('kind')}, "
+            f"'o' || CAST(e % 50 AS VARCHAR){a('kc_name')}, "
+            f"'ns' || CAST(u % 4 AS VARCHAR){a('kc_namespace')}, "
+            f"'w' || CAST(e AS VARCHAR){a('kc_uid')}, "
+            f"'{metric}'{a('kc_metric')}, {cond}{a('kc_condition')}, "
+            f"{vi}{a('kc_value')} FROM a WHERE {w}"
+        )
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e "
+        "FROM events)\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["k8s_workload_metrics"] = q_k8s_workloads
+EXT16_ORACLES["k8s_workload_metrics"] = _k8s_workloads_oracle()

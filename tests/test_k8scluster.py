@@ -65,3 +65,41 @@ def test_k8s_cluster_metrics(spark):
     # deployment rows
     assert by[("k8s.deployment.desired", None, None)].kc_value == 5
     assert by[("k8s.deployment.available", None, None)].kc_value == 4
+
+
+def test_k8s_workloads(spark):
+    from opentelemetry_collector_contrib_spark.operators.k8scluster \
+        import k8s_cluster_workloads
+
+    rows = [
+        (1, "node", json.dumps({
+            "metadata": {"name": "n1", "uid": "nu1"},
+            "status": {"conditions": [
+                {"type": "Ready", "status": "True"},
+                {"type": "PIDPressure", "status": "Unknown"}]}})),
+        (2, "replicaset", json.dumps({
+            "metadata": {"name": "rs1", "uid": "r1"}, "spec": {},
+            "status": {"availableReplicas": 4}})),
+        (3, "job", json.dumps({
+            "metadata": {"name": "j1", "uid": "j"},
+            "spec": {"completions": 5},
+            "status": {"active": 2, "failed": 1, "succeeded": 3}})),
+        (4, "cronjob", json.dumps({
+            "metadata": {"name": "cj", "uid": "c"},
+            "status": {"active": [{"name": "a"}, {"name": "b"}]}})),
+        (5, "namespace", json.dumps({
+            "metadata": {"name": "nsx", "uid": "x"},
+            "status": {"phase": ""}})),
+    ]
+    out = k8s_cluster_workloads(
+        spark.createDataFrame(rows, ["id", "kind", "body"])
+    ).collect()
+    by = {(r.id, r.kc_metric, r.kc_condition): r.kc_value for r in out}
+    assert by[(1, "k8s.node.condition", "Ready")] == 1
+    assert by[(1, "k8s.node.condition", "PIDPressure")] == -1
+    # nil Spec.Replicas -> no replicaset rows (replicasets.go:30-33)
+    assert not any(r.id == 2 for r in out)
+    assert by[(3, "k8s.job.desired_successful_pods", None)] == 5
+    assert (3, "k8s.job.max_parallel_pods", None) not in by
+    assert by[(4, "k8s.cronjob.active_jobs", None)] == 2
+    assert by[(5, "k8s.namespace.phase", None)] == -1
