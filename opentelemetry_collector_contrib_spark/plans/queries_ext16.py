@@ -2891,3 +2891,176 @@ def _k8s_workloads_oracle() -> str:
 
 EXT16_QUERIES["k8s_workload_metrics"] = q_k8s_workloads
 EXT16_ORACLES["k8s_workload_metrics"] = _k8s_workloads_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ECS task metadata + docker stats -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_ecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ecs import ecs_task_metrics
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    c2 = F.when(e % 3 == 0, F.lit(
+        ',{"DockerId":"d2","Name":"done",'
+        '"StartedAt":"2024-01-01T00:00:00Z",'
+        '"FinishedAt":"2024-01-01T00:02:30Z"}'
+    )).otherwise(F.lit(',{"DockerId":"d2","Name":"idle"}'))
+    task_limits = F.when(u % 2 == 0, F.concat(
+        F.lit(',"Limits":{"CPU":'), s((u % 8 + 1) / 4.0),
+        F.lit(',"Memory":'), s(u % 4096), F.lit("}"),
+    )).otherwise(F.lit(""))
+    c1_limits = F.when(u % 3 != 0, F.concat(
+        F.lit(',"Limits":{"CPU":'), s(u % 512 + 1),
+        F.lit(',"Memory":'), s(u % 1024), F.lit("}"),
+    )).otherwise(F.lit(""))
+    meta = F.concat(
+        F.lit('{"Cluster":"arn:aws:ecs:us-west-2:1:cluster/cl'),
+        s(u % 5),
+        F.lit('","TaskARN":"arn:aws:ecs:us-west-2:1:task/cl'),
+        s(u % 5), F.lit("/t"), s(e),
+        F.lit('","Family":"fam'), s(u % 3),
+        F.lit('","Containers":[{"DockerId":"d1","Name":"app"'),
+        c1_limits, F.lit("}"), c2, F.lit("]"), task_limits, F.lit("}"),
+    )
+    percpu = F.when(e % 2 == 0, F.lit("[1,2,3]")).otherwise(F.lit("[1]"))
+    stats = F.concat(
+        F.lit('{"d1":{"id":"d1","read":"2024-01-01T10:00:'),
+        F.lpad(s(e % 40 + 10), 2, "0"),
+        F.lit('Z","preread":"2024-01-01T10:00:00Z",'
+              '"memory_stats":{"usage":'), s((e % 1000 + 10) * 1048576),
+        F.lit(',"max_usage":'), s((e % 1000 + 15) * 1048576),
+        F.lit(',"limit":'), s((u % 2048) * 1048576),
+        F.lit(',"stats":{"cache":'), s((e % 10) * 1048576),
+        F.lit('}},"cpu_stats":{"cpu_usage":{"total_usage":'),
+        s(e % 1000000000 + (e % 1000) * 1000000),
+        F.lit(',"usage_in_kernelmode":'), s(e % 100000000),
+        F.lit(',"usage_in_usermode":'), s(u % 100000000),
+        F.lit(',"percpu_usage":'), percpu,
+        F.lit('},"online_cpus":'), s(u % 16),
+        F.lit(',"system_cpu_usage":'), s(e % 1000000000 + 5),
+        F.lit('},"precpu_stats":{"cpu_usage":{"total_usage":'),
+        s(e % 1000000000),
+        F.lit('}},"networks":{"eth0":{"rx_bytes":'), s(e % 1000000),
+        F.lit(',"tx_bytes":'), s(u % 1000000),
+        F.lit(',"rx_packets":'), s(e % 10000),
+        F.lit(',"tx_packets":'), s(u % 10000),
+        F.lit(',"rx_errors":'), s(e % 5),
+        F.lit(',"tx_errors":'), s(u % 5),
+        F.lit(',"rx_dropped":'), s(e % 3),
+        F.lit(',"tx_dropped":'), s(u % 3),
+        F.lit('}},"network_rate_stats":{"rx_bytes_per_sec":'),
+        s((e % 4000) / 16.0),
+        F.lit(',"tx_bytes_per_sec":'), s((u % 4000) / 16.0),
+        F.lit('},"blkio_stats":{"io_service_bytes_recursive":['
+              '{"op":"Read","value":'), s(e % 50000),
+        F.lit('},{"op":"Write","value":'), s(u % 50000),
+        F.lit('},{"op":"Total","value":1}]}}}'),
+    )
+    out = ecs_task_metrics(ev.select(
+        "event_id", meta.alias("metadata"), stats.alias("stats"),
+    ))
+    return out.select(
+        "event_id", "ec_cluster", "ec_task_arn", "ec_task_id",
+        "ec_family", "ec_scope", "ec_container", "ec_docker_id",
+        "ec_metric", "ec_value", "ec_value_d",
+    )
+
+
+def _ecs_oracle() -> str:
+    from ..operators.ecs import _ECS_FIELDS
+
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    vcpu = ("CAST((e % 1000) * 1000000 AS DOUBLE) "
+            "/ CAST((e % 40 + 10) * 1000000000 AS DOUBLE)")
+    cont_util = (
+        f"CASE WHEN u % 3 <> 0 THEN ({vcpu}) * 100.0 "
+        f"/ CAST(u % 512 + 1 AS DOUBLE) ELSE ({vcpu}) * 100.0 END"
+    )
+    task_util = (
+        f"CASE WHEN u % 2 = 0 OR u % 3 <> 0 THEN ({vcpu}) * 1024.0 "
+        f"ELSE ({vcpu}) * 100.0 END"
+    )
+    vals = {
+        "mem_usage": ("(e % 1000 + 10) * 1048576", None),
+        "mem_max": ("(e % 1000 + 15) * 1048576", None),
+        "mem_limit": ("(u % 2048) * 1048576", None),
+        "mem_utilized": ("e % 1000 + 10 - e % 10", None),
+        "mem_reserved": ("CASE WHEN u % 3 <> 0 THEN u % 1024 ELSE 0 END",
+                         "CASE WHEN u % 2 = 0 THEN u % 4096 WHEN "
+                         "u % 3 <> 0 THEN u % 1024 ELSE 0 END"),
+        "cpu_total": ("e % 1000000000 + (e % 1000) * 1000000", None),
+        "cpu_kernel": ("e % 100000000", None),
+        "cpu_user": ("u % 100000000", None),
+        "cpu_cores": ("CASE WHEN e % 2 = 0 THEN 3 ELSE 1 END", None),
+        "cpu_onlines": ("u % 16", None),
+        "cpu_system": ("e % 1000000000 + 5", None),
+        "cpu_utilized": (cont_util, task_util),
+        "cpu_reserved": (
+            "CASE WHEN u % 3 <> 0 THEN CAST(u % 512 + 1 AS DOUBLE) "
+            "ELSE 0.0 END",
+            "CASE WHEN u % 2 = 0 THEN CAST(u % 8 + 1 AS DOUBLE) / 4.0 "
+            "* 1024.0 WHEN u % 3 <> 0 THEN CAST(u % 512 + 1 AS DOUBLE) "
+            "ELSE 0.0 END"),
+        "cpu_vcpu": (vcpu, None),
+        "net_rate_rx": ("CAST(e % 4000 AS DOUBLE) / 16.0", None),
+        "net_rate_tx": ("CAST(u % 4000 AS DOUBLE) / 16.0", None),
+        "net_rx_bytes": ("e % 1000000", None),
+        "net_rx_packets": ("e % 10000", None),
+        "net_rx_errors": ("e % 5", None),
+        "net_rx_dropped": ("e % 3", None),
+        "net_tx_bytes": ("u % 1000000", None),
+        "net_tx_packets": ("u % 10000", None),
+        "net_tx_errors": ("u % 5", None),
+        "net_tx_dropped": ("u % 3", None),
+        "storage_read": ("e % 50000", None),
+        "storage_write": ("u % 50000", None),
+    }
+    parts = []
+    first = True
+    for scope in ("container", "task"):
+        prefix = "container." if scope == "container" else "ecs.task."
+        cont = "'app'" if scope == "container" else "NULL"
+        docker = "'d1'" if scope == "container" else "NULL"
+        for field, suffix, vt in _ECS_FIELDS:
+            cexpr, texpr = vals[field]
+            expr = cexpr if scope == "container" or texpr is None \
+                else texpr
+            vi = expr if vt == "i" else NI
+            vd = expr if vt == "d" else ND
+            a = (lambda n: f" AS {n}") if first else (lambda n: "")
+            first = False
+            parts.append(
+                f"SELECT event_id, 'cl' || CAST(u % 5 AS VARCHAR)"
+                f"{a('ec_cluster')}, "
+                f"'arn:aws:ecs:us-west-2:1:task/cl' || "
+                f"CAST(u % 5 AS VARCHAR) || '/t' || CAST(e AS VARCHAR)"
+                f"{a('ec_task_arn')}, "
+                f"'t' || CAST(e AS VARCHAR){a('ec_task_id')}, "
+                f"'fam' || CAST(u % 3 AS VARCHAR){a('ec_family')}, "
+                f"'{scope}'{a('ec_scope')}, {cont}{a('ec_container')}, "
+                f"{docker}{a('ec_docker_id')}, "
+                f"'{prefix}{suffix}'{a('ec_metric')}, "
+                f"{vi}{a('ec_value')}, {vd}{a('ec_value_d')} FROM a"
+            )
+    parts.append(
+        "SELECT event_id, 'cl' || CAST(u % 5 AS VARCHAR), "
+        "'arn:aws:ecs:us-west-2:1:task/cl' || CAST(u % 5 AS VARCHAR) "
+        "|| '/t' || CAST(e AS VARCHAR), 't' || CAST(e AS VARCHAR), "
+        "'fam' || CAST(u % 3 AS VARCHAR), 'container', 'done', 'd2', "
+        "'container.duration', CAST(NULL AS BIGINT), 150.0 "
+        "FROM a WHERE e % 3 = 0"
+    )
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e "
+        "FROM events)\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["ecs_task_metrics"] = q_ecs
+EXT16_ORACLES["ecs_task_metrics"] = _ecs_oracle()
