@@ -4129,3 +4129,177 @@ def mongodb_stats(
         m["value"].alias("mb_value"),
         m["ok"].alias("mb_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# aerospike receiver (receiver/aerospikereceiver/scraper.go:140-400)
+# ---------------------------------------------------------------------------
+
+# (info key, metric, attr values in Record-call order) — generated 1:1
+# from the emitNode / emitNamespace switches + generated_metrics attr
+# strings. All values ParseInt.
+_AEROSPIKE_NODE = (
+    ('client_connections', 'aerospike.node.connection.open', ('client',)),
+    ('fabric_connections', 'aerospike.node.connection.open', ('fabric',)),
+    ('heartbeat_connections', 'aerospike.node.connection.open', ('heartbeat',)),
+    ('client_connections_closed', 'aerospike.node.connection.count', ('client', 'close')),
+    ('client_connections_opened', 'aerospike.node.connection.count', ('client', 'open')),
+    ('fabric_connections_closed', 'aerospike.node.connection.count', ('fabric', 'close')),
+    ('fabric_connections_opened', 'aerospike.node.connection.count', ('fabric', 'open')),
+    ('heartbeat_connections_closed', 'aerospike.node.connection.count', ('heartbeat', 'close')),
+    ('heartbeat_connections_opened', 'aerospike.node.connection.count', ('heartbeat', 'open')),
+    ('system_free_mem_pct', 'aerospike.node.memory.free', ()),
+    ('query_tracked', 'aerospike.node.query.tracked', ()),
+)
+
+_AEROSPIKE_NAMESPACE = (
+    ('device_available_pct', 'aerospike.namespace.disk.available', ()),
+    ('memory_free_pct', 'aerospike.namespace.memory.free', ()),
+    ('memory_used_data_bytes', 'aerospike.namespace.memory.usage', ('data',)),
+    ('memory_used_index_bytes', 'aerospike.namespace.memory.usage', ('index',)),
+    ('memory_used_sindex_bytes', 'aerospike.namespace.memory.usage', ('secondary_index',)),
+    ('memory_used_set_index_bytes', 'aerospike.namespace.memory.usage', ('set_index',)),
+    ('scan_aggr_abort', 'aerospike.namespace.scan.count', ('aggregation', 'abort')),
+    ('scan_aggr_complete', 'aerospike.namespace.scan.count', ('aggregation', 'complete')),
+    ('scan_aggr_error', 'aerospike.namespace.scan.count', ('aggregation', 'error')),
+    ('scan_basic_abort', 'aerospike.namespace.scan.count', ('basic', 'abort')),
+    ('scan_basic_complete', 'aerospike.namespace.scan.count', ('basic', 'complete')),
+    ('scan_basic_error', 'aerospike.namespace.scan.count', ('basic', 'error')),
+    ('scan_ops_bg_abort', 'aerospike.namespace.scan.count', ('ops_background', 'abort')),
+    ('scan_ops_bg_complete', 'aerospike.namespace.scan.count', ('ops_background', 'complete')),
+    ('scan_ops_bg_error', 'aerospike.namespace.scan.count', ('ops_background', 'error')),
+    ('scan_udf_bg_abort', 'aerospike.namespace.scan.count', ('udf_background', 'abort')),
+    ('scan_udf_bg_complete', 'aerospike.namespace.scan.count', ('udf_background', 'complete')),
+    ('scan_udf_bg_error', 'aerospike.namespace.scan.count', ('udf_background', 'error')),
+    ('query_aggr_abort', 'aerospike.namespace.query.count', ('aggregation', 'secondary', 'abort')),
+    ('query_aggr_complete', 'aerospike.namespace.query.count', ('aggregation', 'secondary', 'complete')),
+    ('query_aggr_error', 'aerospike.namespace.query.count', ('aggregation', 'secondary', 'error')),
+    ('query_basic_abort', 'aerospike.namespace.query.count', ('basic', 'secondary', 'abort')),
+    ('query_basic_complete', 'aerospike.namespace.query.count', ('basic', 'secondary', 'complete')),
+    ('query_basic_error', 'aerospike.namespace.query.count', ('basic', 'secondary', 'error')),
+    ('query_ops_bg_abort', 'aerospike.namespace.query.count', ('ops_background', 'secondary', 'abort')),
+    ('query_ops_bg_complete', 'aerospike.namespace.query.count', ('ops_background', 'secondary', 'complete')),
+    ('query_ops_bg_error', 'aerospike.namespace.query.count', ('ops_background', 'secondary', 'error')),
+    ('query_udf_bg_abort', 'aerospike.namespace.query.count', ('udf_background', 'secondary', 'abort')),
+    ('query_udf_bg_complete', 'aerospike.namespace.query.count', ('udf_background', 'secondary', 'complete')),
+    ('query_udf_bg_error', 'aerospike.namespace.query.count', ('udf_background', 'secondary', 'error')),
+    ('pi_query_aggr_abort', 'aerospike.namespace.query.count', ('aggregation', 'primary', 'abort')),
+    ('pi_query_aggr_complete', 'aerospike.namespace.query.count', ('aggregation', 'primary', 'complete')),
+    ('pi_query_aggr_error', 'aerospike.namespace.query.count', ('aggregation', 'primary', 'error')),
+    ('pi_query_long_basic_abort', 'aerospike.namespace.query.count', ('long_basic', 'primary', 'abort')),
+    ('pi_query_long_basic_complete', 'aerospike.namespace.query.count', ('long_basic', 'primary', 'complete')),
+    ('pi_query_long_basic_error', 'aerospike.namespace.query.count', ('long_basic', 'primary', 'error')),
+    ('pi_query_ops_bg_abort', 'aerospike.namespace.query.count', ('ops_background', 'primary', 'abort')),
+    ('pi_query_ops_bg_basic_complete', 'aerospike.namespace.query.count', ('ops_background', 'primary', 'complete')),
+    ('pi_query_ops_bg_basic_error', 'aerospike.namespace.query.count', ('ops_background', 'primary', 'error')),
+    ('pi_query_short_basic_timeout', 'aerospike.namespace.query.count', ('short_basic', 'primary', 'timeout')),
+    ('pi_query_short_basic_complete', 'aerospike.namespace.query.count', ('short_basic', 'primary', 'complete')),
+    ('pi_query_short_basic_error', 'aerospike.namespace.query.count', ('short_basic', 'primary', 'error')),
+    ('pi_query_udf_bg_abort', 'aerospike.namespace.query.count', ('udf_background', 'primary', 'abort')),
+    ('pi_query_udf_bg_complete', 'aerospike.namespace.query.count', ('udf_background', 'primary', 'complete')),
+    ('pi_query_udf_bg_error', 'aerospike.namespace.query.count', ('udf_background', 'primary', 'error')),
+    ('si_query_aggr_abort', 'aerospike.namespace.query.count', ('aggregation', 'secondary', 'abort')),
+    ('si_query_aggr_complete', 'aerospike.namespace.query.count', ('aggregation', 'secondary', 'complete')),
+    ('si_query_aggr_error', 'aerospike.namespace.query.count', ('aggregation', 'secondary', 'error')),
+    ('si_query_long_basic_abort', 'aerospike.namespace.query.count', ('long_basic', 'secondary', 'abort')),
+    ('si_query_long_basic_complete', 'aerospike.namespace.query.count', ('long_basic', 'secondary', 'complete')),
+    ('si_query_long_basic_error', 'aerospike.namespace.query.count', ('long_basic', 'secondary', 'error')),
+    ('si_query_ops_bg_abort', 'aerospike.namespace.query.count', ('ops_background', 'secondary', 'abort')),
+    ('si_query_ops_bg_basic_complete', 'aerospike.namespace.query.count', ('ops_background', 'secondary', 'complete')),
+    ('si_query_ops_bg_basic_error', 'aerospike.namespace.query.count', ('ops_background', 'secondary', 'error')),
+    ('si_query_short_basic_timeout', 'aerospike.namespace.query.count', ('short_basic', 'secondary', 'timeout')),
+    ('si_query_short_basic_complete', 'aerospike.namespace.query.count', ('short_basic', 'secondary', 'complete')),
+    ('si_query_short_basic_error', 'aerospike.namespace.query.count', ('short_basic', 'secondary', 'error')),
+    ('si_query_udf_bg_abort', 'aerospike.namespace.query.count', ('udf_background', 'secondary', 'abort')),
+    ('si_query_udf_bg_complete', 'aerospike.namespace.query.count', ('udf_background', 'secondary', 'complete')),
+    ('si_query_udf_bg_error', 'aerospike.namespace.query.count', ('udf_background', 'secondary', 'error')),
+    ('geo_region_query_cells', 'aerospike.namespace.geojson.region_query_cells', ()),
+    ('geo_region_query_falsepos', 'aerospike.namespace.geojson.region_query_false_positive', ()),
+    ('geo_region_query_points', 'aerospike.namespace.geojson.region_query_points', ()),
+    ('geo_region_query_reqs', 'aerospike.namespace.geojson.region_query_requests', ()),
+    ('client_delete_error', 'aerospike.namespace.transaction.count', ('delete', 'error')),
+    ('client_delete_filtered_out', 'aerospike.namespace.transaction.count', ('delete', 'filtered_out')),
+    ('client_delete_not_found', 'aerospike.namespace.transaction.count', ('delete', 'not_found')),
+    ('client_delete_success', 'aerospike.namespace.transaction.count', ('delete', 'success')),
+    ('client_delete_timeout', 'aerospike.namespace.transaction.count', ('delete', 'timeout')),
+    ('client_read_error', 'aerospike.namespace.transaction.count', ('read', 'error')),
+    ('client_read_filtered_out', 'aerospike.namespace.transaction.count', ('read', 'filtered_out')),
+    ('client_read_not_found', 'aerospike.namespace.transaction.count', ('read', 'not_found')),
+    ('client_read_success', 'aerospike.namespace.transaction.count', ('read', 'success')),
+    ('client_read_timeout', 'aerospike.namespace.transaction.count', ('read', 'timeout')),
+    ('client_udf_error', 'aerospike.namespace.transaction.count', ('udf', 'error')),
+    ('client_udf_filtered_out', 'aerospike.namespace.transaction.count', ('udf', 'filtered_out')),
+    ('client_udf_not_found', 'aerospike.namespace.transaction.count', ('udf', 'not_found')),
+    ('client_udf_success', 'aerospike.namespace.transaction.count', ('udf', 'success')),
+    ('client_udf_timeout', 'aerospike.namespace.transaction.count', ('udf', 'timeout')),
+    ('client_write_error', 'aerospike.namespace.transaction.count', ('write', 'error')),
+    ('client_write_filtered_out', 'aerospike.namespace.transaction.count', ('write', 'filtered_out')),
+    ('client_write_not_found', 'aerospike.namespace.transaction.count', ('write', 'not_found')),
+    ('client_write_success', 'aerospike.namespace.transaction.count', ('write', 'success')),
+    ('client_write_timeout', 'aerospike.namespace.transaction.count', ('write', 'timeout')),
+)
+
+
+def aerospike_info(
+    df: DataFrame, kind_col: str = "kind", body_col: str = "body"
+) -> DataFrame:
+    """Aerospike info key/value maps → one row per recorded metric.
+
+    Re-expresses ``receiver/aerospikereceiver/scraper.go:140-400``
+    over rows holding one node-info or namespace-info map as JSON
+    (``kind`` ∈ node | namespace; the namespace map carries the
+    ``node``/``name`` keys the scraper injects, :182-186): the
+    emitNode (11-case) and emitNamespace (84-case) switches with
+    connection type/op, memory component, scan/query type × index ×
+    result, geojson, and client-transaction type × result attr fans.
+    Only present keys record; a present value that fails ParseInt is
+    the reference's AddPartial → ``as_ok=false`` row. Plan: one
+    from_json map + inline explode, zero shuffle/Python.
+    """
+    mp = F.from_json(F.col(body_col), "map<string,string>")
+    kind = F.col(kind_col)
+    base = [c for c in df.columns if c not in (kind_col, body_col)]
+    df = df.select(*base, kind.alias("_kind"), mp.alias("_i"))
+    kind, mp = F.col("_kind"), F.col("_i")
+
+    ns = F.lit(None).cast("string")
+    entries = []
+
+    def add(table, want_kind):
+        for key, metric, attrs in table:
+            v = F.try_element_at(mp, F.lit(key))
+            p = v.try_cast("bigint")
+            a = list(attrs) + [None] * (3 - len(attrs))
+            entries.append(F.struct(
+                F.lit(metric).alias("metric"),
+                (F.lit(a[0]) if a[0] else ns).alias("a1"),
+                (F.lit(a[1]) if a[1] else ns).alias("a2"),
+                (F.lit(a[2]) if a[2] else ns).alias("a3"),
+                ((kind == want_kind) & v.isNotNull()).alias("present"),
+                p.alias("value"),
+                p.isNotNull().alias("ok"),
+            ))
+
+    add(_AEROSPIKE_NODE, "node")
+    add(_AEROSPIKE_NAMESPACE, "namespace")
+
+    exploded = df.select(
+        *base,
+        kind.alias(kind_col),
+        F.try_element_at(mp, F.lit("node")).alias("as_node"),
+        F.when(kind == "namespace",
+               F.try_element_at(mp, F.lit("name"))).alias("as_namespace"),
+        F.explode(
+            F.filter(F.array(*entries), lambda x: x["present"])
+        ).alias("_m"),
+    )
+    m = F.col("_m")
+    return exploded.select(
+        *[c for c in exploded.columns if c != "_m"],
+        m["metric"].alias("as_metric"),
+        m["a1"].alias("as_a1"),
+        m["a2"].alias("as_a2"),
+        m["a3"].alias("as_a3"),
+        m["value"].alias("as_value"),
+        m["ok"].alias("as_ok"),
+    )

@@ -3064,3 +3064,110 @@ def _ecs_oracle() -> str:
 
 EXT16_QUERIES["ecs_task_metrics"] = q_ecs
 EXT16_ORACLES["ecs_task_metrics"] = _ecs_oracle()
+
+
+# ---------------------------------------------------------------------------
+# aerospike node/namespace info maps -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_aerospike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import (
+        _AEROSPIKE_NAMESPACE,
+        _AEROSPIKE_NODE,
+        aerospike_info,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("u"),
+        F.col("event_id").alias("e"),
+    )
+    is_node = F.col("e") % 2 == 0
+
+    def body_for(table, extra):
+        parts = [F.lit("{")]
+        first = True
+        for i, (key, _, _) in enumerate(table):
+            if key in ("node", "name"):
+                continue
+            if not first:
+                parts.append(F.lit(","))
+            first = False
+            parts.append(F.lit(f'"{key}":"'))
+            if key == "query_tracked":
+                parts.append(F.when(F.col("e") % 13 == 0, F.lit("x"))
+                             .otherwise(F.expr(f"(e * 3 + {i} * 17) % 90000")
+                                        .cast("string")))
+            elif key == "client_read_success":
+                # exercise the absent-key path
+                parts.append(F.expr("e % 7777").cast("string"))
+            else:
+                parts.append(F.expr(f"(e * 3 + {i} * 17) % 90000")
+                             .cast("string"))
+            parts.append(F.lit('"'))
+        parts.append(F.lit(extra))
+        return F.concat(*parts)
+
+    node_body = body_for(_AEROSPIKE_NODE,
+                         ',"node":"BB9"}')
+    ns_table = [r for r in _AEROSPIKE_NAMESPACE
+                if r[0] != "client_write_timeout"]
+    ns_body = body_for(ns_table, ',"node":"BB9","name":"nsA"}')
+    body = F.when(is_node, node_body).otherwise(ns_body)
+    kind = F.when(is_node, F.lit("node")).otherwise(F.lit("namespace"))
+    out = aerospike_info(ev.select(
+        "event_id", kind.alias("kind"), body.alias("body"),
+    ))
+    return out.select("event_id", "kind", "as_node", "as_namespace",
+                      "as_metric", "as_a1", "as_a2", "as_a3",
+                      "as_value", "as_ok")
+
+
+def _aerospike_oracle() -> str:
+    from ..operators.receivers import (
+        _AEROSPIKE_NAMESPACE,
+        _AEROSPIKE_NODE,
+    )
+
+    NS = "CAST(NULL AS VARCHAR)"
+    parts = []
+    first = True
+
+    def sel(kind, nsname, key, metric, attrs, i, where_extra=None):
+        nonlocal first
+        a = (lambda n: f" AS {n}") if first else (lambda n: "")
+        first = False
+        al = list(attrs) + [None] * (3 - len(attrs))
+        astr = [f"'{x}'" if x else NS for x in al]
+        vi = f"(e * 3 + {i} * 17) % 90000"
+        ok = "TRUE"
+        if key == "query_tracked":
+            vi = f"CASE WHEN e % 13 = 0 THEN NULL ELSE {vi} END"
+            ok = "e % 13 <> 0"
+        if key == "client_read_success":
+            vi = "e % 7777"
+        w = "e % 2 = 0" if kind == "node" else "e % 2 <> 0"
+        if where_extra:
+            w += f" AND ({where_extra})"
+        return (
+            f"SELECT event_id, '{kind}'{a('kind')}, 'BB9'{a('as_node')}, "
+            f"{nsname}{a('as_namespace')}, '{metric}'{a('as_metric')}, "
+            f"{astr[0]}{a('as_a1')}, {astr[1]}{a('as_a2')}, "
+            f"{astr[2]}{a('as_a3')}, {vi}{a('as_value')}, "
+            f"{ok}{a('as_ok')} FROM a WHERE {w}"
+        )
+
+    for i, (key, metric, attrs) in enumerate(_AEROSPIKE_NODE):
+        parts.append(sel("node", NS, key, metric, attrs, i))
+    for i, (key, metric, attrs) in enumerate(_AEROSPIKE_NAMESPACE):
+        if key == "client_write_timeout":
+            continue  # omitted from the fixture -> no row
+        parts.append(sel("namespace", "'nsA'", key, metric, attrs, i))
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e "
+        "FROM events)\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["aerospike_info"] = q_aerospike
+EXT16_ORACLES["aerospike_info"] = _aerospike_oracle()
