@@ -3171,3 +3171,95 @@ def _aerospike_oracle() -> str:
 
 EXT16_QUERIES["aerospike_info"] = q_aerospike
 EXT16_ORACLES["aerospike_info"] = _aerospike_oracle()
+
+
+# ---------------------------------------------------------------------------
+# podman container stats -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_podman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import podman_stats
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    percpu = F.when(e % 2 == 0, F.concat(
+        F.lit(',"PerCPU":['), s(e % 10000000000), F.lit(","),
+        s(u % 10000000000), F.lit("]"),
+    )).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit('{"ContainerID":"c'), s(e),
+        F.lit('","Name":"cont'), s(e % 40),
+        F.lit('","CPU":'), s((e % 10000) / 16.0),
+        F.lit(',"CPUNano":'), s(e % 100000000000),
+        F.lit(',"CPUSystemNano":'), s(u % 100000000000),
+        F.lit(',"MemUsage":'), s(e % 8000000),
+        F.lit(',"MemLimit":'), s(u % 8000000 + 1000000),
+        F.lit(',"MemPerc":'), s((u % 1600) / 16.0),
+        F.lit(',"NetInput":'), s(e % 700000),
+        F.lit(',"NetOutput":'), s(u % 700000),
+        F.lit(',"BlockInput":'), s(e % 600000),
+        F.lit(',"BlockOutput":'), s(u % 600000),
+        percpu, F.lit("}"),
+    )
+    out = podman_stats(
+        ev.select("event_id", body.alias("body"), F.lit("img").alias("image"))
+    )
+    return out.select("event_id", "pm_runtime", "pm_name",
+                      "pm_container_id", "pm_metric", "pm_core",
+                      "pm_value", "pm_value_d")
+
+
+O_PODMAN = """
+WITH a AS (
+  SELECT event_id, user_id AS u, event_id AS e FROM events
+), m(metric, core, vi, vd) AS (SELECT NULL, NULL, NULL, NULL WHERE 1=0)
+SELECT event_id, 'podman' AS pm_runtime,
+       'cont' || CAST(e % 40 AS VARCHAR) AS pm_name,
+       'c' || CAST(e AS VARCHAR) AS pm_container_id,
+       'container.cpu.usage.system' AS pm_metric,
+       CAST(NULL AS VARCHAR) AS pm_core,
+       (u % 100000000000) // 1000000000 AS pm_value,
+       CAST(NULL AS DOUBLE) AS pm_value_d
+FROM a
+UNION ALL SELECT event_id, 'podman', 'cont' || CAST(e % 40 AS VARCHAR),
+  'c' || CAST(e AS VARCHAR), 'container.cpu.usage.total', NULL,
+  (e % 100000000000) // 1000000000, NULL FROM a
+UNION ALL SELECT event_id, 'podman', 'cont' || CAST(e % 40 AS VARCHAR),
+  'c' || CAST(e AS VARCHAR), 'container.cpu.percent', NULL, NULL,
+  CAST(e % 10000 AS DOUBLE) / 16.0 FROM a
+UNION ALL SELECT event_id, 'podman', 'cont' || CAST(e % 40 AS VARCHAR),
+  'c' || CAST(e AS VARCHAR), 'container.network.io.usage.rx_bytes',
+  NULL, u % 700000, NULL FROM a
+UNION ALL SELECT event_id, 'podman', 'cont' || CAST(e % 40 AS VARCHAR),
+  'c' || CAST(e AS VARCHAR), 'container.network.io.usage.tx_bytes',
+  NULL, e % 700000, NULL FROM a
+UNION ALL SELECT event_id, 'podman', 'cont' || CAST(e % 40 AS VARCHAR),
+  'c' || CAST(e AS VARCHAR), 'container.memory.usage.total', NULL,
+  e % 8000000, NULL FROM a
+UNION ALL SELECT event_id, 'podman', 'cont' || CAST(e % 40 AS VARCHAR),
+  'c' || CAST(e AS VARCHAR), 'container.memory.usage.limit', NULL,
+  u % 8000000 + 1000000, NULL FROM a
+UNION ALL SELECT event_id, 'podman', 'cont' || CAST(e % 40 AS VARCHAR),
+  'c' || CAST(e AS VARCHAR), 'container.memory.percent', NULL, NULL,
+  CAST(u % 1600 AS DOUBLE) / 16.0 FROM a
+UNION ALL SELECT event_id, 'podman', 'cont' || CAST(e % 40 AS VARCHAR),
+  'c' || CAST(e AS VARCHAR),
+  'container.blockio.io_service_bytes_recursive.read', NULL,
+  e % 600000, NULL FROM a
+UNION ALL SELECT event_id, 'podman', 'cont' || CAST(e % 40 AS VARCHAR),
+  'c' || CAST(e AS VARCHAR),
+  'container.blockio.io_service_bytes_recursive.write', NULL,
+  u % 600000, NULL FROM a
+UNION ALL SELECT event_id, 'podman', 'cont' || CAST(e % 40 AS VARCHAR),
+  'c' || CAST(e AS VARCHAR), 'container.cpu.usage.percpu', 'cpu0',
+  (e % 10000000000) // 1000000000, NULL FROM a WHERE e % 2 = 0
+UNION ALL SELECT event_id, 'podman', 'cont' || CAST(e % 40 AS VARCHAR),
+  'c' || CAST(e AS VARCHAR), 'container.cpu.usage.percpu', 'cpu1',
+  (u % 10000000000) // 1000000000, NULL FROM a WHERE e % 2 = 0
+"""
+
+
+EXT16_QUERIES["podman_stats"] = q_podman
+EXT16_ORACLES["podman_stats"] = O_PODMAN
