@@ -4392,3 +4392,141 @@ def podman_stats(
         m["value"].alias("pm_value"),
         m["value_d"].alias("pm_value_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# nsxt receiver (receiver/nsxtreceiver/scraper.go:186-233)
+# ---------------------------------------------------------------------------
+
+
+def nsxt_stats(
+    df: DataFrame, kind_col: str = "kind", body_col: str = "body"
+) -> DataFrame:
+    """NSX-T interface/node status documents → metric rows.
+
+    Re-expresses ``receiver/nsxtreceiver/scraper.go:186-233`` over rows
+    of one interface-status or node-status JSON each (``kind`` ∈
+    interface | node, identity fields inline):
+
+    - interface: dropped/errored packet counts per direction plus the
+      DERIVED success = packets − dropped − errors, and rx/tx byte io;
+    - node: cpu utilization for the dpdk(datapath) / non-dpdk
+      (services) cores, memory + cache usage, filesystem used and the
+      derived available = total − used, and utilization =
+      used / max(total, 1) (the division-by-zero guard, :227).
+    """
+    kind = F.col(kind_col)
+    iface = F.from_json(F.col(body_col), (
+        "struct<interface_id: string, node_name: string,"
+        " node_type: string, node_id: string, rx_bytes: bigint,"
+        " rx_packets: bigint, rx_dropped: bigint, rx_errors: bigint,"
+        " tx_bytes: bigint, tx_packets: bigint, tx_dropped: bigint,"
+        " tx_errors: bigint>"
+    ))
+    node = F.from_json(F.col(body_col), (
+        "struct<node_name: string, node_type: string, node_id: string,"
+        " system_status: struct<cpu_usage: struct<"
+        "avg_cpu_core_usage_dpdk: double,"
+        " avg_cpu_core_usage_non_dpdk: double>, mem_used: bigint,"
+        " mem_cache: bigint, disk_space_used: bigint,"
+        " disk_space_total: bigint>>"
+    ))
+    base = [c for c in df.columns if c not in (kind_col, body_col)]
+    df = df.select(*base, kind.alias("_kind"), iface.alias("_if"),
+                   node.alias("_n"))
+    kind, iface, node = F.col("_kind"), F.col("_if"), F.col("_n")
+
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+    z = lambda c: F.coalesce(c, F.lit(0))  # noqa: E731
+
+    def mk(metric, direction, ptype, state, cls, present, vi, vd):
+        return F.struct(
+            F.lit(metric).alias("metric"),
+            (F.lit(direction) if direction else ns).alias("direction"),
+            (F.lit(ptype) if ptype else ns).alias("ptype"),
+            (F.lit(state) if state else ns).alias("state"),
+            (F.lit(cls) if cls else ns).alias("class"),
+            present.alias("present"),
+            vi.cast("bigint").alias("value"),
+            vd.cast("double").alias("value_d"),
+        )
+
+    is_if = kind == "interface"
+    is_node = kind == "node"
+    ss = node["system_status"]
+    entries = [
+        mk("nsxt.node.network.packet.count", "received", "dropped",
+           None, None, is_if, z(iface["rx_dropped"]), nd),
+        mk("nsxt.node.network.packet.count", "received", "errored",
+           None, None, is_if, z(iface["rx_errors"]), nd),
+        mk("nsxt.node.network.packet.count", "received", "success",
+           None, None, is_if,
+           z(iface["rx_packets"]) - z(iface["rx_dropped"])
+           - z(iface["rx_errors"]), nd),
+        mk("nsxt.node.network.packet.count", "transmitted", "dropped",
+           None, None, is_if, z(iface["tx_dropped"]), nd),
+        mk("nsxt.node.network.packet.count", "transmitted", "errored",
+           None, None, is_if, z(iface["tx_errors"]), nd),
+        mk("nsxt.node.network.packet.count", "transmitted", "success",
+           None, None, is_if,
+           z(iface["tx_packets"]) - z(iface["tx_dropped"])
+           - z(iface["tx_errors"]), nd),
+        mk("nsxt.node.network.io", "received", None, None, None,
+           is_if, z(iface["rx_bytes"]), nd),
+        mk("nsxt.node.network.io", "transmitted", None, None, None,
+           is_if, z(iface["tx_bytes"]), nd),
+        mk("nsxt.node.cpu.utilization", None, None, None, "datapath",
+           is_node, nl,
+           F.coalesce(ss["cpu_usage"]["avg_cpu_core_usage_dpdk"],
+                      F.lit(0.0))),
+        mk("nsxt.node.cpu.utilization", None, None, None, "services",
+           is_node, nl,
+           F.coalesce(ss["cpu_usage"]["avg_cpu_core_usage_non_dpdk"],
+                      F.lit(0.0))),
+        mk("nsxt.node.memory.usage", None, None, None, None, is_node,
+           z(ss["mem_used"]), nd),
+        mk("nsxt.node.memory.cache.usage", None, None, None, None,
+           is_node, z(ss["mem_cache"]), nd),
+        mk("nsxt.node.filesystem.usage", None, None, "used", None,
+           is_node, z(ss["disk_space_used"]), nd),
+        mk("nsxt.node.filesystem.usage", None, None, "available", None,
+           is_node,
+           z(ss["disk_space_total"]) - z(ss["disk_space_used"]), nd),
+        mk("nsxt.node.filesystem.utilization", None, None, None, None,
+           is_node, nl,
+           z(ss["disk_space_used"]).cast("double")
+           / F.greatest(z(ss["disk_space_total"]).cast("double"),
+                        F.lit(1.0))),
+    ]
+    exploded = df.select(
+        *base,
+        F.when(is_if, iface["interface_id"]).alias("nx_device_id"),
+        F.coalesce(
+            F.when(is_if, iface["node_name"]).otherwise(
+                node["node_name"]), F.lit(""),
+        ).alias("nx_node_name"),
+        F.coalesce(
+            F.when(is_if, iface["node_type"]).otherwise(
+                node["node_type"]), F.lit(""),
+        ).alias("nx_node_type"),
+        F.coalesce(
+            F.when(is_if, iface["node_id"]).otherwise(node["node_id"]),
+            F.lit(""),
+        ).alias("nx_node_id"),
+        F.explode(
+            F.filter(F.array(*entries), lambda x: x["present"])
+        ).alias("_m"),
+    )
+    m = F.col("_m")
+    return exploded.select(
+        *[c for c in exploded.columns if c != "_m"],
+        m["metric"].alias("nx_metric"),
+        m["direction"].alias("nx_direction"),
+        m["ptype"].alias("nx_packet_type"),
+        m["state"].alias("nx_disk_state"),
+        m["class"].alias("nx_class"),
+        m["value"].alias("nx_value"),
+        m["value_d"].alias("nx_value_d"),
+    )

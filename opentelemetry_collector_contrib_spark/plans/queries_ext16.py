@@ -3263,3 +3263,134 @@ UNION ALL SELECT event_id, 'podman', 'cont' || CAST(e % 40 AS VARCHAR),
 
 EXT16_QUERIES["podman_stats"] = q_podman
 EXT16_ORACLES["podman_stats"] = O_PODMAN
+
+
+# ---------------------------------------------------------------------------
+# nsxt interface/node status -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_nsxt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import nsxt_stats
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    iface = F.concat(
+        F.lit('{"interface_id":"eth'), s(e % 4),
+        F.lit('","node_name":"n'), s(u % 6),
+        F.lit('","node_type":"TransportNode","node_id":"id'), s(u % 9),
+        F.lit('","rx_bytes":'), s(e % 1000000),
+        F.lit(',"rx_packets":'), s(e % 10000 + 100),
+        F.lit(',"rx_dropped":'), s(e % 50),
+        F.lit(',"rx_errors":'), s(u % 50),
+        F.lit(',"tx_bytes":'), s(u % 1000000),
+        F.lit(',"tx_packets":'), s(u % 10000 + 100),
+        F.lit(',"tx_dropped":'), s(u % 40),
+        F.lit(',"tx_errors":'), s(e % 40), F.lit("}"),
+    )
+    node = F.concat(
+        F.lit('{"node_name":"n'), s(u % 6),
+        F.lit('","node_type":"manager","node_id":"id'), s(u % 9),
+        F.lit('","system_status":{"cpu_usage":'
+              '{"avg_cpu_core_usage_dpdk":'), s((e % 1600) / 16.0),
+        F.lit(',"avg_cpu_core_usage_non_dpdk":'), s((u % 1600) / 16.0),
+        F.lit('},"mem_used":'), s(e % 9000000),
+        F.lit(',"mem_cache":'), s(u % 9000000),
+        F.lit(',"disk_space_used":'), s(e % 500000),
+        F.lit(',"disk_space_total":'),
+        F.when(e % 11 == 0, F.lit("0")).otherwise(s(e % 500000 + 600000)),
+        F.lit("}}"),
+    )
+    kind = F.when(e % 2 == 0, F.lit("interface")).otherwise(F.lit("node"))
+    body = F.when(e % 2 == 0, iface).otherwise(node)
+    out = nsxt_stats(ev.select(
+        "event_id", kind.alias("kind"), body.alias("body"),
+    ))
+    return out.select(
+        "event_id", "nx_device_id", "nx_node_name", "nx_node_type",
+        "nx_node_id", "nx_metric", "nx_direction", "nx_packet_type",
+        "nx_disk_state", "nx_class", "nx_value", "nx_value_d",
+    )
+
+
+O_NSXT = """
+WITH a AS (
+  SELECT event_id, user_id AS u, event_id AS e FROM events
+), i AS (SELECT * FROM a WHERE e % 2 = 0),
+   n AS (SELECT * FROM a WHERE e % 2 <> 0)
+SELECT event_id, 'eth' || CAST(e % 4 AS VARCHAR) AS nx_device_id,
+  'n' || CAST(u % 6 AS VARCHAR) AS nx_node_name,
+  'TransportNode' AS nx_node_type,
+  'id' || CAST(u % 9 AS VARCHAR) AS nx_node_id,
+  'nsxt.node.network.packet.count' AS nx_metric,
+  'received' AS nx_direction, 'dropped' AS nx_packet_type,
+  CAST(NULL AS VARCHAR) AS nx_disk_state,
+  CAST(NULL AS VARCHAR) AS nx_class, e % 50 AS nx_value,
+  CAST(NULL AS DOUBLE) AS nx_value_d FROM i
+UNION ALL SELECT event_id, 'eth' || CAST(e % 4 AS VARCHAR),
+  'n' || CAST(u % 6 AS VARCHAR), 'TransportNode',
+  'id' || CAST(u % 9 AS VARCHAR), 'nsxt.node.network.packet.count',
+  'received', 'errored', NULL, NULL, u % 50, NULL FROM i
+UNION ALL SELECT event_id, 'eth' || CAST(e % 4 AS VARCHAR),
+  'n' || CAST(u % 6 AS VARCHAR), 'TransportNode',
+  'id' || CAST(u % 9 AS VARCHAR), 'nsxt.node.network.packet.count',
+  'received', 'success', NULL, NULL,
+  e % 10000 + 100 - e % 50 - u % 50, NULL FROM i
+UNION ALL SELECT event_id, 'eth' || CAST(e % 4 AS VARCHAR),
+  'n' || CAST(u % 6 AS VARCHAR), 'TransportNode',
+  'id' || CAST(u % 9 AS VARCHAR), 'nsxt.node.network.packet.count',
+  'transmitted', 'dropped', NULL, NULL, u % 40, NULL FROM i
+UNION ALL SELECT event_id, 'eth' || CAST(e % 4 AS VARCHAR),
+  'n' || CAST(u % 6 AS VARCHAR), 'TransportNode',
+  'id' || CAST(u % 9 AS VARCHAR), 'nsxt.node.network.packet.count',
+  'transmitted', 'errored', NULL, NULL, e % 40, NULL FROM i
+UNION ALL SELECT event_id, 'eth' || CAST(e % 4 AS VARCHAR),
+  'n' || CAST(u % 6 AS VARCHAR), 'TransportNode',
+  'id' || CAST(u % 9 AS VARCHAR), 'nsxt.node.network.packet.count',
+  'transmitted', 'success', NULL, NULL,
+  u % 10000 + 100 - u % 40 - e % 40, NULL FROM i
+UNION ALL SELECT event_id, 'eth' || CAST(e % 4 AS VARCHAR),
+  'n' || CAST(u % 6 AS VARCHAR), 'TransportNode',
+  'id' || CAST(u % 9 AS VARCHAR), 'nsxt.node.network.io', 'received',
+  NULL, NULL, NULL, e % 1000000, NULL FROM i
+UNION ALL SELECT event_id, 'eth' || CAST(e % 4 AS VARCHAR),
+  'n' || CAST(u % 6 AS VARCHAR), 'TransportNode',
+  'id' || CAST(u % 9 AS VARCHAR), 'nsxt.node.network.io',
+  'transmitted', NULL, NULL, NULL, u % 1000000, NULL FROM i
+UNION ALL SELECT event_id, NULL, 'n' || CAST(u % 6 AS VARCHAR),
+  'manager', 'id' || CAST(u % 9 AS VARCHAR),
+  'nsxt.node.cpu.utilization', NULL, NULL, NULL, 'datapath', NULL,
+  CAST(e % 1600 AS DOUBLE) / 16.0 FROM n
+UNION ALL SELECT event_id, NULL, 'n' || CAST(u % 6 AS VARCHAR),
+  'manager', 'id' || CAST(u % 9 AS VARCHAR),
+  'nsxt.node.cpu.utilization', NULL, NULL, NULL, 'services', NULL,
+  CAST(u % 1600 AS DOUBLE) / 16.0 FROM n
+UNION ALL SELECT event_id, NULL, 'n' || CAST(u % 6 AS VARCHAR),
+  'manager', 'id' || CAST(u % 9 AS VARCHAR), 'nsxt.node.memory.usage',
+  NULL, NULL, NULL, NULL, e % 9000000, NULL FROM n
+UNION ALL SELECT event_id, NULL, 'n' || CAST(u % 6 AS VARCHAR),
+  'manager', 'id' || CAST(u % 9 AS VARCHAR),
+  'nsxt.node.memory.cache.usage', NULL, NULL, NULL, NULL,
+  u % 9000000, NULL FROM n
+UNION ALL SELECT event_id, NULL, 'n' || CAST(u % 6 AS VARCHAR),
+  'manager', 'id' || CAST(u % 9 AS VARCHAR),
+  'nsxt.node.filesystem.usage', NULL, NULL, 'used', NULL, e % 500000,
+  NULL FROM n
+UNION ALL SELECT event_id, NULL, 'n' || CAST(u % 6 AS VARCHAR),
+  'manager', 'id' || CAST(u % 9 AS VARCHAR),
+  'nsxt.node.filesystem.usage', NULL, NULL, 'available', NULL,
+  CASE WHEN e % 11 = 0 THEN 0 - e % 500000
+       ELSE e % 500000 + 600000 - e % 500000 END, NULL FROM n
+UNION ALL SELECT event_id, NULL, 'n' || CAST(u % 6 AS VARCHAR),
+  'manager', 'id' || CAST(u % 9 AS VARCHAR),
+  'nsxt.node.filesystem.utilization', NULL, NULL, NULL, NULL, NULL,
+  CAST(e % 500000 AS DOUBLE)
+  / CASE WHEN e % 11 = 0 THEN 1.0
+         ELSE GREATEST(CAST(e % 500000 + 600000 AS DOUBLE), 1.0) END
+  FROM n
+"""
+
+
+EXT16_QUERIES["nsxt_stats"] = q_nsxt
+EXT16_ORACLES["nsxt_stats"] = O_NSXT
