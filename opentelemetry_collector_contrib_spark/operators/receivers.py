@@ -4530,3 +4530,134 @@ def nsxt_stats(
         m["value"].alias("nx_value"),
         m["value_d"].alias("nx_value_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bigip receiver (receiver/bigipreceiver/scraper.go:141-303)
+# ---------------------------------------------------------------------------
+
+_BIGIP_KINDS = {
+    # kind -> (metric prefix, side prefix, has sessions, has members)
+    "virtual_server": ("bigip.virtual_server.", "clientside", False,
+                       False),
+    "pool": ("bigip.pool.", "serverside", False, True),
+    "pool_member": ("bigip.pool_member.", "serverside", True, False),
+    "node": ("bigip.node.", "serverside", True, False),
+}
+
+
+def bigip_stats(
+    df: DataFrame, kind_col: str = "kind", body_col: str = "body"
+) -> DataFrame:
+    """F5 BIG-IP nestedStats entries → metric rows.
+
+    Re-expresses ``receiver/bigipreceiver/scraper.go:141-303`` over
+    rows of one ``nestedStats.entries`` object per virtual-server /
+    pool / pool-member / node (the iControl API's literal dotted keys:
+    ``clientside.bitsIn``/``serverside.pktsOut``/
+    ``status.availabilityState`` …): data_transmitted received/sent,
+    connection/packet/request counts, pool member.count active +
+    derived inactive = memberCnt − activeMemberCnt (:189-190),
+    pool-member/node session counts, and the availability
+    (offline/unknown/available one-hot via HasPrefix available|offline)
+    and enabled (HasPrefix enabled) triples every kind emits.
+    Resources: tmName/nodeName:port/addr/poolName per kind.
+    """
+    kind = F.col(kind_col)
+    v = F.try_parse_json(F.col(body_col))
+    base = [c for c in df.columns if c not in (kind_col, body_col)]
+    df = df.select(*base, kind.alias("_kind"), v.alias("_v"))
+    kind, v = F.col("_kind"), F.col("_v")
+
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("bigint")
+
+    def val(key: str) -> Column:
+        return F.coalesce(F.try_variant_get(
+            v, f"$['{key}'].value", "bigint"), F.lit(0))
+
+    def desc(key: str) -> Column:
+        return F.coalesce(F.try_variant_get(
+            v, f"$['{key}'].description", "string"), F.lit(""))
+
+    def mk(metric, attr, present, vi):
+        return F.struct(
+            metric.alias("metric") if not isinstance(metric, str)
+            else F.lit(metric).alias("metric"),
+            (F.lit(attr) if attr else ns).alias("attr"),
+            present.alias("present"),
+            vi.cast("bigint").alias("value"),
+        )
+
+    avail = desc("status.availabilityState")
+    enabled = desc("status.enabledState")
+    entries = []
+    for k, (prefix, side, has_sessions, has_members) in \
+            _BIGIP_KINDS.items():
+        this = kind == k
+        entries += [
+            mk(prefix + "data.transmitted", "received", this,
+               val(f"{side}.bitsIn")),
+            mk(prefix + "data.transmitted", "sent", this,
+               val(f"{side}.bitsOut")),
+            mk(prefix + "connection.count", None, this,
+               val(f"{side}.curConns")),
+            mk(prefix + "packet.count", "received", this,
+               val(f"{side}.pktsIn")),
+            mk(prefix + "packet.count", "sent", this,
+               val(f"{side}.pktsOut")),
+            mk(prefix + "request.count", None, this,
+               val("totRequests")),
+        ]
+        if has_sessions:
+            entries.append(mk(prefix + "session.count", None, this,
+                              val("curSessions")))
+        if has_members:
+            entries.append(mk(prefix + "member.count", "active", this,
+                              val("activeMemberCnt")))
+            entries.append(mk(
+                prefix + "member.count", "inactive", this,
+                val("memberCnt") - val("activeMemberCnt")))
+        is_avail = avail.startswith("available")
+        is_off = avail.startswith("offline")
+        entries += [
+            mk(prefix + "availability", "offline", this,
+               F.when(is_off, 1).otherwise(0)),
+            mk(prefix + "availability", "unknown", this,
+               F.when(~is_avail & ~is_off, 1).otherwise(0)),
+            mk(prefix + "availability", "available", this,
+               F.when(is_avail, 1).otherwise(0)),
+            mk(prefix + "enabled", "disabled", this,
+               F.when(enabled.startswith("enabled"), 0).otherwise(1)),
+            mk(prefix + "enabled", "enabled", this,
+               F.when(enabled.startswith("enabled"), 1).otherwise(0)),
+        ]
+
+    name = (
+        F.when(kind == "pool_member", F.concat(
+            desc("nodeName"), F.lit(":"),
+            F.coalesce(F.try_variant_get(v, "$.port.value", "bigint"),
+                       F.lit(0)).cast("string")))
+        .when(kind == "node", desc("tmName"))
+        .otherwise(desc("tmName"))
+    )
+    exploded = df.select(
+        *base,
+        kind.alias(kind_col),
+        name.alias("bp_name"),
+        F.when(kind.isin("pool_member", "node"), desc("addr"))
+            .alias("bp_ip"),
+        F.when(kind == "pool_member", desc("poolName"))
+            .when(kind == "virtual_server", desc("poolName"))
+            .alias("bp_pool"),
+        F.explode(
+            F.filter(F.array(*entries), lambda x: x["present"])
+        ).alias("_m"),
+    )
+    m = F.col("_m")
+    return exploded.select(
+        *[c for c in exploded.columns if c != "_m"],
+        m["metric"].alias("bp_metric"),
+        m["attr"].alias("bp_attr"),
+        m["value"].alias("bp_value"),
+    )

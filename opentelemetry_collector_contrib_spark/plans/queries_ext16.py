@@ -3394,3 +3394,119 @@ UNION ALL SELECT event_id, NULL, 'n' || CAST(u % 6 AS VARCHAR),
 
 EXT16_QUERIES["nsxt_stats"] = q_nsxt
 EXT16_ORACLES["nsxt_stats"] = O_NSXT
+
+
+# ---------------------------------------------------------------------------
+# bigip nestedStats entries -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_bigip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import bigip_stats
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    kinds = ("virtual_server", "pool", "pool_member", "node")
+    kind = F.element_at(F.array(*[F.lit(k) for k in kinds]),
+                        (e % 4 + 1).cast("int"))
+    side = F.when(e % 4 == 0, F.lit("clientside")).otherwise(
+        F.lit("serverside"))
+    avail = F.element_at(
+        F.array(F.lit("available"), F.lit("offline"),
+                F.lit("available (checked)"), F.lit("unknown-state")),
+        (u % 4 + 1).cast("int"))
+    en = F.when(u % 3 == 0, F.lit("disabled")).otherwise(
+        F.lit("enabled"))
+    vv = lambda n: F.concat(  # noqa: E731
+        F.lit('{"value":'), n, F.lit("}"))
+    body = F.concat(
+        F.lit('{"tmName":{"description":"obj'), s(e % 30),
+        F.lit('"},"nodeName":{"description":"obj'), s(e % 30),
+        F.lit('"},"addr":{"description":"10.0.0.'), s(u % 200),
+        F.lit('"},"port":{"value":'), s(e % 9000 + 80),
+        F.lit('},"poolName":{"description":"pool'), s(u % 8),
+        F.lit('"},"'), side, F.lit('.bitsIn":'), vv(s(e % 900000)),
+        F.lit(',"'), side, F.lit('.bitsOut":'), vv(s(u % 900000)),
+        F.lit(',"'), side, F.lit('.curConns":'), vv(s(e % 500)),
+        F.lit(',"'), side, F.lit('.pktsIn":'), vv(s(e % 80000)),
+        F.lit(',"'), side, F.lit('.pktsOut":'), vv(s(u % 80000)),
+        F.lit(',"totRequests":'), vv(s(e % 70000)),
+        F.lit(',"curSessions":'), vv(s(u % 400)),
+        F.lit(',"memberCnt":'), vv(s(u % 20 + 5)),
+        F.lit(',"activeMemberCnt":'), vv(s(u % 5)),
+        F.lit(',"status.availabilityState":{"description":"'), avail,
+        F.lit('"},"status.enabledState":{"description":"'), en,
+        F.lit('"}}'),
+    )
+    out = bigip_stats(ev.select(
+        "event_id", kind.alias("kind"), body.alias("body"),
+    ))
+    return out.select("event_id", "kind", "bp_name", "bp_ip", "bp_pool",
+                      "bp_metric", "bp_attr", "bp_value")
+
+
+def _bigip_oracle() -> str:
+    from ..operators.receivers import _BIGIP_KINDS
+
+    NS = "CAST(NULL AS VARCHAR)"
+    kinds = ("virtual_server", "pool", "pool_member", "node")
+    is_avail = "u % 4 = 0 OR u % 4 = 2"
+    is_off = "u % 4 = 1"
+    parts = []
+    first = True
+    for ki, k in enumerate(kinds):
+        prefix, _, has_sessions, has_members = _BIGIP_KINDS[k]
+        name = ("'obj' || CAST(e % 30 AS VARCHAR) || ':' || "
+                "CAST(e % 9000 + 80 AS VARCHAR)"
+                if k == "pool_member"
+                else "'obj' || CAST(e % 30 AS VARCHAR)")
+        ip = ("'10.0.0.' || CAST(u % 200 AS VARCHAR)"
+              if k in ("pool_member", "node") else NS)
+        pool = ("'pool' || CAST(u % 8 AS VARCHAR)"
+                if k in ("pool_member", "virtual_server") else NS)
+        rows = [
+            ("data.transmitted", "'received'", "e % 900000"),
+            ("data.transmitted", "'sent'", "u % 900000"),
+            ("connection.count", NS, "e % 500"),
+            ("packet.count", "'received'", "e % 80000"),
+            ("packet.count", "'sent'", "u % 80000"),
+            ("request.count", NS, "e % 70000"),
+        ]
+        if has_sessions:
+            rows.append(("session.count", NS, "u % 400"))
+        if has_members:
+            rows.append(("member.count", "'active'", "u % 5"))
+            rows.append(("member.count", "'inactive'",
+                         "u % 20 + 5 - u % 5"))
+        rows += [
+            ("availability", "'offline'",
+             f"CASE WHEN {is_off} THEN 1 ELSE 0 END"),
+            ("availability", "'unknown'",
+             f"CASE WHEN NOT ({is_avail}) AND NOT ({is_off}) "
+             f"THEN 1 ELSE 0 END"),
+            ("availability", "'available'",
+             f"CASE WHEN {is_avail} THEN 1 ELSE 0 END"),
+            ("enabled", "'disabled'",
+             "CASE WHEN u % 3 = 0 THEN 1 ELSE 0 END"),
+            ("enabled", "'enabled'",
+             "CASE WHEN u % 3 = 0 THEN 0 ELSE 1 END"),
+        ]
+        for suffix, attr, vi in rows:
+            a = (lambda n: f" AS {n}") if first else (lambda n: "")
+            first = False
+            parts.append(
+                f"SELECT event_id, '{k}'{a('kind')}, {name}{a('bp_name')},"
+                f" {ip}{a('bp_ip')}, {pool}{a('bp_pool')}, "
+                f"'{prefix}{suffix}'{a('bp_metric')}, {attr}{a('bp_attr')},"
+                f" {vi}{a('bp_value')} FROM a WHERE e % 4 = {ki}"
+            )
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e "
+        "FROM events)\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["bigip_stats"] = q_bigip
+EXT16_ORACLES["bigip_stats"] = _bigip_oracle()
