@@ -4661,3 +4661,78 @@ def bigip_stats(
         m["attr"].alias("bp_attr"),
         m["value"].alias("bp_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# chrony receiver (receiver/chronyreceiver/scraper.go:31-69)
+# ---------------------------------------------------------------------------
+
+
+def chrony_tracking(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """chronyd tracking replies → the 7 ntp.* metrics.
+
+    Re-expresses ``receiver/chronyreceiver/scraper.go:31-69`` over
+    rows of one decoded tracking reply as JSON: stratum,
+    current-correction / last-offset / rms-offset / frequency /
+    root-delay (each tagged with the leap status, ``LeapStatus + 1``
+    into the normal / insert_second / delete_second / unsynchronised
+    enum) and skew. A malformed reply is the whole-scrape error →
+    one ``nt_ok=false`` row.
+    """
+    s = F.from_json(F.col(body_col), (
+        "struct<stratum: bigint, leap_status: bigint,"
+        " current_correction: double, last_offset: double,"
+        " rms_offset: double, freq_ppm: double, skew_ppm: double,"
+        " root_delay: double>"
+    ))
+    base = [c for c in df.columns if c != body_col]
+    ok = F.schema_of_variant(
+        F.try_parse_json(F.col(body_col))).startswith("OBJECT")
+    df = df.select(*base, s.alias("_t"),
+                   F.coalesce(ok, F.lit(False)).alias("_ok"))
+    s = F.col("_t")
+
+    leap = F.element_at(
+        F.array(F.lit("normal"), F.lit("insert_second"),
+                F.lit("delete_second"), F.lit("unsynchronised")),
+        (F.coalesce(s["leap_status"], F.lit(0)) + 1).cast("int"),
+    )
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+    z = lambda c: F.coalesce(c, F.lit(0.0))  # noqa: E731
+
+    def mk(metric, with_leap, vi, vd):
+        return F.struct(
+            F.lit(metric).alias("metric"),
+            (leap if with_leap else ns).alias("leap"),
+            vi.cast("bigint").alias("value"),
+            vd.cast("double").alias("value_d"),
+        )
+
+    entries = F.array(
+        mk("ntp.stratum", False, F.coalesce(s["stratum"], F.lit(0)), nd),
+        mk("ntp.time.correction", True, nl, z(s["current_correction"])),
+        mk("ntp.time.last_offset", True, nl, z(s["last_offset"])),
+        mk("ntp.time.rms_offset", True, nl, z(s["rms_offset"])),
+        mk("ntp.frequency.offset", True, nl, z(s["freq_ppm"])),
+        mk("ntp.skew", False, nl, z(s["skew_ppm"])),
+        mk("ntp.time.root_delay", True, nl, z(s["root_delay"])),
+    )
+    null_entry = F.array(F.lit(None).cast(
+        "struct<metric:string,leap:string,value:bigint,value_d:double>"
+    ))
+    exploded = df.select(
+        *base,
+        F.col("_ok").alias("nt_ok"),
+        F.explode(F.when(F.col("_ok"), entries).otherwise(null_entry))
+            .alias("_m"),
+    )
+    m = F.col("_m")
+    return exploded.select(
+        *[c for c in exploded.columns if c != "_m"],
+        m["metric"].alias("nt_metric"),
+        m["leap"].alias("nt_leap_status"),
+        m["value"].alias("nt_value"),
+        m["value_d"].alias("nt_value_d"),
+    )

@@ -3510,3 +3510,62 @@ def _bigip_oracle() -> str:
 
 EXT16_QUERIES["bigip_stats"] = q_bigip
 EXT16_ORACLES["bigip_stats"] = _bigip_oracle()
+
+
+# ---------------------------------------------------------------------------
+# chrony tracking replies -> ntp metrics
+# ---------------------------------------------------------------------------
+
+
+def q_chrony(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import chrony_tracking
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    body = F.when(e % 23 == 0, F.lit("garbage")).otherwise(F.concat(
+        F.lit('{"stratum":'), s(e % 16),
+        F.lit(',"leap_status":'), s(u % 4),
+        F.lit(',"current_correction":'), s((e % 3200) / 32.0),
+        F.lit(',"last_offset":'), s((u % 3200) / 32.0),
+        F.lit(',"rms_offset":'), s((e % 1600) / 16.0),
+        F.lit(',"freq_ppm":'), s((u % 1600) / 16.0),
+        F.lit(',"skew_ppm":'), s((e % 800) / 8.0),
+        F.lit(',"root_delay":'), s((u % 800) / 8.0), F.lit("}"),
+    ))
+    out = chrony_tracking(ev.select("event_id", body.alias("body")))
+    return out.select("event_id", "nt_ok", "nt_metric",
+                      "nt_leap_status", "nt_value", "nt_value_d")
+
+
+O_CHRONY = """
+WITH a AS (
+  SELECT event_id, user_id AS u, event_id AS e,
+         event_id % 23 = 0 AS bad,
+         CASE CAST(user_id % 4 AS INT) WHEN 0 THEN 'normal'
+              WHEN 1 THEN 'insert_second' WHEN 2 THEN 'delete_second'
+              ELSE 'unsynchronised' END AS leap
+  FROM events
+)
+SELECT event_id, TRUE AS nt_ok, 'ntp.stratum' AS nt_metric,
+       CAST(NULL AS VARCHAR) AS nt_leap_status, e % 16 AS nt_value,
+       CAST(NULL AS DOUBLE) AS nt_value_d FROM a WHERE NOT bad
+UNION ALL SELECT event_id, TRUE, 'ntp.time.correction', leap, NULL,
+  CAST(e % 3200 AS DOUBLE) / 32.0 FROM a WHERE NOT bad
+UNION ALL SELECT event_id, TRUE, 'ntp.time.last_offset', leap, NULL,
+  CAST(u % 3200 AS DOUBLE) / 32.0 FROM a WHERE NOT bad
+UNION ALL SELECT event_id, TRUE, 'ntp.time.rms_offset', leap, NULL,
+  CAST(e % 1600 AS DOUBLE) / 16.0 FROM a WHERE NOT bad
+UNION ALL SELECT event_id, TRUE, 'ntp.frequency.offset', leap, NULL,
+  CAST(u % 1600 AS DOUBLE) / 16.0 FROM a WHERE NOT bad
+UNION ALL SELECT event_id, TRUE, 'ntp.skew', NULL, NULL,
+  CAST(e % 800 AS DOUBLE) / 8.0 FROM a WHERE NOT bad
+UNION ALL SELECT event_id, TRUE, 'ntp.time.root_delay', leap, NULL,
+  CAST(u % 800 AS DOUBLE) / 8.0 FROM a WHERE NOT bad
+UNION ALL SELECT event_id, FALSE, NULL, NULL, NULL,
+  CAST(NULL AS DOUBLE) FROM a WHERE bad
+"""
+
+
+EXT16_QUERIES["chrony_tracking"] = q_chrony
+EXT16_ORACLES["chrony_tracking"] = O_CHRONY
