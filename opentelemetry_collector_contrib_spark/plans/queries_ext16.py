@@ -3569,3 +3569,197 @@ UNION ALL SELECT event_id, FALSE, NULL, NULL, NULL,
 
 EXT16_QUERIES["chrony_tracking"] = q_chrony
 EXT16_ORACLES["chrony_tracking"] = O_CHRONY
+
+
+# ---------------------------------------------------------------------------
+# vcenter object summaries -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_vcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vcenter import vcenter_stats
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    kinds = ("datastore", "cluster", "resource_pool", "host", "vm")
+    kind = F.element_at(F.array(*[F.lit(k) for k in kinds]),
+                        (e % 5 + 1).cast("int"))
+    qs = F.concat(
+        F.lit('"quick_stats":{"overall_cpu_usage":'),
+        F.when(e % 7 == 0, F.lit("0")).otherwise(s(e % 5000 + 1)),
+        F.lit(',"guest_memory_usage":'),
+        F.when(e % 3 == 0, F.lit("0")).otherwise(s(e % 4000 + 1)),
+        F.lit(',"host_memory_usage":'), s(u % 4000),
+        F.lit(',"overhead_memory":'), s(e % 300),
+        F.lit(',"swapped_memory":'), s(u % 300),
+        F.lit(',"ballooned_memory":'), s(e % 200),
+        F.lit(',"private_memory":'), s(u % 200),
+        F.lit(',"shared_memory":'), s(e % 100),
+        F.lit(',"ssd_swapped_memory":'), s(u % 100),
+        F.lit(',"granted_memory":'), s(e % 2000),
+        F.lit(',"overall_memory_usage":'), s(e % 8000 + 1),
+        F.lit(',"overall_cpu_readiness":'), s(u % 50), F.lit("}"),
+    )
+    bodies = {
+        "datastore": F.concat(
+            F.lit('{"capacity":'), s(e % 1000000 + 500000),
+            F.lit(',"free_space":'), s(e % 400000), F.lit("}"),
+        ),
+        "cluster": F.concat(
+            F.lit('{"powered_on":'), s(e % 50),
+            F.lit(',"powered_off":'), s(u % 50),
+            F.lit(',"suspended":'), s(e % 5),
+            F.lit(',"templates":'), s(u % 5),
+            F.lit(',"total_cpu":'), s(e % 100000),
+            F.lit(',"effective_cpu":'), s(e % 90000),
+            F.lit(',"effective_memory":'), s(u % 100000),
+            F.lit(',"total_memory":'), s(u % 1000000000),
+            F.lit(',"num_hosts":'), s(u % 20 + 3),
+            F.lit(',"num_effective_hosts":'), s(u % 3), F.lit("}"),
+        ),
+        "resource_pool": F.concat(
+            F.lit("{"),
+            F.when(u % 4 != 0, F.concat(qs, F.lit(","))
+                   ).otherwise(F.lit("")),
+            F.lit('"cpu_shares":'), s(e % 4000),
+            F.lit(',"memory_shares":'), s(u % 4000), F.lit("}"),
+        ),
+        "host": F.concat(
+            F.lit("{"), qs,
+            F.lit(',"memory_size":'), s((e % 1000 + 8) * 1048576),
+            F.lit(',"num_cpu_cores":'), s(u % 32 + 2),
+            F.lit(',"cpu_mhz":'), s(u % 1000 + 2000), F.lit("}"),
+        ),
+        "vm": F.concat(
+            F.lit("{"), qs,
+            F.lit(',"committed":'), s(e % 700000 + 1),
+            F.lit(',"uncommitted":'),
+            F.when(e % 11 == 0, F.lit("0")).otherwise(s(u % 600000 + 1)),
+            F.lit(',"template":'),
+            F.when(e % 13 == 0, F.lit("true")).otherwise(F.lit("false")),
+            F.lit(',"memory_size_mb":'), s(u % 16384),
+            F.lit(',"num_cpu":'), s(e % 8 + 1),
+            F.lit(',"max_cpu_usage":'),
+            F.when(u % 2 == 0, F.lit("0")).otherwise(s(u % 9000 + 100)),
+            F.lit(',"host_cpu_mhz":'), s(e % 1000 + 2200), F.lit("}"),
+        ),
+    }
+    body = F.lit(None).cast("string")
+    for k in reversed(kinds):
+        body = F.when(kind == k, bodies[k]).otherwise(body)
+    out = vcenter_stats(ev.select(
+        "event_id", kind.alias("kind"), body.alias("body"),
+    ))
+    return out.select("event_id", "kind", "vc_metric", "vc_attr",
+                      "vc_value", "vc_value_d")
+
+
+def _vcenter_oracle() -> str:
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    ds_used = "(e % 1000000 + 500000) - e % 400000"
+    qs_cpu = "CASE WHEN e % 7 = 0 THEN 0 ELSE e % 5000 + 1 END"
+    qs_guest = "CASE WHEN e % 3 = 0 THEN 0 ELSE e % 4000 + 1 END"
+    host_mem_mb = "(e % 1000 + 8)"
+    host_cap = "(u % 32 + 2) * (u % 1000 + 2000)"
+    vm_free = "CASE WHEN e % 11 = 0 THEN 0 ELSE u % 600000 + 1 END"
+    vm_limit = ("CASE WHEN u % 2 = 0 THEN (e % 8 + 1) * (e % 1000 + "
+                "2200) ELSE u % 9000 + 100 END")
+    live = "e % 13 <> 0"
+    running = f"{live} AND e % 7 <> 0"
+    # kind#, metric, attr, where, vi, vd
+    rows = [
+        (0, "vcenter.datastore.disk.usage", "'used'", None, ds_used, ND),
+        (0, "vcenter.datastore.disk.usage", "'available'", None,
+         "e % 400000", ND),
+        (0, "vcenter.datastore.disk.utilization", NS, None, NI,
+         f"CAST({ds_used} AS DOUBLE) / CAST(e % 1000000 + 500000 "
+         f"AS DOUBLE) * 100.0"),
+        (1, "vcenter.cluster.vm.count", "'on'", None, "e % 50", ND),
+        (1, "vcenter.cluster.vm.count", "'off'", None, "u % 50", ND),
+        (1, "vcenter.cluster.vm.count", "'suspended'", None, "e % 5",
+         ND),
+        (1, "vcenter.cluster.vm_template.count", NS, None, "u % 5", ND),
+        (1, "vcenter.cluster.cpu.limit", NS, None, "e % 100000", ND),
+        (1, "vcenter.cluster.cpu.effective", NS, None, "e % 90000", ND),
+        (1, "vcenter.cluster.memory.effective", NS, None,
+         "(u % 100000) * 1048576", ND),
+        (1, "vcenter.cluster.memory.limit", NS, None, "u % 1000000000",
+         ND),
+        (1, "vcenter.cluster.host.count", "'false'", None,
+         "u % 20 + 3 - u % 3", ND),
+        (1, "vcenter.cluster.host.count", "'true'", None, "u % 3", ND),
+        (2, "vcenter.resource_pool.cpu.usage", NS, "u % 4 <> 0",
+         qs_cpu, ND),
+        (2, "vcenter.resource_pool.memory.usage", "'guest'",
+         "u % 4 <> 0", qs_guest, ND),
+        (2, "vcenter.resource_pool.memory.usage", "'host'",
+         "u % 4 <> 0", "u % 4000", ND),
+        (2, "vcenter.resource_pool.memory.usage", "'overhead'",
+         "u % 4 <> 0", "e % 300", ND),
+        (2, "vcenter.resource_pool.memory.swapped", NS, "u % 4 <> 0",
+         "u % 300", ND),
+        (2, "vcenter.resource_pool.memory.ballooned", NS, "u % 4 <> 0",
+         "e % 200", ND),
+        (2, "vcenter.resource_pool.memory.granted", "'private'",
+         "u % 4 <> 0", "u % 200", ND),
+        (2, "vcenter.resource_pool.memory.granted", "'shared'",
+         "u % 4 <> 0", "e % 100", ND),
+        (2, "vcenter.resource_pool.cpu.shares", NS, None, "e % 4000",
+         ND),
+        (2, "vcenter.resource_pool.memory.shares", NS, None, "u % 4000",
+         ND),
+        (3, "vcenter.host.memory.usage", NS, None, "e % 8000 + 1", ND),
+        (3, "vcenter.host.memory.utilization", NS, None, NI,
+         f"CAST(e % 8000 + 1 AS DOUBLE) * 100.0 / "
+         f"CAST({host_mem_mb} AS DOUBLE)"),
+        (3, "vcenter.host.cpu.usage", NS, None, qs_cpu, ND),
+        (3, "vcenter.host.cpu.capacity", NS, None, host_cap, ND),
+        (3, "vcenter.host.memory.capacity", NS, None, NI,
+         f"CAST({host_mem_mb} AS DOUBLE)"),
+        (3, "vcenter.host.cpu.utilization", NS, None, NI,
+         f"CAST({qs_cpu} AS DOUBLE) * 100.0 / CAST({host_cap} "
+         f"AS DOUBLE)"),
+        (4, "vcenter.vm.disk.usage", "'used'", None, "e % 700000 + 1",
+         ND),
+        (4, "vcenter.vm.disk.usage", "'available'", None, vm_free, ND),
+        (4, "vcenter.vm.disk.utilization", NS,
+         f"{live} AND e % 11 <> 0", NI,
+         f"CAST(e % 700000 + 1 AS DOUBLE) / CAST(({vm_free}) + "
+         f"e % 700000 + 1 AS DOUBLE) * 100.0"),
+        (4, "vcenter.vm.memory.utilization", NS,
+         f"{live} AND u % 16384 > 0 AND e % 3 <> 0", NI,
+         f"CAST({qs_guest} AS DOUBLE) / CAST(u % 16384 AS DOUBLE) "
+         f"* 100.0"),
+        (4, "vcenter.vm.memory.usage", NS, live, qs_guest, ND),
+        (4, "vcenter.vm.memory.ballooned", NS, live, "e % 200", ND),
+        (4, "vcenter.vm.memory.swapped", NS, live, "u % 300", ND),
+        (4, "vcenter.vm.memory.swapped_ssd", NS, live, "u % 100", ND),
+        (4, "vcenter.vm.memory.granted", NS, live, "e % 2000", ND),
+        (4, "vcenter.vm.cpu.usage", NS, running, qs_cpu, ND),
+        (4, "vcenter.vm.cpu.utilization", NS, running, NI,
+         f"CAST({qs_cpu} AS DOUBLE) * 100.0 / CAST({vm_limit} "
+         f"AS DOUBLE)"),
+        (4, "vcenter.vm.cpu.readiness", NS, running, "u % 50", ND),
+    ]
+    kinds = ("datastore", "cluster", "resource_pool", "host", "vm")
+    parts = []
+    for i, (k, metric, attr, where, vi, vd) in enumerate(rows):
+        a = (lambda n: f" AS {n}") if i == 0 else (lambda n: "")
+        w = f"e % 5 = {k}" + (f" AND ({where})" if where else "")
+        parts.append(
+            f"SELECT event_id, '{kinds[k]}'{a('kind')}, "
+            f"'{metric}'{a('vc_metric')}, {attr}{a('vc_attr')}, "
+            f"{vi}{a('vc_value')}, {vd}{a('vc_value_d')} "
+            f"FROM a WHERE {w}"
+        )
+    return (
+        "WITH a AS (SELECT event_id, user_id AS u, event_id AS e "
+        "FROM events)\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT16_QUERIES["vcenter_stats"] = q_vcenter
+EXT16_ORACLES["vcenter_stats"] = _vcenter_oracle()
