@@ -3911,63 +3911,79 @@ def mysql_global_status(df: DataFrame, body_col: str = "body") -> DataFrame:
       :673-703): dirty first — if it fails to parse both points are
       lost (one ``my_ok=false`` row); clean = data − dirty.
 
-    Plan: one from_json map + inline explode, zero shuffle/Python.
+    Plan: the Go ``for k, v := range`` loop is literally an explode of
+    the map entries BROADCAST-equi-joined to the 107-row switch table
+    — one O(1) hash probe per present variable. (The first cut probed
+    the map once per switch case: O(cases × keys) string compares per
+    row, 13× slower at sf0.1.) Derived splits are four map probes in
+    a second zero-shuffle branch. No shuffle beyond the broadcast.
     """
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(key, metric, attrs[0] if attrs else None,
+          key == "Innodb_buffer_pool_pages_misc")
+         for key, metric, attrs in _MYSQL_GLOBAL_STATS],
+        "key string, metric string, attr string, is_misc boolean",
+    )
+
     mp = F.from_json(F.col(body_col), "map<string,string>")
-    df = df.withColumn("_g", mp)
-    mp = F.col("_g")
+    base = [c for c in df.columns if c != body_col]
+    staged = df.select(*base, mp.alias("_g"))
 
+    ents = staged.select(
+        *base, F.explode(F.col("_g")).alias("_k", "_v"),
+    )
+    parsed = F.col("_v").try_cast("bigint")
+    joined = ents.join(
+        F.broadcast(dim), ents["_k"] == dim["key"], "inner",
+    ).select(
+        *base,
+        F.col("metric").alias("my_metric"),
+        F.col("attr").alias("my_attr"),
+        parsed.alias("my_value"),
+        # misc ok is always true; its bad values are dropped below
+        (parsed.isNotNull() | F.col("is_misc")).alias("my_ok"),
+        (F.col("is_misc") & parsed.isNull()).alias("_drop"),
+    ).filter(~F.col("_drop")).drop("_drop")
+
+    # recordDataPages / recordDataUsage (:673-703) — four probes
+    mpc = F.col("_g")
+    derived = []
     ns = F.lit(None).cast("string")
-    entries = []
-
-    def val(key: str) -> Column:
-        return F.try_element_at(mp, F.lit(key))
-
-    def mk(metric, attr, present, vi, ok):
-        entries.append(F.struct(
-            F.lit(metric).alias("metric"),
-            (F.lit(attr) if attr else ns).alias("attr"),
-            present.alias("present"),
-            vi.cast("bigint").alias("value"),
-            ok.alias("ok"),
-        ))
-
-    for key, metric, attrs in _MYSQL_GLOBAL_STATS:
-        v = val(key)
-        p = v.try_cast("bigint")
-        attr = attrs[0] if attrs else None
-        if key == "Innodb_buffer_pool_pages_misc":
-            mk(metric, attr, v.isNotNull() & p.isNotNull(), p, F.lit(True))
-        else:
-            mk(metric, attr, v.isNotNull(), p, p.isNotNull())
-
-    # recordDataPages / recordDataUsage (:673-703)
     for metric, dirty_key, data_key in (
         ("mysql.buffer_pool.data_pages", "Innodb_buffer_pool_pages_dirty",
          "Innodb_buffer_pool_pages_data"),
         ("mysql.buffer_pool.usage", "Innodb_buffer_pool_bytes_dirty",
          "Innodb_buffer_pool_bytes_data"),
     ):
-        dirty = val(dirty_key).try_cast("bigint")
-        data = val(data_key).try_cast("bigint")
-        mk(metric, "dirty", F.lit(True), dirty, dirty.isNotNull())
-        mk(metric, "clean", dirty.isNotNull(), data - dirty,
-           data.isNotNull())
-
-    exploded = df.select(
-        *[c for c in df.columns if c not in ("_g", body_col)],
+        dirty = F.try_element_at(mpc, F.lit(dirty_key)).try_cast("bigint")
+        data = F.try_element_at(mpc, F.lit(data_key)).try_cast("bigint")
+        derived.append(F.struct(
+            F.lit(metric).alias("metric"), F.lit("dirty").alias("attr"),
+            F.lit(True).alias("present"),
+            dirty.alias("value"), dirty.isNotNull().alias("ok"),
+        ))
+        derived.append(F.struct(
+            F.lit(metric).alias("metric"), F.lit("clean").alias("attr"),
+            dirty.isNotNull().alias("present"),
+            (data - dirty).alias("value"),
+            data.isNotNull().alias("ok"),
+        ))
+    der = staged.select(
+        *base,
         F.explode(
-            F.filter(F.array(*entries), lambda x: x["present"])
+            F.filter(F.array(*derived), lambda x: x["present"])
         ).alias("_m"),
     )
     m = F.col("_m")
-    return exploded.select(
-        *[c for c in exploded.columns if c != "_m"],
+    der = der.select(
+        *base,
         m["metric"].alias("my_metric"),
         m["attr"].alias("my_attr"),
         m["value"].alias("my_value"),
         m["ok"].alias("my_ok"),
     )
+    return joined.unionByName(der)
 
 
 # ---------------------------------------------------------------------------
@@ -4253,144 +4269,50 @@ def aerospike_info(
     connection type/op, memory component, scan/query type × index ×
     result, geojson, and client-transaction type × result attr fans.
     Only present keys record; a present value that fails ParseInt is
-    the reference's AddPartial → ``as_ok=false`` row. Plan: one
-    from_json map + inline explode, zero shuffle/Python.
+    the reference's AddPartial → ``as_ok=false`` row.
+
+    Plan: map-entry explode BROADCAST-joined to the 95-row switch
+    table on (kind, key) — one hash probe per present stat instead of
+    the O(cases × keys) per-row probing of the first cut (8× at
+    sf0.1). No shuffle beyond the broadcast.
     """
-    mp = F.from_json(F.col(body_col), "map<string,string>")
-    kind = F.col(kind_col)
-    base = [c for c in df.columns if c not in (kind_col, body_col)]
-    df = df.select(*base, kind.alias("_kind"), mp.alias("_i"))
-    kind, mp = F.col("_kind"), F.col("_i")
-
-    ns = F.lit(None).cast("string")
-    entries = []
-
-    def add(table, want_kind):
+    spark = df.sparkSession
+    rows = []
+    for table, kname in ((_AEROSPIKE_NODE, "node"),
+                         (_AEROSPIKE_NAMESPACE, "namespace")):
         for key, metric, attrs in table:
-            v = F.try_element_at(mp, F.lit(key))
-            p = v.try_cast("bigint")
             a = list(attrs) + [None] * (3 - len(attrs))
-            entries.append(F.struct(
-                F.lit(metric).alias("metric"),
-                (F.lit(a[0]) if a[0] else ns).alias("a1"),
-                (F.lit(a[1]) if a[1] else ns).alias("a2"),
-                (F.lit(a[2]) if a[2] else ns).alias("a3"),
-                ((kind == want_kind) & v.isNotNull()).alias("present"),
-                p.alias("value"),
-                p.isNotNull().alias("ok"),
-            ))
-
-    add(_AEROSPIKE_NODE, "node")
-    add(_AEROSPIKE_NAMESPACE, "namespace")
-
-    exploded = df.select(
-        *base,
-        kind.alias(kind_col),
-        F.try_element_at(mp, F.lit("node")).alias("as_node"),
-        F.when(kind == "namespace",
-               F.try_element_at(mp, F.lit("name"))).alias("as_namespace"),
-        F.explode(
-            F.filter(F.array(*entries), lambda x: x["present"])
-        ).alias("_m"),
-    )
-    m = F.col("_m")
-    return exploded.select(
-        *[c for c in exploded.columns if c != "_m"],
-        m["metric"].alias("as_metric"),
-        m["a1"].alias("as_a1"),
-        m["a2"].alias("as_a2"),
-        m["a3"].alias("as_a3"),
-        m["value"].alias("as_value"),
-        m["ok"].alias("as_ok"),
+            rows.append((kname, key, metric, a[0], a[1], a[2]))
+    dim = spark.createDataFrame(
+        rows, "dkind string, key string, metric string, a1 string,"
+              " a2 string, a3 string",
     )
 
-
-# ---------------------------------------------------------------------------
-# podman receiver (receiver/podmanreceiver/receiver.go:134-180)
-# ---------------------------------------------------------------------------
-
-
-def podman_stats(
-    df: DataFrame, body_col: str = "body", image_col: str = "image"
-) -> DataFrame:
-    """podman libpod container stats → metric rows.
-
-    Re-expresses ``receiver/podmanreceiver/receiver.go:134-180`` over
-    rows of one libpod ``containerStats`` JSON each (+ the container's
-    image from the paired /containers/json entry): cpu
-    system/total/percpu seconds via the ns→s TRUNCATING division
-    (:178-180), cpu/memory percent gauges, memory usage/limit, blockio
-    read/write — and the reference's swapped network mapping carried
-    faithfully: ``NetOutput`` feeds rx_bytes and ``NetInput`` feeds
-    tx_bytes (:160-161). Plan: one from_json + inline explode, zero
-    shuffle/Python.
-    """
-    s = F.from_json(F.col(body_col), (
-        "struct<ContainerID: string, Name: string, PerCPU: array<bigint>,"
-        " CPU: double, CPUNano: bigint, CPUSystemNano: bigint,"
-        " MemUsage: bigint, MemLimit: bigint, MemPerc: double,"
-        " NetInput: bigint, NetOutput: bigint, BlockInput: bigint,"
-        " BlockOutput: bigint>"
-    ))
-    base = [c for c in df.columns if c != body_col]
-    df = df.select(*base, s.alias("_s"))
-    s = F.col("_s")
-
-    ns = F.lit(None).cast("string")
-    nl = F.lit(None).cast("bigint")
-    nd = F.lit(None).cast("double")
-    z = lambda c: F.coalesce(c, F.lit(0))  # noqa: E731
-    secs = lambda c: F.floor(z(c) / 1_000_000_000)  # noqa: E731
-
-    def mk(metric, vi, vd, core=None):
-        return F.struct(
-            F.lit(metric).alias("metric"),
-            (core if core is not None else ns).alias("core"),
-            vi.cast("bigint").alias("value"),
-            vd.cast("double").alias("value_d"),
-        )
-
-    scalar = F.array(
-        mk("container.cpu.usage.system", secs(s["CPUSystemNano"]), nd),
-        mk("container.cpu.usage.total", secs(s["CPUNano"]), nd),
-        mk("container.cpu.percent", nl, F.coalesce(s["CPU"], F.lit(0.0))),
-        # reference swap: NetOutput -> rx, NetInput -> tx
-        mk("container.network.io.usage.rx_bytes", z(s["NetOutput"]), nd),
-        mk("container.network.io.usage.tx_bytes", z(s["NetInput"]), nd),
-        mk("container.memory.usage.total", z(s["MemUsage"]), nd),
-        mk("container.memory.usage.limit", z(s["MemLimit"]), nd),
-        mk("container.memory.percent", nl,
-           F.coalesce(s["MemPerc"], F.lit(0.0))),
-        mk("container.blockio.io_service_bytes_recursive.read",
-           z(s["BlockInput"]), nd),
-        mk("container.blockio.io_service_bytes_recursive.write",
-           z(s["BlockOutput"]), nd),
+    mp = F.from_json(F.col(body_col), "map<string,string>")
+    base = [c for c in df.columns if c not in (kind_col, body_col)]
+    staged = df.select(*base, F.col(kind_col).alias(kind_col),
+                       mp.alias("_i"))
+    mpc = F.col("_i")
+    ents = staged.select(
+        *base, kind_col,
+        F.try_element_at(mpc, F.lit("node")).alias("as_node"),
+        F.when(F.col(kind_col) == "namespace",
+               F.try_element_at(mpc, F.lit("name"))).alias("as_namespace"),
+        F.explode(mpc).alias("_k", "_v"),
     )
-    percpu = F.coalesce(s["PerCPU"], F.array())
-    percpu_entries = F.when(F.size(percpu) > 0, F.zip_with(
-        percpu,
-        F.sequence(F.lit(0), F.greatest(F.size(percpu) - 1, F.lit(0))),
-        lambda v, i: mk("container.cpu.usage.percpu", F.floor(
-            z(v) / 1_000_000_000), nd,
-            core=F.concat(F.lit("cpu"), i.cast("string"))),
-    )).otherwise(F.array().cast(
-        "array<struct<metric:string,core:string,value:bigint,"
-        "value_d:double>>"))
-
-    exploded = df.select(
-        *base,
-        F.lit("podman").alias("pm_runtime"),
-        s["Name"].alias("pm_name"),
-        s["ContainerID"].alias("pm_container_id"),
-        F.explode(F.concat(scalar, percpu_entries)).alias("_m"),
-    )
-    m = F.col("_m")
-    return exploded.select(
-        *[c for c in exploded.columns if c != "_m"],
-        m["metric"].alias("pm_metric"),
-        m["core"].alias("pm_core"),
-        m["value"].alias("pm_value"),
-        m["value_d"].alias("pm_value_d"),
+    parsed = F.col("_v").try_cast("bigint")
+    return ents.join(
+        F.broadcast(dim),
+        (ents[kind_col] == dim["dkind"]) & (ents["_k"] == dim["key"]),
+        "inner",
+    ).select(
+        *base, kind_col, "as_node", "as_namespace",
+        F.col("metric").alias("as_metric"),
+        F.col("a1").alias("as_a1"),
+        F.col("a2").alias("as_a2"),
+        F.col("a3").alias("as_a3"),
+        parsed.alias("as_value"),
+        parsed.isNotNull().alias("as_ok"),
     )
 
 
