@@ -677,3 +677,8 @@ from .queries_ext16 import EXT16_ORACLES, EXT16_QUERIES  # noqa: E402
 
 QUERIES.update(EXT16_QUERIES)
 ORACLES.update(EXT16_ORACLES)
+
+from .queries_ext17 import EXT17_ORACLES, EXT17_QUERIES  # noqa: E402
+
+QUERIES.update(EXT17_QUERIES)
+ORACLES.update(EXT17_ORACLES)
