@@ -682,3 +682,8 @@ from .queries_ext17 import EXT17_ORACLES, EXT17_QUERIES  # noqa: E402
 
 QUERIES.update(EXT17_QUERIES)
 ORACLES.update(EXT17_ORACLES)
+
+from .queries_ext18 import EXT18_ORACLES, EXT18_QUERIES  # noqa: E402
+
+QUERIES.update(EXT18_QUERIES)
+ORACLES.update(EXT18_ORACLES)

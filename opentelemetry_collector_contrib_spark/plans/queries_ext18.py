@@ -1,0 +1,242 @@
+"""Round-5 queries (cont. 2): DB-stats receiver family.
+
+postgresql fixture: nine kind-fanned object rows (database, table,
+index, function, bgwriter, replication, connection_max, wal_age,
+lock) synthesised per event with JSON bodies via ``to_json`` so
+presence gates (nullable backends/db_size, has_stats, has_blockreads,
+the >= 0 sentinels from client.go's coalesce(-1) columns) are all
+exercised; ``db3`` is excluded to cover config.ExcludeDatabases.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import QueryFn, load
+
+EXT18_QUERIES: dict[str, QueryFn] = {}
+EXT18_ORACLES: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# postgresql receiver: pg_stat_* object rows -> metric rows
+# ---------------------------------------------------------------------------
+
+_PG_KINDS = ["database", "table", "index", "function", "bgwriter",
+             "replication", "connection_max", "wal_age", "lock"]
+
+
+def q_postgresql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.postgresql import postgresql_stats
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    ts = (e - e % 64).alias("ts")
+    dbn = F.concat(F.lit("db"), (u % 4).cast("string"))
+    nodb = F.lit(None).cast("string")
+
+    def part(k: int, db, body) -> DataFrame:
+        return ev.where(e % 9 == k).select(
+            ts, F.lit(_PG_KINDS[k]).alias("kind"), db.alias("db"),
+            F.to_json(body).alias("body"))
+
+    fx = part(0, dbn, F.struct(
+        F.when(u % 7 != 0, e % 500).alias("backends"),
+        F.when(u % 11 != 0, e * 8 % 1000000).alias("db_size"),
+        (e % 300).alias("table_count"),
+        (e % 1000).alias("commits"), (u % 100).alias("rollbacks"),
+        (e % 10).alias("deadlocks"), (u % 20).alias("temp_files"),
+        (e % 5000).alias("temp_io"), (u % 4000).alias("tup_updated"),
+        (e % 3000).alias("tup_returned"),
+        (u % 2000).alias("tup_fetched"),
+        (e % 1500).alias("tup_inserted"),
+        (u % 1000).alias("tup_deleted"), (e % 8000).alias("blks_hit"),
+        (u % 6000).alias("blks_read"),
+        (u % 5 != 0).alias("has_stats"),
+    ))
+    fx = fx.unionByName(part(1, dbn, F.struct(
+        F.concat(F.lit("s"), (u % 2).cast("string")).alias("schema"),
+        F.concat(F.lit("t"), (e % 6).cast("string")).alias("table"),
+        (u % 10000).alias("live"), (e % 1000).alias("dead"),
+        (e % 400).alias("ins"), (u % 300).alias("del"),
+        (e % 200).alias("upd"), (u % 100).alias("hot_upd"),
+        (e * 16 % 900000).alias("size"), (e % 12).alias("vacuum_count"),
+        (u % 5000).alias("seq_scans"),
+        (e % 3 != 0).alias("has_blockreads"),
+        (e % 100).alias("heap_read"), (u % 100).alias("heap_hit"),
+        (e % 90).alias("idx_read"), (u % 90).alias("idx_hit"),
+        (e % 80).alias("toast_read"), (u % 80).alias("toast_hit"),
+        (e % 70).alias("tidx_read"), (u % 70).alias("tidx_hit"),
+    )))
+    fx = fx.unionByName(part(2, dbn, F.struct(
+        F.concat(F.lit("t"), (e % 6).cast("string")).alias("table"),
+        F.concat(F.lit("i"), (u % 3).cast("string")).alias("index"),
+        (e % 7000).alias("scans"), (u % 800000).alias("size"),
+    )))
+    fx = fx.unionByName(part(3, dbn, F.struct(
+        F.concat(F.lit("f"), (u % 5).cast("string")).alias("function"),
+        (e % 900).alias("calls"),
+    )))
+    fx = fx.unionByName(part(4, nodb, F.struct(
+        (e % 100000).alias("buffers_allocated"),
+        (u % 50000).alias("bg_writes"),
+        F.when(e % 13 == 0, -1).otherwise(u % 40000)
+        .alias("backend_writes"),
+        (e % 30000).alias("buffer_checkpoints"),
+        F.when(u % 17 == 0, -1).otherwise(e % 20000)
+        .alias("fsync_writes"),
+        (e % 100).alias("checkpoints_req"),
+        (u % 100).alias("checkpoints_scheduled"),
+        ((e % 3200).cast("double") / 32).alias("checkpoint_sync_time"),
+        ((u % 3200).cast("double") / 32).alias("checkpoint_write_time"),
+        (e % 50).alias("max_written"),
+    )))
+    fx = fx.unionByName(part(5, nodb, F.struct(
+        F.when(u % 6 == 0, F.lit("unix")).otherwise(
+            F.concat(F.lit("10.0.0."), (u % 32).cast("string")))
+        .alias("client_addr"),
+        F.when(e % 9 == 0, -1).otherwise(e % 100000)
+        .alias("pending_bytes"),
+        F.when(e % 5 == 0, -1).otherwise(e % 60).alias("write_lag"),
+        F.when(u % 5 == 0, -1).otherwise(u % 60).alias("flush_lag"),
+        F.when(e % 7 == 0, -1).otherwise(e % 45).alias("replay_lag"),
+    )))
+    fx = fx.unionByName(part(6, nodb, F.struct(
+        (100 + e % 400).alias("max_connections"))))
+    fx = fx.unionByName(part(7, nodb, F.struct(
+        F.when(e % 6 != 0, e % 7200).alias("wal_age_sec"))))
+    fx = fx.unionByName(part(8, nodb, F.struct(
+        F.concat(F.lit("rel"), (e % 4).cast("string")).alias("relation"),
+        F.element_at(F.array(
+            F.lit("AccessShareLock"), F.lit("RowExclusiveLock"),
+            F.lit("ExclusiveLock")), (u % 3 + 1).cast("int"))
+        .alias("mode"),
+        F.element_at(F.array(F.lit("relation"), F.lit("transactionid")),
+                     (e % 2 + 1).cast("int")).alias("lock_type"),
+        (e % 50).alias("locks"),
+    )))
+    return postgresql_stats(fx, exclude_databases=["db3"])
+
+
+def _pg_oracle() -> str:
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    dbn = "'db' || CAST(u % 4 AS VARCHAR)"
+    tbl = ("'s' || CAST(u % 2 AS VARCHAR) || '.' || 't' || "
+           "CAST(e % 6 AS VARCHAR)")
+    itbl = "'t' || CAST(e % 6 AS VARCHAR)"
+    idx = "'i' || CAST(u % 3 AS VARCHAR)"
+    addr = ("CASE WHEN u % 6 = 0 THEN 'unix' ELSE '10.0.0.' || "
+            "CAST(u % 32 AS VARCHAR) END")
+    stats = "u % 5 <> 0"
+    blk = "e % 3 <> 0"
+    # (kind#, metric, attr, where, vi, vd)
+    rows = [
+        (0, "postgresql.table.count", NS, None, "e % 300", ND),
+        (0, "postgresql.backends", NS, "u % 7 <> 0", "e % 500", ND),
+        (0, "postgresql.db_size", NS, "u % 11 <> 0", "e * 8 % 1000000",
+         ND),
+        (0, "postgresql.commits", NS, stats, "e % 1000", ND),
+        (0, "postgresql.rollbacks", NS, stats, "u % 100", ND),
+        (0, "postgresql.deadlocks", NS, stats, "e % 10", ND),
+        (0, "postgresql.temp_files", NS, stats, "u % 20", ND),
+        (0, "postgresql.temp.io", NS, stats, "e % 5000", ND),
+        (0, "postgresql.tup_updated", NS, stats, "u % 4000", ND),
+        (0, "postgresql.tup_returned", NS, stats, "e % 3000", ND),
+        (0, "postgresql.tup_fetched", NS, stats, "u % 2000", ND),
+        (0, "postgresql.tup_inserted", NS, stats, "e % 1500", ND),
+        (0, "postgresql.tup_deleted", NS, stats, "u % 1000", ND),
+        (0, "postgresql.blks_hit", NS, stats, "e % 8000", ND),
+        (0, "postgresql.blks_read", NS, stats, "u % 6000", ND),
+    ]
+    for attr, vi in [("'dead'", "e % 1000"), ("'live'", "u % 10000")]:
+        rows.append((1, "postgresql.rows", attr, None, vi, ND))
+    for attr, vi in [("'ins'", "e % 400"), ("'del'", "u % 300"),
+                     ("'upd'", "e % 200"), ("'hot_upd'", "u % 100")]:
+        rows.append((1, "postgresql.operations", attr, None, vi, ND))
+    rows += [
+        (1, "postgresql.table.size", NS, None, "e * 16 % 900000", ND),
+        (1, "postgresql.table.vacuum.count", NS, None, "e % 12", ND),
+        (1, "postgresql.sequential_scans", NS, None, "u % 5000", ND),
+    ]
+    for attr, vi in [("heap_read", "e % 100"), ("heap_hit", "u % 100"),
+                     ("idx_read", "e % 90"), ("idx_hit", "u % 90"),
+                     ("toast_hit", "u % 80"), ("toast_read", "e % 80"),
+                     ("tidx_read", "e % 70"), ("tidx_hit", "u % 70")]:
+        rows.append((1, "postgresql.blocks_read", f"'{attr}'", blk,
+                     vi, ND))
+    rows += [
+        (2, "postgresql.index.scans", NS, None, "e % 7000", ND),
+        (2, "postgresql.index.size", NS, None, "u % 800000", ND),
+        (3, "postgresql.function.calls",
+         "'f' || CAST(u % 5 AS VARCHAR)", None, "e % 900", ND),
+        (4, "postgresql.bgwriter.buffers.allocated", NS, None,
+         "e % 100000", ND),
+        (4, "postgresql.bgwriter.buffers.writes", "'bgwriter'", None,
+         "u % 50000", ND),
+        (4, "postgresql.bgwriter.buffers.writes", "'backend'",
+         "e % 13 <> 0", "u % 40000", ND),
+        (4, "postgresql.bgwriter.buffers.writes", "'checkpoints'",
+         None, "e % 30000", ND),
+        (4, "postgresql.bgwriter.buffers.writes", "'backend_fsync'",
+         "u % 17 <> 0", "e % 20000", ND),
+        (4, "postgresql.bgwriter.checkpoint.count", "'requested'",
+         None, "e % 100", ND),
+        (4, "postgresql.bgwriter.checkpoint.count", "'scheduled'",
+         None, "u % 100", ND),
+        (4, "postgresql.bgwriter.duration", "'sync'", None, NI,
+         "CAST(e % 3200 AS DOUBLE) / 32"),
+        (4, "postgresql.bgwriter.duration", "'write'", None, NI,
+         "CAST(u % 3200 AS DOUBLE) / 32"),
+        (4, "postgresql.bgwriter.maxwritten", NS, None, "e % 50", ND),
+        (5, "postgresql.replication.data_delay", addr, "e % 9 <> 0",
+         "e % 100000", ND),
+        (5, "postgresql.wal.lag", f"'write' || '|' || {addr}",
+         "e % 5 <> 0", "e % 60", ND),
+        (5, "postgresql.wal.lag", f"'replay' || '|' || {addr}",
+         "e % 7 <> 0", "e % 45", ND),
+        (5, "postgresql.wal.lag", f"'flush' || '|' || {addr}",
+         "u % 5 <> 0", "u % 60", ND),
+        (6, "postgresql.connection.max", NS, None, "100 + e % 400",
+         ND),
+        (7, "postgresql.wal.age", NS, "e % 6 <> 0", "e % 7200", ND),
+        (8, "postgresql.database.locks",
+         "'rel' || CAST(e % 4 AS VARCHAR) || '|' || "
+         "['AccessShareLock','RowExclusiveLock','ExclusiveLock']"
+         "[CAST(u % 3 AS INT) + 1] || '|' || "
+         "['relation','transactionid'][CAST(e % 2 AS INT) + 1]",
+         None, "e % 50", ND),
+    ]
+    parts = []
+    for i, (k, metric, attr, where, vi, vd) in enumerate(rows):
+        a = (lambda n: f" AS {n}") if i == 0 else (lambda n: "")
+        w = f"e % 9 = {k}"
+        if k <= 3:
+            w += " AND u % 4 <> 3"  # exclude db3
+        if where:
+            w += f" AND ({where})"
+        db = dbn if k <= 3 else NS
+        t = tbl if k == 1 else (itbl if k == 2 else NS)
+        ix = idx if k == 2 else NS
+        parts.append(
+            f"SELECT ts{a('ts')}, '{_PG_KINDS[k]}'{a('kind')}, "
+            f"{db}{a('db')}, '{metric}'{a('pg_metric')}, "
+            f"{attr}{a('pg_attr')}, {t}{a('pg_table')}, "
+            f"{ix}{a('pg_index')}, {vi}{a('pg_value')}, "
+            f"{vd}{a('pg_value_d')} FROM a WHERE {w}")
+    parts.append(
+        "SELECT ts, 'database_count', CAST(NULL AS VARCHAR), "
+        "'postgresql.database.count', CAST(NULL AS VARCHAR), "
+        "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), "
+        "CAST(COUNT(*) AS BIGINT), CAST(NULL AS DOUBLE) FROM a "
+        "WHERE e % 9 = 0 AND u % 4 <> 3 GROUP BY ts")
+    return (
+        "WITH a AS (SELECT event_id - event_id % 64 AS ts, "
+        "user_id AS u, event_id AS e FROM events)\n"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT18_QUERIES["postgresql_stats"] = q_postgresql
+EXT18_ORACLES["postgresql_stats"] = _pg_oracle()
