@@ -240,3 +240,170 @@ def _pg_oracle() -> str:
 
 EXT18_QUERIES["postgresql_stats"] = q_postgresql
 EXT18_ORACLES["postgresql_stats"] = _pg_oracle()
+
+
+# ---------------------------------------------------------------------------
+# kafkametrics receiver: partition/config/broker/group samples -> metrics
+# ---------------------------------------------------------------------------
+
+
+def q_kafka_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kafkametrics import kafka_metrics
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    c = F.lit("c").alias("cluster")
+    ts = (e - e % 30).alias("ts")
+    topics = F.array(F.lit("t0"), F.lit("t1"), F.lit("t2"),
+                     F.lit("_i3"), F.lit("t4"))
+    topic = F.element_at(topics, (e % 5 + 1).cast("int"))
+    part = ((e % 30) / 5).cast("int")
+
+    partitions = ev.select(
+        c, ts, topic.alias("topic"), part.alias("partition"),
+        F.when(e % 13 != 0, e % 10000 + 100).alias("current_offset"),
+        F.when(u % 11 != 0, e % 100).alias("oldest_offset"),
+        F.when(e % 17 != 0, F.lit(3)).alias("replicas"),
+        F.when(u % 7 != 0, F.lit(2)).alias("in_sync"),
+    )
+    configs = ev.where(e % 30 < 5).select(
+        c, ts, topic.alias("topic"),
+        (e % 7).alias("replication_factor"),
+        F.when(u % 3 == 0, F.lit("x"))
+        .otherwise((u % 5).cast("string")).alias("min_insync_replicas"),
+        F.when(u % 4 == 0, F.lit("oops"))
+        .otherwise((e % 100000 * 7 + 500).cast("string"))
+        .alias("retention_ms"),
+        F.when(e % 6 == 0, F.lit("many"))
+        .otherwise((u * 1000 % 1000000000).cast("string"))
+        .alias("retention_bytes"),
+    )
+    brokers = ev.where((e % 30 >= 5) & (e % 30 < 8)).select(
+        c, ts, (e % 30 - 5).cast("string").alias("broker_id"),
+        F.when(e % 30 == 6, F.lit("abc"))
+        .when(e % 30 == 7, (u % 168).cast("string"))
+        .alias("log_retention_hours"),
+    )
+    group = F.when(u % 9 == 0, F.lit("skip0")).otherwise(
+        F.concat(F.lit("g"), (u % 3).cast("string")))
+    offsets = ev.select(
+        c, ts, group.alias("group"), topic.alias("topic"),
+        part.alias("partition"),
+        F.when(e % 4 == 0, F.lit(-1)).otherwise(e % 10000)
+        .alias("consumer_offset"),
+    )
+    members = offsets.select("cluster", "ts", "group").distinct() \
+        .select("cluster", "ts", "group",
+                (F.col("ts") % 25).alias("members"))
+    return kafka_metrics(partitions, configs, brokers, members,
+                         offsets, group_match="^g.*")
+
+
+def _kafka_oracle() -> str:
+    return """
+WITH a AS (
+  SELECT 'c' AS cluster, event_id - event_id % 30 AS ts,
+         user_id AS u, event_id AS e,
+         ['t0','t1','t2','_i3','t4'][CAST(e0.event_id % 5 AS INT) + 1]
+           AS topic,
+         CAST((event_id % 30) // 5 AS INT) AS part
+  FROM events e0
+), parts AS (
+  SELECT cluster, ts, topic, part,
+         CASE WHEN e % 13 <> 0 THEN e % 10000 + 100 END AS cur,
+         CASE WHEN u % 11 <> 0 THEN e % 100 END AS old,
+         CASE WHEN e % 17 <> 0 THEN 3 END AS repl,
+         CASE WHEN u % 7 <> 0 THEN 2 END AS insync
+  FROM a WHERE topic NOT LIKE '\\_%' ESCAPE '\\'
+), blocks0 AS (
+  SELECT cluster, ts,
+         CASE WHEN u % 9 = 0 THEN 'skip0'
+              ELSE 'g' || CAST(u % 3 AS VARCHAR) END AS grp,
+         topic, part,
+         CASE WHEN e % 4 = 0 THEN -1 ELSE e % 10000 END AS coff
+  FROM a
+), blocks AS (
+  SELECT b.*, p.cur FROM blocks0 b
+  JOIN parts p ON b.cluster = p.cluster AND b.ts = p.ts
+    AND b.topic = p.topic AND b.part = p.part AND p.cur IS NOT NULL
+  WHERE b.grp LIKE 'g%' AND b.grp NOT LIKE 'skip%'
+), consumed AS (
+  SELECT *, MAX(CASE WHEN coff <> -1 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY cluster, ts, grp, topic) = 1 AS ok
+  FROM blocks
+), NS AS (SELECT CAST(NULL AS VARCHAR) v), NL AS
+  (SELECT CAST(NULL AS BIGINT) v)
+
+SELECT cluster, ts, 'kafka.topic.partitions' AS km_metric,
+       CAST(NULL AS VARCHAR) AS km_group, topic AS km_topic,
+       CAST(NULL AS BIGINT) AS km_partition,
+       CAST(NULL AS VARCHAR) AS km_broker,
+       CAST(COUNT(*) AS BIGINT) AS km_value
+FROM parts GROUP BY cluster, ts, topic
+UNION ALL
+SELECT cluster, ts, m, NULL, topic, part, NULL, CAST(v AS BIGINT)
+FROM parts, LATERAL (VALUES
+  ('kafka.partition.current_offset', cur),
+  ('kafka.partition.oldest_offset', old),
+  ('kafka.partition.replicas', repl),
+  ('kafka.partition.replicas_in_sync', insync)) AS t(m, v)
+WHERE v IS NOT NULL
+UNION ALL
+SELECT cluster, ts, 'kafka.topic.replication_factor', NULL, topic,
+       NULL, NULL, CAST(e % 7 AS BIGINT)
+FROM a WHERE e % 30 < 5 AND topic NOT LIKE '\\_%' ESCAPE '\\'
+UNION ALL
+SELECT cluster, ts, 'kafka.topic.min_insync_replicas', NULL, topic,
+       NULL, NULL, CAST(u % 5 AS BIGINT)
+FROM a WHERE e % 30 < 5 AND topic NOT LIKE '\\_%' ESCAPE '\\'
+  AND u % 3 <> 0
+UNION ALL
+SELECT cluster, ts, 'kafka.topic.log_retention_period', NULL, topic,
+       NULL, NULL, CAST((e % 100000 * 7 + 500) // 1000 AS BIGINT)
+FROM a WHERE e % 30 < 5 AND topic NOT LIKE '\\_%' ESCAPE '\\'
+  AND u % 4 <> 0
+UNION ALL
+SELECT cluster, ts, 'kafka.topic.log_retention_size', NULL, topic,
+       NULL, NULL, CAST(u * 1000 % 1000000000 AS BIGINT)
+FROM a WHERE e % 30 < 5 AND topic NOT LIKE '\\_%' ESCAPE '\\'
+  AND e % 6 <> 0
+UNION ALL
+SELECT cluster, ts, 'kafka.brokers', NULL, NULL, NULL, NULL,
+       CAST(COUNT(*) AS BIGINT)
+FROM a WHERE e % 30 >= 5 AND e % 30 < 8 GROUP BY cluster, ts
+UNION ALL
+SELECT cluster, ts, 'kafka.broker.log_retention_period', NULL, NULL,
+       NULL, CAST(e % 30 - 5 AS VARCHAR),
+       CAST(CASE WHEN e % 30 = 6 THEN 0 ELSE (u % 168) * 3600 END
+            AS BIGINT)
+FROM a WHERE e % 30 IN (6, 7)
+UNION ALL
+SELECT cluster, ts, 'kafka.consumer_group.members', grp, NULL, NULL,
+       NULL, CAST(ts % 25 AS BIGINT)
+FROM (SELECT DISTINCT cluster, ts,
+        CASE WHEN u % 9 = 0 THEN 'skip0'
+             ELSE 'g' || CAST(u % 3 AS VARCHAR) END AS grp
+      FROM a) WHERE grp LIKE 'g%' AND grp NOT LIKE 'skip%'
+UNION ALL
+SELECT cluster, ts, 'kafka.consumer_group.offset', grp, topic, part,
+       NULL, CAST(coff AS BIGINT) FROM consumed WHERE ok
+UNION ALL
+SELECT cluster, ts, 'kafka.consumer_group.lag', grp, topic, part,
+       NULL, CAST(CASE WHEN coff <> -1 THEN cur - coff ELSE -1 END
+                  AS BIGINT)
+FROM consumed WHERE ok
+UNION ALL
+SELECT cluster, ts, 'kafka.consumer_group.offset_sum', grp, topic,
+       NULL, NULL, CAST(SUM(coff) AS BIGINT)
+FROM consumed WHERE ok GROUP BY cluster, ts, grp, topic
+UNION ALL
+SELECT cluster, ts, 'kafka.consumer_group.lag_sum', grp, topic,
+       NULL, NULL,
+       CAST(SUM(CASE WHEN coff <> -1 THEN cur - coff ELSE 0 END)
+            AS BIGINT)
+FROM consumed WHERE ok GROUP BY cluster, ts, grp, topic
+"""
+
+
+EXT18_QUERIES["kafka_metrics"] = q_kafka_metrics
+EXT18_ORACLES["kafka_metrics"] = _kafka_oracle()
