@@ -4752,3 +4752,210 @@ def chrony_tracking(df: DataFrame, body_col: str = "body") -> DataFrame:
         m["value"].alias("nt_value"),
         m["value_d"].alias("nt_value_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ntp receiver (receiver/ntpreceiver/receiver.go:20-29)
+# ---------------------------------------------------------------------------
+
+
+def ntp_offset(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """ntp query replies → one ``ntp.offset`` gauge per reply.
+
+    Re-expresses ``receiver/ntpreceiver/receiver.go:20-29``: the clock
+    offset is recorded in nanoseconds against the queried endpoint
+    resource; a failed query (null ``offset_ns``) emits nothing — the
+    reference returns the error with an empty pmetric.
+    """
+    return df.where(F.col("offset_ns").isNotNull()).select(
+        F.col(ts_col).alias("ts"), F.col("endpoint").alias("endpoint"),
+        F.lit("ntp.offset").alias("np_metric"),
+        F.col("offset_ns").cast("bigint").alias("np_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# filestats receiver (receiver/filestatsreceiver/scraper.go:21-49)
+# ---------------------------------------------------------------------------
+
+
+def file_stats(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """glob-matched file listings → file.* metric rows.
+
+    Re-expresses ``receiver/filestatsreceiver/scraper.go:21-49`` +
+    ``filestats_linux.go``: per matched file size/mtime plus the
+    linux-specific atime and ctime (ctime carries the permission
+    string attribute); a row whose stat failed (``stat_ok`` false)
+    contributes NO per-file metrics but still counts toward
+    ``file.count`` — the reference counts len(matches) before the
+    stat loop and `continue`s on error. file.count is emitted once
+    per scrape (one bounded groupBy keyed by ts).
+    """
+    ts = F.col(ts_col)
+    ok = df.where(F.col("stat_ok"))
+    nd = F.lit(None).cast("string")
+    entries = [
+        F.expr("struct('file.size' as metric, cast(size as bigint) as "
+               "value, cast(null as string) as perm)"),
+        F.expr("struct('file.mtime' as metric, cast(mtime as bigint) "
+               "as value, cast(null as string) as perm)"),
+        F.expr("struct('file.atime' as metric, cast(atime as bigint) "
+               "as value, cast(null as string) as perm)"),
+        F.struct(F.lit("file.ctime").alias("metric"),
+                 F.col("ctime").cast("bigint").alias("value"),
+                 F.col("perm").alias("perm")),
+    ]
+    per_file = ok.select(
+        ts.alias("ts"), F.col("path").alias("path"),
+        F.col("name").alias("name"),
+        F.explode(F.array(*entries)).alias("_m"),
+    ).select("ts", "path", "name",
+             F.col("_m.metric").alias("fs_metric"),
+             F.col("_m.value").alias("fs_value"),
+             F.col("_m.perm").alias("fs_perm"))
+    counts = (df.groupBy(ts.alias("ts"))
+              .agg(F.count("*").alias("_n"))
+              .select("ts", nd.alias("path"), nd.alias("name"),
+                      F.lit("file.count").alias("fs_metric"),
+                      F.col("_n").cast("bigint").alias("fs_value"),
+                      nd.alias("fs_perm")))
+    return per_file.unionByName(counts)
+
+
+# ---------------------------------------------------------------------------
+# riak receiver (receiver/riakreceiver/scraper.go:47-77)
+# ---------------------------------------------------------------------------
+
+
+def riak_stats(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """riak /stats JSON → the 11-point metric fan.
+
+    Re-expresses ``receiver/riakreceiver/scraper.go:47-77``: node and
+    vnode get/put operation counts, get/put FSM mean times (µs),
+    read repairs, allocated memory, and vnode index
+    read/write/delete counts, all against the ``riak.node.name``
+    resource. A malformed body is the GetStats error path: no rows.
+    """
+    schema = ("struct<node: string, node_gets: bigint, node_puts: "
+              "bigint, node_get_fsm_time_mean: bigint, "
+              "node_put_fsm_time_mean: bigint, read_repairs: bigint, "
+              "mem_allocated: bigint, vnode_gets: bigint, vnode_puts:"
+              " bigint, vnode_index_reads: bigint, vnode_index_writes"
+              ": bigint, vnode_index_deletes: bigint>")
+    base = [c for c in df.columns if c != body_col]
+    staged = df.select(
+        *base, F.from_json(F.col(body_col), schema).alias("_o"))
+    o = F.col("_o")
+    staged = staged.where(o["node"].isNotNull())
+    fan = [
+        ("riak.node.operation.count", "get", "node_gets"),
+        ("riak.node.operation.count", "put", "node_puts"),
+        ("riak.node.operation.time.mean", "get",
+         "node_get_fsm_time_mean"),
+        ("riak.node.operation.time.mean", "put",
+         "node_put_fsm_time_mean"),
+        ("riak.node.read_repair.count", None, "read_repairs"),
+        ("riak.memory.limit", None, "mem_allocated"),
+        ("riak.vnode.operation.count", "get", "vnode_gets"),
+        ("riak.vnode.operation.count", "put", "vnode_puts"),
+        ("riak.vnode.index.operation.count", "read",
+         "vnode_index_reads"),
+        ("riak.vnode.index.operation.count", "write",
+         "vnode_index_writes"),
+        ("riak.vnode.index.operation.count", "delete",
+         "vnode_index_deletes"),
+    ]
+    ns = F.lit(None).cast("string")
+    entries = [F.struct(F.lit(m).alias("metric"),
+                        (F.lit(a) if a else ns).alias("attr"),
+                        o[f].cast("bigint").alias("value"))
+               for m, a, f in fan]
+    out = staged.select(
+        *base, o["node"].alias("node"),
+        F.explode(F.array(*entries)).alias("_m"))
+    m = F.col("_m")
+    return out.select(*base, "node", m["metric"].alias("rk_metric"),
+                      m["attr"].alias("rk_attr"),
+                      m["value"].alias("rk_value"))
+
+
+# ---------------------------------------------------------------------------
+# httpcheck receiver (receiver/httpcheckreceiver/scraper.go:122-290)
+# ---------------------------------------------------------------------------
+
+_HTTP_CLASSES = [("1xx", 1), ("2xx", 2), ("3xx", 3), ("4xx", 4),
+                 ("5xx", 5)]
+
+
+def httpcheck_metrics(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """HTTP probe results → httpcheck.* metric rows.
+
+    Re-expresses ``receiver/httpcheckreceiver/scraper.go:122-290``
+    over rows of one completed probe each: total duration + the five
+    timing-breakdown gauges (dns / tcp connection / tls handshake /
+    request write / response read, always recorded, zeros included);
+    ``httpcheck.error`` = 1 with the error message when the request
+    failed; per probe FIVE ``httpcheck.status`` rows — one per
+    response class — where the matching class carries value 1 and
+    the real status code, and non-matching classes carry value 0
+    with a NULL status code (the ``removeStatusCodeForZeroValues``
+    post-pass, :300-330); an errored probe has status 0 so all five
+    classes are 0. ``httpcheck.tls.cert_remaining`` is emitted TWICE
+    when TLS identity is present — the reference records it both
+    before and after the timing block (:212-224 and :242-255), a
+    duplication carried faithfully.
+    """
+    ts = F.col(ts_col)
+    ep = F.col("endpoint")
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("bigint")
+    sc = F.coalesce(F.col("status_code"), F.lit(0))
+    err = F.col("error_msg").isNotNull()
+
+    def ent(metric, value, attr=None, code=None, cls=None,
+            present=None):
+        return F.struct(
+            F.lit(metric).alias("metric"),
+            (attr if attr is not None else ns).alias("attr"),
+            (code if code is not None else nl).alias("status_code"),
+            (F.lit(cls) if cls else ns).alias("cls"),
+            value.cast("bigint").alias("value"),
+            (present if present is not None else F.lit(True))
+            .alias("present"),
+        )
+
+    entries = [
+        ent("httpcheck.duration", F.col("duration_ms")),
+        ent("httpcheck.dns.lookup.duration", F.col("dns_ms")),
+        ent("httpcheck.client.connection.duration", F.col("tcp_ms"),
+            attr=F.lit("tcp")),
+        ent("httpcheck.tls.handshake.duration", F.col("tls_ms")),
+        ent("httpcheck.client.request.duration", F.col("request_ms")),
+        ent("httpcheck.response.duration", F.col("response_ms")),
+        ent("httpcheck.error", F.lit(1), attr=F.col("error_msg"),
+            present=err),
+    ]
+    tls_present = (F.col("tls_time_left").isNotNull()
+                   & (F.coalesce(F.col("tls_issuer"), F.lit("")) != ""))
+    for _ in range(2):  # the reference's duplicated record block
+        entries.append(ent("httpcheck.tls.cert_remaining",
+                           F.coalesce(F.col("tls_time_left"),
+                                      F.lit(0)),
+                           attr=F.col("tls_issuer"),
+                           present=tls_present))
+    for cls, digit in _HTTP_CLASSES:
+        match = (sc / 100).cast("int") == digit
+        entries.append(ent(
+            "httpcheck.status",
+            F.when(match, 1).otherwise(0),
+            attr=F.col("method"),
+            code=F.when(match, sc.cast("bigint")),
+            cls=cls))
+    out = df.select(ts.alias("ts"), ep.alias("endpoint"),
+                    F.explode(F.array(*entries)).alias("_m"))
+    m = F.col("_m")
+    return out.where(m["present"]).select(
+        "ts", "endpoint", m["metric"].alias("hc_metric"),
+        m["attr"].alias("hc_attr"),
+        m["status_code"].alias("hc_status_code"),
+        m["cls"].alias("hc_class"), m["value"].alias("hc_value"))

@@ -407,3 +407,200 @@ FROM consumed WHERE ok GROUP BY cluster, ts, grp, topic
 
 EXT18_QUERIES["kafka_metrics"] = q_kafka_metrics
 EXT18_ORACLES["kafka_metrics"] = _kafka_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ntp / filestats / riak / httpcheck small-receiver batch
+# ---------------------------------------------------------------------------
+
+
+def q_ntp_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import ntp_offset
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    fx = ev.select(
+        e.alias("ts"),
+        F.concat(F.lit("pool"), (u % 3).cast("string")).alias("endpoint"),
+        F.when(e % 10 != 0, e % 2000000 - 1000000).alias("offset_ns"),
+    )
+    return ntp_offset(fx)
+
+
+O_NTP = """
+SELECT event_id AS ts,
+       'pool' || CAST(user_id % 3 AS VARCHAR) AS endpoint,
+       'ntp.offset' AS np_metric,
+       CAST(event_id % 2000000 - 1000000 AS BIGINT) AS np_value
+FROM events WHERE event_id % 10 <> 0
+"""
+
+EXT18_QUERIES["ntp_offset"] = q_ntp_offset
+EXT18_ORACLES["ntp_offset"] = O_NTP
+
+
+def q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import file_stats
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    fx = ev.select(
+        (e - e % 16).alias("ts"),
+        F.concat(F.lit("/var/f"), (e % 50).cast("string")).alias("path"),
+        F.concat(F.lit("f"), (e % 50).cast("string")).alias("name"),
+        (e % 9 != 0).alias("stat_ok"),
+        (e % 100000).alias("size"),
+        (1700000000 + e % 1000).alias("mtime"),
+        (1700000000 + u % 1000).alias("atime"),
+        (1700000000 + (e + u) % 1000).alias("ctime"),
+        F.when(u % 2 == 0, F.lit("-rw-r--r--"))
+        .otherwise(F.lit("-rwxr-xr-x")).alias("perm"),
+    )
+    return file_stats(fx)
+
+
+O_FILE_STATS = """
+WITH a AS (
+  SELECT event_id - event_id % 16 AS ts,
+         '/var/f' || CAST(event_id % 50 AS VARCHAR) AS path,
+         'f' || CAST(event_id % 50 AS VARCHAR) AS name,
+         event_id % 9 <> 0 AS ok, event_id % 100000 AS sz,
+         1700000000 + event_id % 1000 AS mt,
+         1700000000 + user_id % 1000 AS at,
+         1700000000 + (event_id + user_id) % 1000 AS ct,
+         CASE WHEN user_id % 2 = 0 THEN '-rw-r--r--'
+              ELSE '-rwxr-xr-x' END AS perm
+  FROM events
+)
+SELECT ts, path, name, m AS fs_metric, CAST(v AS BIGINT) AS fs_value,
+       p AS fs_perm
+FROM a, LATERAL (VALUES
+  ('file.size', sz, CAST(NULL AS VARCHAR)),
+  ('file.mtime', mt, CAST(NULL AS VARCHAR)),
+  ('file.atime', at, CAST(NULL AS VARCHAR)),
+  ('file.ctime', ct, perm)) AS t(m, v, p)
+WHERE ok
+UNION ALL
+SELECT ts, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'file.count',
+       CAST(COUNT(*) AS BIGINT), CAST(NULL AS VARCHAR)
+FROM a GROUP BY ts
+"""
+
+EXT18_QUERIES["file_stats"] = q_file_stats
+EXT18_ORACLES["file_stats"] = O_FILE_STATS
+
+
+def q_riak_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import riak_stats
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    body = F.when(e % 19 == 0, F.lit("{}")).otherwise(F.concat(
+        F.lit('{"node":"riak@'), s(u % 3),
+        F.lit('","node_gets":'), s(e % 9000),
+        F.lit(',"node_puts":'), s(u % 8000),
+        F.lit(',"node_get_fsm_time_mean":'), s(e % 700),
+        F.lit(',"node_put_fsm_time_mean":'), s(u % 600),
+        F.lit(',"read_repairs":'), s(e % 50),
+        F.lit(',"mem_allocated":'), s(e * 1000 % 100000000),
+        F.lit(',"vnode_gets":'), s(u % 9000),
+        F.lit(',"vnode_puts":'), s(e % 8000),
+        F.lit(',"vnode_index_reads":'), s(u % 400),
+        F.lit(',"vnode_index_writes":'), s(e % 300),
+        F.lit(',"vnode_index_deletes":'), s(u % 200), F.lit("}"),
+    ))
+    return riak_stats(ev.select("event_id", body.alias("body")))
+
+
+O_RIAK = """
+WITH a AS (
+  SELECT event_id, user_id AS u, event_id AS e,
+         'riak@' || CAST(user_id % 3 AS VARCHAR) AS node
+  FROM events WHERE event_id % 19 <> 0
+)
+SELECT event_id, node, m AS rk_metric, at AS rk_attr,
+       CAST(v AS BIGINT) AS rk_value
+FROM a, LATERAL (VALUES
+  ('riak.node.operation.count', 'get', e % 9000),
+  ('riak.node.operation.count', 'put', u % 8000),
+  ('riak.node.operation.time.mean', 'get', e % 700),
+  ('riak.node.operation.time.mean', 'put', u % 600),
+  ('riak.node.read_repair.count', CAST(NULL AS VARCHAR), e % 50),
+  ('riak.memory.limit', CAST(NULL AS VARCHAR), e * 1000 % 100000000),
+  ('riak.vnode.operation.count', 'get', u % 9000),
+  ('riak.vnode.operation.count', 'put', e % 8000),
+  ('riak.vnode.index.operation.count', 'read', u % 400),
+  ('riak.vnode.index.operation.count', 'write', e % 300),
+  ('riak.vnode.index.operation.count', 'delete', u % 200)
+) AS t(m, at, v)
+"""
+
+EXT18_QUERIES["riak_stats"] = q_riak_stats
+EXT18_ORACLES["riak_stats"] = O_RIAK
+
+
+def q_httpcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import httpcheck_metrics
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    failed = e % 8 == 0
+    fx = ev.select(
+        e.alias("ts"),
+        F.concat(F.lit("http://svc"), (u % 4).cast("string"))
+        .alias("endpoint"),
+        F.when(u % 5 == 0, F.lit("POST")).otherwise(F.lit("GET"))
+        .alias("method"),
+        (e % 3000).alias("duration_ms"), (u % 50).alias("dns_ms"),
+        (e % 80).alias("tcp_ms"), (u % 120).alias("tls_ms"),
+        (e % 40).alias("request_ms"), (u % 900).alias("response_ms"),
+        F.when(~failed, (e % 5 + 1) * 100 + e % 20)
+        .alias("status_code"),
+        F.when(failed, F.lit("connection refused")).alias("error_msg"),
+        F.when(u % 6 == 0, F.lit("CN=ca")).alias("tls_issuer"),
+        F.when(u % 6 == 0, e % 100000).alias("tls_time_left"),
+    )
+    return httpcheck_metrics(fx)
+
+
+O_HTTPCHECK = """
+WITH a AS (
+  SELECT event_id AS ts,
+         'http://svc' || CAST(user_id % 4 AS VARCHAR) AS endpoint,
+         CASE WHEN user_id % 5 = 0 THEN 'POST' ELSE 'GET' END AS mth,
+         user_id AS u, event_id AS e,
+         event_id % 8 = 0 AS failed,
+         CASE WHEN event_id % 8 <> 0
+              THEN (event_id % 5 + 1) * 100 + event_id % 20
+              ELSE 0 END AS sc
+  FROM events
+)
+SELECT ts, endpoint, m AS hc_metric, at AS hc_attr,
+       CAST(NULL AS BIGINT) AS hc_status_code,
+       CAST(NULL AS VARCHAR) AS hc_class, CAST(v AS BIGINT) AS hc_value
+FROM a, LATERAL (VALUES
+  ('httpcheck.duration', CAST(NULL AS VARCHAR), e % 3000),
+  ('httpcheck.dns.lookup.duration', CAST(NULL AS VARCHAR), u % 50),
+  ('httpcheck.client.connection.duration', 'tcp', e % 80),
+  ('httpcheck.tls.handshake.duration', CAST(NULL AS VARCHAR), u % 120),
+  ('httpcheck.client.request.duration', CAST(NULL AS VARCHAR), e % 40),
+  ('httpcheck.response.duration', CAST(NULL AS VARCHAR), u % 900)
+) AS t(m, at, v)
+UNION ALL
+SELECT ts, endpoint, 'httpcheck.error', 'connection refused', NULL,
+       NULL, 1 FROM a WHERE failed
+UNION ALL
+SELECT ts, endpoint, 'httpcheck.tls.cert_remaining', 'CN=ca', NULL,
+       NULL, CAST(e % 100000 AS BIGINT)
+FROM a, (VALUES (1), (2)) AS dup(i) WHERE u % 6 = 0
+UNION ALL
+SELECT ts, endpoint, 'httpcheck.status', mth,
+       CASE WHEN sc // 100 = d THEN CAST(sc AS BIGINT) END, cls,
+       CASE WHEN sc // 100 = d THEN 1 ELSE 0 END
+FROM a, LATERAL (VALUES ('1xx', 1), ('2xx', 2), ('3xx', 3),
+  ('4xx', 4), ('5xx', 5)) AS c(cls, d)
+"""
+
+EXT18_QUERIES["httpcheck_metrics"] = q_httpcheck
+EXT18_ORACLES["httpcheck_metrics"] = O_HTTPCHECK
