@@ -604,3 +604,261 @@ FROM a, LATERAL (VALUES ('1xx', 1), ('2xx', 2), ('3xx', 3),
 
 EXT18_QUERIES["httpcheck_metrics"] = q_httpcheck
 EXT18_ORACLES["httpcheck_metrics"] = O_HTTPCHECK
+
+
+# ---------------------------------------------------------------------------
+# apachespark receiver: REST objects -> metric rows
+# ---------------------------------------------------------------------------
+
+_AS_STAGE_FIELDS = [
+    "num_active_tasks", "num_complete_tasks", "num_failed_tasks",
+    "num_killed_tasks", "executor_run_time", "executor_cpu_time",
+    "result_size", "jvm_gc_time", "memory_bytes_spilled",
+    "disk_bytes_spilled", "peak_execution_memory", "input_bytes",
+    "output_bytes", "input_records", "output_records",
+    "shuffle_remote_blocks_fetched", "shuffle_local_blocks_fetched",
+    "shuffle_fetch_wait_time", "shuffle_remote_bytes_read_to_disk",
+    "shuffle_local_bytes_read", "shuffle_remote_bytes_read",
+    "shuffle_write_bytes", "shuffle_read_records",
+    "shuffle_write_records", "shuffle_write_time",
+]
+_AS_EXEC_FIELDS = [
+    "memory_used", "disk_used", "max_tasks", "active_tasks",
+    "failed_tasks", "completed_tasks", "total_duration",
+    "total_gc_time", "total_input_bytes", "total_shuffle_read",
+    "total_shuffle_write",
+]
+_AS_JOB_FIELDS = [
+    "num_active_tasks", "num_completed_tasks", "num_skipped_tasks",
+    "num_failed_tasks", "num_active_stages", "num_completed_stages",
+    "num_skipped_stages", "num_failed_stages",
+]
+_AS_NAMES = ["etl", "ml", "adhoc", "other"]
+
+
+def q_spark_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.apachespark import _CLUSTER_FAN, spark_rest_metrics
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    ts = (e - e % 40).alias("ts")
+    slot = e % 40
+
+    apps = ev.where(slot < 4).select(
+        ts, F.lit("app").alias("kind"),
+        F.concat(F.lit("a"), slot.cast("string")).alias("app_id"),
+        F.element_at(F.array(*[F.lit(n) for n in _AS_NAMES]),
+                     (slot + 1).cast("int")).alias("app_name"),
+        F.lit(None).cast("string").alias("body"),
+    )
+
+    # cluster blob: keys for apps a0 and a1 only (a2 exercises the
+    # absent-key gate, a3 is name-filtered anyway)
+    tsv = e - e % 40
+    gauges, counters, hists, timers = [], [], [], []
+    seen = set()
+    for i, (coll, suffix, *_rest) in enumerate(_CLUSTER_FAN):
+        canon = (coll.replace("hist_mean", "hist_count")
+                 .replace("timer_mean", "timers"))
+        if (canon, suffix) in seen:
+            continue
+        seen.add((canon, suffix))
+        for a in ("a0", "a1"):
+            key = F.lit(a + suffix)
+            base = tsv + (1 if a == "a1" else 0) * 997
+            if canon == "gauges":
+                gauges += [key, ((base + i * 13) % 100000)
+                           .cast("double")]
+            elif canon == "counters":
+                counters += [key, ((base + i * 7) % 50000)
+                             .cast("bigint")]
+            elif canon == "hist_count":
+                hists += [key, F.struct(
+                    ((base + i * 3) % 1000).cast("bigint")
+                    .alias("count"),
+                    (((base + i) % 3200) / 32).cast("double")
+                    .alias("mean"))]
+            else:
+                timers += [key, F.struct(
+                    (((base + i) % 1600) / 16).cast("double")
+                    .alias("mean"))]
+    cluster = ev.where(slot == 4).select(
+        ts, F.lit("cluster").alias("kind"),
+        F.lit(None).cast("string").alias("app_id"),
+        F.lit(None).cast("string").alias("app_name"),
+        F.to_json(F.struct(
+            F.create_map(*gauges).alias("gauges"),
+            F.create_map(*counters).alias("counters"),
+            F.create_map(*hists).alias("histograms"),
+            F.create_map(*timers).alias("timers"),
+        )).alias("body"))
+
+    statuses = ["ACTIVE", "COMPLETE", "PENDING", "FAILED", "SKIPPED"]
+    stage_body = F.struct(
+        (e % 20).alias("stage_id"), (e % 3).alias("attempt_id"),
+        F.element_at(F.array(*[F.lit(s) for s in statuses]),
+                     (u % 5 + 1).cast("int")).alias("status"),
+        *[((e + i * 17) % 10000).alias(f)
+          for i, f in enumerate(_AS_STAGE_FIELDS)])
+    stages = ev.where((slot >= 5) & (slot < 15)).select(
+        ts, F.lit("stage").alias("kind"),
+        F.concat(F.lit("a"), (e % 4).cast("string")).alias("app_id"),
+        F.lit(None).cast("string").alias("app_name"),
+        F.to_json(stage_body).alias("body"))
+
+    exec_body = F.struct(
+        F.concat(F.lit("x"), (u % 6).cast("string"))
+        .alias("executor_id"),
+        *[((e + i * 17) % 10000).alias(f)
+          for i, f in enumerate(_AS_EXEC_FIELDS)],
+        (u % 1000).alias("used_on_heap_storage_memory"),
+        (1000 + e % 1000).alias("total_on_heap_storage_memory"),
+        (e % 500).alias("used_off_heap_storage_memory"),
+        (500 + u % 500).alias("total_off_heap_storage_memory"))
+    executors = ev.where((slot >= 15) & (slot < 21)).select(
+        ts, F.lit("executor").alias("kind"),
+        F.concat(F.lit("a"), (e % 4).cast("string")).alias("app_id"),
+        F.lit(None).cast("string").alias("app_name"),
+        F.to_json(exec_body).alias("body"))
+
+    job_body = F.struct(
+        (e % 30).alias("job_id"),
+        *[((e + i * 17) % 10000).alias(f)
+          for i, f in enumerate(_AS_JOB_FIELDS)])
+    jobs = ev.where((slot >= 21) & (slot < 29)).select(
+        ts, F.lit("job").alias("kind"),
+        F.concat(F.lit("a"), (e % 4).cast("string")).alias("app_id"),
+        F.lit(None).cast("string").alias("app_name"),
+        F.to_json(job_body).alias("body"))
+
+    fx = apps
+    for piece in [cluster, stages, executors, jobs]:
+        fx = fx.unionByName(piece)
+    return spark_rest_metrics(fx, application_names=["etl", "ml",
+                                                     "adhoc"])
+
+
+def _spark_rest_oracle() -> str:
+    from ..operators.apachespark import (
+        _CLUSTER_FAN, _EXEC_FAN, _JOB_FAN, _STAGE_FAN)
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    q = lambda s: f"'{s}'" if s else NS  # noqa: E731
+
+    parts = []
+    first = True
+
+    def sel(ts, app_id, app_name, scope, sid, metric, a1, a2, vi, vd,
+            frm):
+        nonlocal first
+        a = (lambda n: f" AS {n}") if first else (lambda n: "")
+        first = False
+        return (f"SELECT {ts}{a('ts')}, {app_id}{a('app_id')}, "
+                f"{app_name}{a('app_name')}, '{scope}'{a('as_scope')},"
+                f" {sid}{a('as_id')}, '{metric}'{a('as_metric')}, "
+                f"{a1}{a('as_attr1')}, {a2}{a('as_attr2')}, "
+                f"{vi}{a('as_value')}, {vd}{a('as_value_d')} {frm}")
+
+    # cluster rows: apps a0/a1 joined to the blob on ts
+    seen_i = {}
+    for i, (coll, suffix, *_rest) in enumerate(_CLUSTER_FAN):
+        if (coll.replace("hist_mean", "hist_count")
+                .replace("timer_mean", "timers"), suffix) \
+                not in seen_i:
+            seen_i[(coll.replace("hist_mean", "hist_count")
+                    .replace("timer_mean", "timers"), suffix)] = i
+    for an, off in [("a0", 0), ("a1", 997)]:
+        nm = {"a0": "etl", "a1": "ml"}[an]
+        for i, (coll, suffix, metric, a1, a2) in \
+                enumerate(_CLUSTER_FAN):
+            key = (coll.replace("hist_mean", "hist_count")
+                   .replace("timer_mean", "timers"), suffix)
+            gi = seen_i[key]
+            b = f"(ts + {off})"
+            if coll == "gauges":
+                vi, vd = f"({b} + {gi} * 13) % 100000", ND
+            elif coll == "counters":
+                vi, vd = f"({b} + {gi} * 7) % 50000", ND
+            elif coll == "hist_count":
+                vi, vd = f"({b} + {gi} * 3) % 1000", ND
+            elif coll == "hist_mean":
+                vi = NI
+                vd = f"CAST(({b} + {gi}) % 3200 AS DOUBLE) / 32"
+            else:
+                vi = NI
+                vd = f"CAST(({b} + {gi}) % 1600 AS DOUBLE) / 16"
+            if coll in ("gauges", "counters", "hist_count"):
+                vi = f"CAST({vi} AS BIGINT)"
+            parts.append(sel("ts", f"'{an}'", f"'{nm}'", "cluster",
+                             NS, metric, q(a1), q(a2), vi, vd,
+                             "FROM blocks"))
+
+    # stage rows (apps a0-a2 allowed; status SKIPPED dropped)
+    sfld = {f: f"(e + {i} * 17) % 10000"
+            for i, f in enumerate(_AS_STAGE_FIELDS)}
+    stage_from = ("FROM a WHERE slot >= 5 AND slot < 15 AND "
+                  "e % 4 < 3 AND u % 5 < 4")
+    sid = ("CAST(e % 20 AS VARCHAR) || '-' || CAST(e % 3 AS VARCHAR)")
+    st = ("['active','complete','pending','failed']"
+          "[CAST(u % 5 AS INT) + 1]")
+    parts.append(sel("ts", "'a' || CAST(e % 4 AS VARCHAR)",
+                     "['etl','ml','adhoc'][CAST(e % 4 AS INT) + 1]",
+                     "stage", sid, "spark.stage.status", st, NS,
+                     "CAST(0 AS BIGINT)", ND, stage_from))
+    for metric, a1, f in _STAGE_FAN:
+        parts.append(sel(
+            "ts", "'a' || CAST(e % 4 AS VARCHAR)",
+            "['etl','ml','adhoc'][CAST(e % 4 AS INT) + 1]", "stage",
+            sid, metric, q(a1), NS, f"CAST({sfld[f]} AS BIGINT)", ND,
+            stage_from))
+
+    # executor rows
+    efld = {f: f"(e + {i} * 17) % 10000"
+            for i, f in enumerate(_AS_EXEC_FIELDS)}
+    exec_from = ("FROM a WHERE slot >= 15 AND slot < 21 AND "
+                 "e % 4 < 3")
+    xid = "'x' || CAST(u % 6 AS VARCHAR)"
+    for loc, used, total in [
+            ("on_heap", "u % 1000", "1000 + e % 1000"),
+            ("off_heap", "e % 500", "500 + u % 500")]:
+        parts.append(sel(
+            "ts", "'a' || CAST(e % 4 AS VARCHAR)",
+            "['etl','ml','adhoc'][CAST(e % 4 AS INT) + 1]",
+            "executor", xid, "spark.executor.storage_memory.usage",
+            f"'{loc}'", "'used'", f"CAST({used} AS BIGINT)", ND,
+            exec_from))
+        parts.append(sel(
+            "ts", "'a' || CAST(e % 4 AS VARCHAR)",
+            "['etl','ml','adhoc'][CAST(e % 4 AS INT) + 1]",
+            "executor", xid, "spark.executor.storage_memory.usage",
+            f"'{loc}'", "'free'",
+            f"CAST(({total}) - ({used}) AS BIGINT)", ND, exec_from))
+    for metric, a1, _a2, f in _EXEC_FAN:
+        parts.append(sel(
+            "ts", "'a' || CAST(e % 4 AS VARCHAR)",
+            "['etl','ml','adhoc'][CAST(e % 4 AS INT) + 1]",
+            "executor", xid, metric, q(a1), NS,
+            f"CAST({efld[f]} AS BIGINT)", ND, exec_from))
+
+    # job rows
+    jfld = {f: f"(e + {i} * 17) % 10000"
+            for i, f in enumerate(_AS_JOB_FIELDS)}
+    job_from = "FROM a WHERE slot >= 21 AND slot < 29 AND e % 4 < 3"
+    for metric, a1, f in _JOB_FAN:
+        parts.append(sel(
+            "ts", "'a' || CAST(e % 4 AS VARCHAR)",
+            "['etl','ml','adhoc'][CAST(e % 4 AS INT) + 1]", "job",
+            "CAST(e % 30 AS VARCHAR)", metric, q(a1), NS,
+            f"CAST({jfld[f]} AS BIGINT)", ND, job_from))
+
+    return (
+        "WITH a AS (SELECT event_id - event_id % 40 AS ts, user_id AS"
+        " u, event_id AS e, event_id % 40 AS slot FROM events),\n"
+        "blocks AS (SELECT DISTINCT ts FROM a WHERE slot = 4)\n"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT18_QUERIES["spark_rest_metrics"] = q_spark_rest
+EXT18_ORACLES["spark_rest_metrics"] = _spark_rest_oracle()
