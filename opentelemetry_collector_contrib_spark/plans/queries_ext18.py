@@ -862,3 +862,158 @@ def _spark_rest_oracle() -> str:
 
 EXT18_QUERIES["spark_rest_metrics"] = q_spark_rest
 EXT18_ORACLES["spark_rest_metrics"] = _spark_rest_oracle()
+
+
+# ---------------------------------------------------------------------------
+# sqlserver receiver: io / perf-counter / status / wait rows -> datapoints
+# ---------------------------------------------------------------------------
+
+
+def q_sqlserver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sqlserver import PERF_COUNTER_TABLE, \
+        sqlserver_metrics
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    kind = F.element_at(
+        F.array(F.lit("io"), F.lit("perf"), F.lit("status"),
+                F.lit("wait")), (e % 4 + 1).cast("int"))
+    counters = [c for c, *_ in PERF_COUNTER_TABLE] + ["Unknown Counter"]
+    cname = F.element_at(F.array(*[F.lit(c) for c in counters]),
+                         (e % 33 + 1).cast("int"))
+    junk = u % 17 == 0
+    body = (
+        F.when(kind == "io", F.to_json(F.struct(
+            F.concat(F.lit("/data/f"), s(e % 5), F.lit(".mdf"))
+            .alias("physical_filename"),
+            F.concat(F.lit("lf"), s(e % 5)).alias("logical_filename"),
+            F.when(u % 2 == 0, F.lit("ROWS")).otherwise(F.lit("LOG"))
+            .alias("file_type"),
+            F.when(junk, F.lit("x")).otherwise(s(e % 3000))
+            .alias("read_latency_ms"),
+            s(u % 3000).alias("write_latency_ms"),
+            s(e % 5000).alias("read_count"),
+            F.when(junk, F.lit("y")).otherwise(s(u % 5000))
+            .alias("write_count"),
+            s(e * 512 % 10000000).alias("read_bytes"),
+            s(u * 512 % 10000000).alias("write_bytes"))))
+        .when(kind == "perf", F.to_json(F.struct(
+            cname.alias("counter"),
+            F.when(junk, F.lit("junk")).otherwise(s(e % 9999))
+            .alias("value"),
+            F.concat(F.lit("obj"), s(u % 2)).alias("object"))))
+        .when(kind == "status", F.to_json(F.struct(
+            s(e % 40).alias("db_online"), s(u % 5).alias("db_restoring"),
+            s(e % 4).alias("db_recovering"),
+            s(u % 3).alias("db_recoveryPending"),
+            s(e % 2).alias("db_suspect"), s(u % 4).alias("db_offline"),
+            s(2 + e % 62).alias("cpu_count"),
+            s((e % 3200) / 32.0).alias("computer_uptime"))))
+        .otherwise(F.to_json(F.struct(
+            F.element_at(F.array(F.lit("Lock"), F.lit("CPU"),
+                                 F.lit("IO")), (u % 3 + 1).cast("int"))
+            .alias("wait_category"),
+            F.concat(F.lit("WT_"), s(e % 7)).alias("wait_type"),
+            F.when(junk, F.lit("?")).otherwise(s(e % 90000))
+            .alias("wait_time_ms"))))
+    )
+    fx = ev.select(
+        F.concat(F.lit("PC"), s(u % 2)).alias("computer"),
+        F.concat(F.lit("MSSQL"), s(u % 3)).alias("instance"),
+        F.when(kind.isin("io", "wait"),
+               F.concat(F.lit("db"), s(e % 3))).alias("db"),
+        e.alias("ts"), kind.alias("kind"), body.alias("body"),
+    )
+    return sqlserver_metrics(fx)
+
+
+def _sqlserver_oracle() -> str:
+    from ..operators.sqlserver import PERF_COUNTER_TABLE
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    parts = []
+    first = True
+
+    def sel(db, fp, fl, ft, metric, a1, a2, vi, vd, frm):
+        nonlocal first
+        a = (lambda n: f" AS {n}") if first else (lambda n: "")
+        first = False
+        return (f"SELECT computer{a('computer')}, "
+                f"instance{a('instance')}, {db}{a('db')}, "
+                f"e{a('ts')}, {fp}{a('file_physical')}, "
+                f"{fl}{a('file_logical')}, {ft}{a('file_type')}, "
+                f"{metric}{a('ss_metric')}, {a1}{a('ss_a1')}, "
+                f"{a2}{a('ss_a2')}, {vi}{a('ss_value')}, "
+                f"{vd}{a('ss_value_d')} {frm}")
+
+    dbn = "'db' || CAST(e % 3 AS VARCHAR)"
+    fp = "'/data/f' || CAST(e % 5 AS VARCHAR) || '.mdf'"
+    fl = "'lf' || CAST(e % 5 AS VARCHAR)"
+    ft = "CASE WHEN u % 2 = 0 THEN 'ROWS' ELSE 'LOG' END"
+    io_from = "FROM a WHERE e % 4 = 0"
+    parts.append(sel(dbn, fp, fl, ft, "'sqlserver.database.latency'",
+                     "'read'", NS, NI,
+                     "CAST(e % 3000 AS DOUBLE) / 1e3",
+                     io_from + " AND u % 17 <> 0"))
+    parts.append(sel(dbn, fp, fl, ft, "'sqlserver.database.latency'",
+                     "'write'", NS, NI,
+                     "CAST(u % 3000 AS DOUBLE) / 1e3", io_from))
+    parts.append(sel(dbn, fp, fl, ft,
+                     "'sqlserver.database.operations'", "'read'", NS,
+                     "CAST(e % 5000 AS BIGINT)", ND, io_from))
+    parts.append(sel(dbn, fp, fl, ft,
+                     "'sqlserver.database.operations'", "'write'", NS,
+                     "CAST(u % 5000 AS BIGINT)", ND,
+                     io_from + " AND u % 17 <> 0"))
+    parts.append(sel(dbn, fp, fl, ft, "'sqlserver.database.io'",
+                     "'read'", NS, "CAST(e * 512 % 10000000 AS BIGINT)",
+                     ND, io_from))
+    parts.append(sel(dbn, fp, fl, ft, "'sqlserver.database.io'",
+                     "'write'", NS,
+                     "CAST(u * 512 % 10000000 AS BIGINT)", ND, io_from))
+
+    for idx, (cname, metric, a1, a2, is_f) in \
+            enumerate(PERF_COUNTER_TABLE):
+        w = f"FROM a WHERE e % 4 = 1 AND e % 33 = {idx} AND u % 17 <> 0"
+        if a1 == "@object":
+            a1s = "'obj' || CAST(u % 2 AS VARCHAR)"
+        else:
+            a1s = f"'{a1}'" if a1 else NS
+        a2s = f"'{a2}'" if a2 else NS
+        vi = NI if is_f else "CAST(e % 9999 AS BIGINT)"
+        vd = "CAST(e % 9999 AS DOUBLE)" if is_f else ND
+        parts.append(sel(NS, NS, NS, NS, f"'{metric}'", a1s, a2s, vi,
+                         vd, w))
+
+    st_from = "FROM a WHERE e % 4 = 2"
+    for f, st in [("e % 40", "online"), ("u % 5", "restoring"),
+                  ("e % 4", "recovering"), ("u % 3", "pending_recovery"),
+                  ("e % 2", "suspect"), ("u % 4", "offline")]:
+        parts.append(sel(NS, NS, NS, NS, "'sqlserver.database.count'",
+                         f"'{st}'", NS, f"CAST({f} AS BIGINT)", ND,
+                         st_from))
+    parts.append(sel(NS, NS, NS, NS, "'sqlserver.cpu.count'", NS, NS,
+                     "CAST(2 + e % 62 AS BIGINT)", ND, st_from))
+    parts.append(sel(NS, NS, NS, NS, "'sqlserver.computer.uptime'",
+                     NS, NS, NI, "CAST(e % 3200 AS DOUBLE) / 32",
+                     st_from))
+
+    parts.append(sel(
+        dbn, NS, NS, NS, "'sqlserver.os.wait.duration'",
+        "['Lock','CPU','IO'][CAST(u % 3 AS INT) + 1]",
+        "'WT_' || CAST(e % 7 AS VARCHAR)", NI,
+        "CAST(e % 90000 AS DOUBLE) / 1e3",
+        "FROM a WHERE e % 4 = 3 AND u % 17 <> 0"))
+
+    return (
+        "WITH a AS (SELECT 'PC' || CAST(user_id % 2 AS VARCHAR) AS "
+        "computer, 'MSSQL' || CAST(user_id % 3 AS VARCHAR) AS "
+        "instance, user_id AS u, event_id AS e FROM events)\n"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+EXT18_QUERIES["sqlserver_metrics"] = q_sqlserver
+EXT18_ORACLES["sqlserver_metrics"] = _sqlserver_oracle()
