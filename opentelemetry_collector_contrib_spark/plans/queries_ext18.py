@@ -1017,3 +1017,261 @@ def _sqlserver_oracle() -> str:
 
 EXT18_QUERIES["sqlserver_metrics"] = q_sqlserver
 EXT18_ORACLES["sqlserver_metrics"] = _sqlserver_oracle()
+
+
+# ---------------------------------------------------------------------------
+# snowflake receiver: raw ACCOUNT_USAGE history -> aggregated metrics
+# ---------------------------------------------------------------------------
+
+
+def q_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.snowflake import snowflake_metrics
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    acct = F.concat(F.lit("ac"), (u % 2).cast("string")).alias("account")
+    t = e.alias("start_time")
+
+    metering = ev.select(
+        acct, t,
+        F.concat(F.lit("st"), (e % 3).cast("string"))
+        .alias("service_type"),
+        F.concat(F.lit("n"), (u % 2).cast("string")).alias("name"),
+        ((e % 3200).cast("double") / 32).alias("credits_used_compute"),
+        ((u % 1600).cast("double") / 16)
+        .alias("credits_used_cloud_services"),
+        ((e % 800).cast("double") / 8).alias("credits_used"),
+    )
+    wh_metering = ev.select(
+        acct, t,
+        F.concat(F.lit("wh"), (e % 4).cast("string"))
+        .alias("warehouse_name"),
+        ((u % 3200).cast("double") / 32).alias("credits_used_compute"),
+        ((e % 1600).cast("double") / 16)
+        .alias("credits_used_cloud_services"),
+        ((u % 800).cast("double") / 8).alias("credits_used"),
+    )
+    logins = ev.select(
+        acct, e.alias("event_timestamp"),
+        F.concat(F.lit("usr"), (u % 5).cast("string"))
+        .alias("user_name"),
+        F.when(e % 7 == 0, F.lit("BAD_PW")).otherwise(F.lit(""))
+        .alias("error_message"),
+        F.element_at(F.array(F.lit("JDBC"), F.lit("PYTHON"),
+                             F.lit("GO")), (e % 3 + 1).cast("int"))
+        .alias("reported_client_type"),
+        F.when(e % 7 == 0, F.lit("NO")).otherwise(F.lit("YES"))
+        .alias("is_success"),
+    )
+    wh_load = ev.select(
+        acct, t,
+        F.concat(F.lit("wh"), (e % 4).cast("string"))
+        .alias("warehouse_name"),
+        (e % 20).alias("avg_running"), (u % 10).alias("avg_queued_load"),
+        (e % 5).alias("avg_queued_provisioning"),
+        (u % 4).alias("avg_blocked"),
+    )
+    query_history = ev.select(
+        acct, t, e.alias("query_id"),
+        F.concat(F.lit("sch"), (u % 2).cast("string"))
+        .alias("schema_name"),
+        F.when(e % 11 == 0, F.lit("FAIL")).otherwise(F.lit("SUCCESS"))
+        .alias("execution_status"),
+        F.when(e % 11 == 0, F.lit("oops")).otherwise(F.lit(""))
+        .alias("error_message"),
+        F.element_at(F.array(F.lit("SELECT"), F.lit("INSERT"),
+                             F.lit("COPY")), (u % 3 + 1).cast("int"))
+        .alias("query_type"),
+        F.concat(F.lit("wh"), (e % 4).cast("string"))
+        .alias("warehouse_name"),
+        F.concat(F.lit("db"), (u % 2).cast("string"))
+        .alias("database_name"),
+        F.element_at(F.array(F.lit("XS"), F.lit("M")),
+                     (e % 2 + 1).cast("int")).alias("warehouse_size"),
+        F.concat(F.lit("usr"), (u % 5).cast("string"))
+        .alias("user_name"),
+        (e % 1000000).alias("bytes_scanned"),
+        (u % 100000).alias("bytes_deleted"),
+        (e % 5000).alias("bytes_spilled_to_remote_storage"),
+        (u % 5000).alias("bytes_spilled_to_local_storage"),
+        (e % 200000).alias("bytes_written"),
+        (u % 900).alias("compilation_time"),
+        (e % 100).alias("percentage_scanned_from_cache"),
+        (u % 60000).alias("execution_time"),
+        (e % 400).alias("partitions_scanned"),
+        (u % 300).alias("queued_overload_time"),
+        (e % 200).alias("queued_provisioning_time"),
+        (u % 100).alias("queued_repair_time"),
+        (e % 5000).alias("rows_inserted"),
+        (u % 4000).alias("rows_deleted"),
+        F.when(e % 13 == 0, F.lit(None).cast("bigint"))
+        .otherwise(e % 9000).alias("rows_produced"),
+        (u % 50).alias("rows_unloaded"),
+        (e % 3000).alias("rows_updated"),
+        (u % 70000).alias("total_elapsed_time"),
+    )
+    sessions = ev.select(
+        acct, e.alias("created_on"),
+        F.concat(F.lit("usr"), (u % 5).cast("string"))
+        .alias("user_name"),
+        (e % 97).alias("session_id"),
+    )
+    pipe_usage = ev.select(
+        acct, t,
+        F.concat(F.lit("p"), (e % 3).cast("string")).alias("pipe_name"),
+        ((u % 640).cast("double") / 64).alias("credits_used"),
+    )
+    storage = ev.select(
+        acct, e.alias("usage_date"),
+        (e * 1000 % 10000000000).alias("storage_bytes"),
+        (u * 1000 % 1000000000).alias("stage_bytes"),
+        (e * 100 % 100000000).alias("failsafe_bytes"),
+    )
+    return snowflake_metrics(metering, wh_metering, logins, wh_load,
+                             query_history, sessions, pipe_usage,
+                             storage, cutoff=100)
+
+
+def _snowflake_oracle() -> str:
+    from ..operators.snowflake import snowflake_metrics  # noqa: F401
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    head = ("SELECT account{0}, m{1}, attr{2}, {3} AS sf_schema, "
+            "{4} AS sf_status, {5} AS sf_error, {6} AS sf_qtype, "
+            "{7} AS sf_warehouse, {8} AS sf_db, {9} AS sf_size, "
+            "vi{10}, vd{11}")
+    qh_aggs = [
+        ("snowflake.database.bytes_scanned.avg", "e % 1000000"),
+        ("snowflake.query.bytes_deleted.avg", "u % 100000"),
+        ("snowflake.query.bytes_spilled.remote.avg", "e % 5000"),
+        ("snowflake.query.bytes_spilled.local.avg", "u % 5000"),
+        ("snowflake.query.bytes_written.avg", "e % 200000"),
+        ("snowflake.query.compilation_time.avg", "u % 900"),
+        ("snowflake.query.data_scanned_cache.avg", "e % 100"),
+        ("snowflake.query.execution_time.avg", "u % 60000"),
+        ("snowflake.query.partitions_scanned.avg", "e % 400"),
+        ("snowflake.queued_overload_time.avg", "u % 300"),
+        ("snowflake.queued_provisioning_time.avg", "e % 200"),
+        ("snowflake.queued_repair_time.avg", "u % 100"),
+        ("snowflake.rows_inserted.avg", "e % 5000"),
+        ("snowflake.rows_deleted.avg", "u % 4000"),
+        ("snowflake.rows_produced.avg",
+         "CASE WHEN e % 13 = 0 THEN 0 ELSE e % 9000 END"),
+        ("snowflake.rows_unloaded.avg", "u % 50"),
+        ("snowflake.rows_updated.avg", "e % 3000"),
+        ("snowflake.total_elapsed_time.avg", "u % 70000"),
+    ]
+    sevens = ("'sch' || CAST(u % 2 AS VARCHAR)",
+              "CASE WHEN e % 11 = 0 THEN 'FAIL' ELSE 'SUCCESS' END",
+              "CASE WHEN e % 11 = 0 THEN 'oops' ELSE '' END",
+              "['SELECT','INSERT','COPY'][CAST(u % 3 AS INT) + 1]",
+              "'wh' || CAST(e % 4 AS VARCHAR)",
+              "'db' || CAST(u % 2 AS VARCHAR)",
+              "['XS','M'][CAST(e % 2 AS INT) + 1]")
+    qh_group = ", ".join(sevens) + ", 'usr' || CAST(u % 5 AS VARCHAR)"
+    qh_metric_rows = ", ".join(
+        f"('{m}', NULL, AVG(CAST({x} AS DOUBLE)))" for m, x in qh_aggs)
+    return f"""
+WITH a AS (
+  SELECT 'ac' || CAST(user_id % 2 AS VARCHAR) AS account,
+         user_id AS u, event_id AS e
+  FROM events
+), w AS (SELECT * FROM a WHERE e >= 100)
+SELECT account AS account, m AS sf_metric, attr AS sf_attr,
+       {NS} AS sf_schema, {NS} AS sf_status, {NS} AS sf_error,
+       {NS} AS sf_qtype, {NS} AS sf_warehouse, {NS} AS sf_db,
+       {NS} AS sf_size, vi AS sf_value, vd AS sf_value_d
+FROM (
+  SELECT account, 'st' || CAST(e % 3 AS VARCHAR) AS attr,
+         SUM(CAST(e % 3200 AS DOUBLE) / 32) AS vw,
+         SUM(CAST(u % 1600 AS DOUBLE) / 16) AS cs,
+         SUM(CAST(e % 800 AS DOUBLE) / 8) AS tc
+  FROM w GROUP BY account, 2, 'n' || CAST(u % 2 AS VARCHAR)
+), LATERAL (VALUES
+  ('snowflake.billing.cloud_service.total', {NI}, cs),
+  ('snowflake.billing.total_credit.total', {NI}, tc),
+  ('snowflake.billing.virtual_warehouse.total', {NI}, vw)) t(m, vi, vd)
+UNION ALL
+SELECT account, m, attr, {NS}, {NS}, {NS}, {NS}, {NS}, {NS}, {NS},
+       vi, vd
+FROM (
+  SELECT account, 'wh' || CAST(e % 4 AS VARCHAR) AS attr,
+         SUM(CAST(u % 3200 AS DOUBLE) / 32) AS vw,
+         SUM(CAST(e % 1600 AS DOUBLE) / 16) AS cs,
+         SUM(CAST(u % 800 AS DOUBLE) / 8) AS tc
+  FROM w GROUP BY account, 2
+), LATERAL (VALUES
+  ('snowflake.billing.warehouse.total_credit.total', {NI}, tc),
+  ('snowflake.billing.warehouse.cloud_service.total', {NI}, cs),
+  ('snowflake.billing.warehouse.virtual_warehouse.total', {NI}, vw)
+) t(m, vi, vd)
+UNION ALL
+SELECT account, 'snowflake.logins.total',
+       err || '|' || ct || '|' || ok, {NS}, {NS}, {NS}, {NS}, {NS},
+       {NS}, {NS}, CAST(COUNT(*) AS BIGINT), {ND}
+FROM (
+  SELECT account, u, e,
+         CASE WHEN e % 7 = 0 THEN 'BAD_PW' ELSE '' END AS err,
+         ['JDBC','PYTHON','GO'][CAST(e % 3 AS INT) + 1] AS ct,
+         CASE WHEN e % 7 = 0 THEN 'NO' ELSE 'YES' END AS ok
+  FROM w)
+GROUP BY account, 'usr' || CAST(u % 5 AS VARCHAR), err, ct, ok
+UNION ALL
+SELECT account, m, attr, {NS}, {NS}, {NS}, {NS}, {NS}, {NS}, {NS},
+       {NI}, vd
+FROM (
+  SELECT account, 'wh' || CAST(e % 4 AS VARCHAR) AS attr,
+         AVG(CAST(e % 20 AS DOUBLE)) AS ex,
+         AVG(CAST(u % 10 AS DOUBLE)) AS ov,
+         AVG(CAST(e % 5 AS DOUBLE)) AS pr,
+         AVG(CAST(u % 4 AS DOUBLE)) AS bl
+  FROM w GROUP BY account, 2
+), LATERAL (VALUES
+  ('snowflake.query.executed', ex),
+  ('snowflake.query.blocked', bl),
+  ('snowflake.query.queued_overload', ov),
+  ('snowflake.query.queued_provision', pr)) t(m, vd)
+UNION ALL
+SELECT account, m, {NS}, s1, s2, s3, s4, s5, s6, s7, vi, vd
+FROM (
+  SELECT account, {", ".join(f"{x} AS s{i+1}" for i, x in enumerate(sevens))},
+         CAST(COUNT(e) AS BIGINT) AS n
+         {"".join(f", AVG(CAST({x} AS DOUBLE)) AS a{i}" for i, (_, x) in enumerate(qh_aggs))}
+  FROM w GROUP BY account, s1, s2, s3, s4, s5, s6, s7,
+        'usr' || CAST(u % 5 AS VARCHAR)
+), LATERAL (VALUES
+  ('snowflake.database.query.count', n, {ND})
+  {"".join(f", ('{m}', {NI}, a{i})" for i, (m, _) in enumerate(qh_aggs))}
+) t(m, vi, vd)
+UNION ALL
+SELECT account, 'snowflake.session_id.count',
+       'usr' || CAST(u % 5 AS VARCHAR), {NS}, {NS}, {NS}, {NS}, {NS},
+       {NS}, {NS}, CAST(COUNT(DISTINCT e % 97) AS BIGINT), {ND}
+FROM w GROUP BY account, 'usr' || CAST(u % 5 AS VARCHAR)
+UNION ALL
+SELECT account, 'snowflake.pipe.credits_used.total',
+       'p' || CAST(e % 3 AS VARCHAR), {NS}, {NS}, {NS}, {NS}, {NS},
+       {NS}, {NS}, {NI}, SUM(CAST(u % 640 AS DOUBLE) / 64)
+FROM w GROUP BY account, 'p' || CAST(e % 3 AS VARCHAR)
+UNION ALL
+SELECT account, m, {NS}, {NS}, {NS}, {NS}, {NS}, {NS}, {NS}, {NS},
+       vi, {ND}
+FROM (
+  SELECT account, e FROM (
+    SELECT account, e, ROW_NUMBER() OVER
+      (PARTITION BY account ORDER BY e DESC) AS rn FROM a)
+  WHERE rn = 1
+) s, LATERAL (VALUES
+  ('snowflake.storage.storage_bytes.total',
+   CAST(e * 1000 % 10000000000 AS BIGINT)),
+  ('snowflake.storage.stage_bytes.total',
+   CAST((SELECT user_id FROM events WHERE event_id = s.e) * 1000
+        % 1000000000 AS BIGINT)),
+  ('snowflake.storage.failsafe_bytes.total',
+   CAST(e * 100 % 100000000 AS BIGINT))) t(m, vi)
+"""
+
+
+EXT18_QUERIES["snowflake_metrics"] = q_snowflake
+EXT18_ORACLES["snowflake_metrics"] = _snowflake_oracle()
