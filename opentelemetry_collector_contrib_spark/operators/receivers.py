@@ -4959,3 +4959,118 @@ def httpcheck_metrics(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         m["attr"].alias("hc_attr"),
         m["status_code"].alias("hc_status_code"),
         m["cls"].alias("hc_class"), m["value"].alias("hc_value"))
+
+
+# ---------------------------------------------------------------------------
+# iis receiver (receiver/iisreceiver/recorder.go + scraper.go:62-180)
+# ---------------------------------------------------------------------------
+
+IIS_COUNTER_TABLE = [
+    # (object, counter, metric, attr, resource: none|site|app_pool)
+    ("Process", "Thread Count", "iis.thread.active", None, "none"),
+    ("Web Service", "Current Connections", "iis.connection.active",
+     None, "site"),
+    ("Web Service", "Total Bytes Received", "iis.network.io",
+     "received", "site"),
+    ("Web Service", "Total Bytes Sent", "iis.network.io", "sent",
+     "site"),
+    ("Web Service", "Total Connection Attempts (all instances)",
+     "iis.connection.attempt.count", None, "site"),
+    ("Web Service", "Total Delete Requests", "iis.request.count",
+     "delete", "site"),
+    ("Web Service", "Total Get Requests", "iis.request.count", "get",
+     "site"),
+    ("Web Service", "Total Head Requests", "iis.request.count",
+     "head", "site"),
+    ("Web Service", "Total Options Requests", "iis.request.count",
+     "options", "site"),
+    ("Web Service", "Total Post Requests", "iis.request.count",
+     "post", "site"),
+    ("Web Service", "Total Put Requests", "iis.request.count", "put",
+     "site"),
+    ("Web Service", "Total Trace Requests", "iis.request.count",
+     "trace", "site"),
+    ("Web Service", "Total Files Received", "iis.network.file.count",
+     "received", "site"),
+    ("Web Service", "Total Files Sent", "iis.network.file.count",
+     "sent", "site"),
+    ("Web Service", "Total Anonymous Users",
+     "iis.connection.anonymous", None, "site"),
+    ("Web Service", "Total blocked bandwidth bytes.",
+     "iis.network.blocked", None, "site"),
+    ("Web Service", "Service Uptime", "iis.uptime", None, "site"),
+    ("HTTP Service Request Queues", "RejectedRequests",
+     "iis.request.rejected", None, "app_pool"),
+    ("HTTP Service Request Queues", "CurrentQueueSize",
+     "iis.request.queue.count", None, "app_pool"),
+    ("APP_POOL_WAS", "Current Application Pool State",
+     "iis.application_pool.state", None, "app_pool"),
+    ("APP_POOL_WAS", "Current Application Pool Uptime",
+     "iis.application_pool.uptime", None, "app_pool"),
+]
+
+_IIS_NEG_DENOM = "A counter with a negative denominator value was " \
+    "detected.\r\n"
+
+
+def iis_metrics(df: DataFrame) -> DataFrame:
+    """Windows perf-counter samples → iis.* metric rows.
+
+    Re-expresses ``receiver/iisreceiver`` over rows of one counter
+    value each (ts, object, counter, instance, value double, err).
+    Faithful semantics from ``scraper.go:99-150``:
+
+    - a non-null ``err`` marks the whole watcher scrape failed — every
+      instance row of that (ts, object, counter) is dropped;
+    - the _Total-only guard (:108-112): when a wildcard watcher
+      returns exactly ONE instance and its name is empty, the metric
+      is skipped (per-instance data needs elevated permissions);
+      multi-instance sets keep their ""-named rows;
+    - MaxQueueItemAge (:127-150): the negative-denominator error
+      means an empty queue and records 0; any other error skips; the
+      _Total instance is never watched; values truncate to int64.
+    """
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        IIS_COUNTER_TABLE,
+        "object string, counter string, metric string, attr string, "
+        "res string")
+
+    o, c, inst = F.col("object"), F.col("counter"), F.col("instance")
+    err = F.col("err")
+
+    regular = df.where(~((o == "HTTP Service Request Queues")
+                         & (c == "MaxQueueItemAge")))
+    w = Window.partitionBy("ts", o, c)
+    regular = (regular
+               .withColumn("_n", F.count("*").over(w))
+               .withColumn("_failed", F.max(err.isNotNull()
+                                            .cast("int")).over(w))
+               .where(F.col("_failed") == 0)
+               .where(~((F.col("_n") == 1) & (inst == ""))))
+    joined = regular.join(F.broadcast(dim), ["object", "counter"],
+                          "inner")
+    reg_rows = joined.select(
+        F.col("ts"),
+        F.col("metric").alias("iis_metric"),
+        F.col("attr").alias("iis_attr"),
+        F.when(F.col("res") == "site", inst).alias("iis_site"),
+        F.when(F.col("res") == "app_pool", inst)
+        .alias("iis_app_pool"),
+        F.col("value").cast("bigint").alias("iis_value"),
+    )
+
+    qage = df.where((o == "HTTP Service Request Queues")
+                    & (c == "MaxQueueItemAge")
+                    & (inst != "_Total"))
+    qage = qage.where(err.isNull() | err.endswith(_IIS_NEG_DENOM))
+    qage_rows = qage.select(
+        F.col("ts"),
+        F.lit("iis.request.queue.age.max").alias("iis_metric"),
+        F.lit(None).cast("string").alias("iis_attr"),
+        F.lit(None).cast("string").alias("iis_site"),
+        inst.alias("iis_app_pool"),
+        F.when(err.isNotNull(), F.lit(0))
+        .otherwise(F.col("value")).cast("bigint").alias("iis_value"),
+    )
+    return reg_rows.unionByName(qage_rows)

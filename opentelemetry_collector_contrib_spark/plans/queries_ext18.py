@@ -1275,3 +1275,98 @@ FROM (
 
 EXT18_QUERIES["snowflake_metrics"] = q_snowflake
 EXT18_ORACLES["snowflake_metrics"] = _snowflake_oracle()
+
+
+# ---------------------------------------------------------------------------
+# iis receiver: perf-counter samples -> iis.* metrics
+# ---------------------------------------------------------------------------
+
+
+def q_iis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.receivers import IIS_COUNTER_TABLE, \
+        _IIS_NEG_DENOM, iis_metrics
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    n = len(IIS_COUNTER_TABLE)  # 21 regular + 2 qage variants
+    idx = e % (n + 2)
+    objs = F.array(*[F.lit(o) for o, *_ in IIS_COUNTER_TABLE]
+                   + [F.lit("HTTP Service Request Queues")] * 2)
+    ctrs = F.array(*[F.lit(c) for _, c, *_ in IIS_COUNTER_TABLE]
+                   + [F.lit("MaxQueueItemAge")] * 2)
+    inst = (F.when(idx == n + 1, F.lit("_Total"))
+            .when(u % 11 == 0, F.lit(""))
+            .otherwise(F.concat(F.lit("i"), (u % 3).cast("string"))))
+    err = F.when(
+        e % 19 == 0,
+        F.when(e % 38 == 0,
+               F.lit("boom: " + _IIS_NEG_DENOM)).otherwise(F.lit("boom")))
+    fx = ev.select(
+        (e - e % 16).alias("ts"),
+        F.element_at(objs, (idx + 1).cast("int")).alias("object"),
+        F.element_at(ctrs, (idx + 1).cast("int")).alias("counter"),
+        inst.alias("instance"),
+        ((e % 100000).cast("double") / 16).alias("value"),
+        err.alias("err"),
+    )
+    return iis_metrics(fx)
+
+
+def _iis_oracle() -> str:
+    from ..operators.receivers import IIS_COUNTER_TABLE
+    n = len(IIS_COUNTER_TABLE)
+    NS = "CAST(NULL AS VARCHAR)"
+    obj_arr = ("[" + ",".join(
+        f"'{o}'" for o, *_ in IIS_COUNTER_TABLE)
+        + ",'HTTP Service Request Queues','HTTP Service Request "
+          "Queues']")
+    ctr_arr = ("[" + ",".join(
+        f"'{c}'" for _, c, *_ in IIS_COUNTER_TABLE)
+        + ",'MaxQueueItemAge','MaxQueueItemAge']")
+    dim_rows = ",".join(
+        f"('{o}','{c}','{m}',"
+        + (f"'{a}'" if a else NS) + f",'{r}')"
+        for o, c, m, a, r in IIS_COUNTER_TABLE)
+    return f"""
+WITH a AS (
+  SELECT event_id - event_id % 16 AS ts, user_id AS u, event_id AS e,
+         CAST(event_id % {n + 2} AS INT) AS idx
+  FROM events
+), rows0 AS (
+  SELECT ts, u, e, idx,
+         {obj_arr}[idx + 1] AS obj, {ctr_arr}[idx + 1] AS ctr,
+         CASE WHEN idx = {n + 1} THEN '_Total'
+              WHEN u % 11 = 0 THEN ''
+              ELSE 'i' || CAST(u % 3 AS VARCHAR) END AS inst,
+         CAST(e % 100000 AS DOUBLE) / 16 AS val,
+         CASE WHEN e % 19 = 0 THEN
+           CASE WHEN e % 38 = 0 THEN 'negdenom' ELSE 'boom' END
+         END AS err
+  FROM a
+), dim AS (
+  SELECT * FROM (VALUES {dim_rows}) AS d(obj, ctr, m, attr, res)
+), reg AS (
+  SELECT * FROM (
+    SELECT r.*, COUNT(*) OVER (PARTITION BY ts, obj, ctr) AS cnt,
+           MAX(CASE WHEN err IS NOT NULL THEN 1 ELSE 0 END)
+             OVER (PARTITION BY ts, obj, ctr) AS failed
+    FROM rows0 r WHERE idx < {n})
+  WHERE failed = 0 AND NOT (cnt = 1 AND inst = '')
+)
+SELECT reg.ts, d.m AS iis_metric, d.attr AS iis_attr,
+       CASE WHEN d.res = 'site' THEN inst END AS iis_site,
+       CASE WHEN d.res = 'app_pool' THEN inst END AS iis_app_pool,
+       CAST(TRUNC(val) AS BIGINT) AS iis_value
+FROM reg JOIN dim d ON reg.obj = d.obj AND reg.ctr = d.ctr
+UNION ALL
+SELECT ts, 'iis.request.queue.age.max', {NS}, {NS}, inst,
+       CAST(CASE WHEN err IS NOT NULL THEN 0 ELSE TRUNC(val) END
+            AS BIGINT)
+FROM rows0
+WHERE idx = {n} AND inst <> '_Total'
+  AND (err IS NULL OR err = 'negdenom')
+"""
+
+
+EXT18_QUERIES["iis_metrics"] = q_iis
+EXT18_ORACLES["iis_metrics"] = _iis_oracle()
