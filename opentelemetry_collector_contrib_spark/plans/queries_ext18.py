@@ -1370,3 +1370,118 @@ WHERE idx = {n} AND inst <> '_Total'
 
 EXT18_QUERIES["iis_metrics"] = q_iis
 EXT18_ORACLES["iis_metrics"] = _iis_oracle()
+
+
+# ---------------------------------------------------------------------------
+# oracledb receiver: v$ views -> metric rows
+# ---------------------------------------------------------------------------
+
+
+def q_oracledb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.oracledb import ORACLE_STAT_TABLE, \
+        oracledb_metrics
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    names = ([n for n, _ in ORACLE_STAT_TABLE]
+             + ["CPU used by this session", "weird stat"])
+    kind = F.element_at(
+        F.array(F.lit("stat"), F.lit("session"), F.lit("reslimit"),
+                F.lit("tablespace")), (e % 4 + 1).cast("int"))
+    resources = ["processes", "sessions", "enqueue_locks",
+                 "dml_locks", "enqueue_resources", "transactions",
+                 "ghost"]
+    fx = ev.select(
+        F.lit("ORCL").alias("instance"), (e - e % 32).alias("ts"),
+        kind.alias("kind"),
+        F.element_at(F.array(*[F.lit(n) for n in names]),
+                     (e % 29 + 1).cast("int")).alias("name"),
+        F.when(u % 13 == 0, F.lit("NaNx")).otherwise(s(e % 100000))
+        .alias("value"),
+        F.when(u % 2 == 0, F.lit("ACTIVE")).otherwise(F.lit("INACTIVE"))
+        .alias("status"),
+        F.when(e % 3 == 0, F.lit("BACKGROUND")).otherwise(F.lit("USER"))
+        .alias("type"),
+        F.element_at(F.array(*[F.lit(r) for r in resources]),
+                     (e % 7 + 1).cast("int")).alias("resource_name"),
+        F.when(e % 29 == 0, F.lit("junk")).otherwise(s(e % 500))
+        .alias("current_utilization"),
+        F.when(u % 5 == 0, F.lit(" UNLIMITED "))
+        .otherwise(s(100 + e % 900)).alias("limit_value"),
+        F.concat(F.lit("TS"), s(e % 4)).alias("tablespace_name"),
+        F.when(e % 31 == 0, F.lit("bad")).otherwise(s(e % 10000))
+        .alias("used_space"),
+        F.when(u % 7 == 0, F.lit(""))
+        .when(u % 23 == 0, F.lit("nope"))
+        .otherwise(s(u % 20000)).alias("tablespace_size"),
+        s(F.lit(8192)).alias("block_size"),
+    )
+    return oracledb_metrics(fx)
+
+
+def _oracledb_oracle() -> str:
+    from ..operators.oracledb import ORACLE_RESOURCE_TABLE, \
+        ORACLE_STAT_TABLE
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    stat_dim = ",".join(f"({i},'{m}')"
+                        for i, (_, m) in enumerate(ORACLE_STAT_TABLE))
+    res_parts = []
+    for i, (name, usage_m, limit_m) in \
+            enumerate(ORACLE_RESOURCE_TABLE):
+        if usage_m:
+            res_parts.append(
+                f"SELECT instance, ts, '{usage_m}', {NS}, {NS}, {NS},"
+                f" CAST(e % 500 AS BIGINT), {ND} FROM a WHERE "
+                f"e % 4 = 2 AND e % 7 = {i} AND e % 29 <> 0")
+        res_parts.append(
+            f"SELECT instance, ts, '{limit_m}', {NS}, {NS}, {NS}, "
+            f"CAST(CASE WHEN u % 5 = 0 THEN -1 ELSE 100 + e % 900 END"
+            f" AS BIGINT), {ND} FROM a WHERE e % 4 = 2 AND "
+            f"e % 7 = {i}")
+    res_sql = "\nUNION ALL\n".join(res_parts)
+    return f"""
+WITH a AS (
+  SELECT 'ORCL' AS instance, event_id - event_id % 32 AS ts,
+         user_id AS u, event_id AS e
+  FROM events
+), sdim AS (SELECT * FROM (VALUES {stat_dim}) AS d(idx, m))
+SELECT instance AS instance, ts AS ts, m AS odb_metric,
+       {NS} AS odb_type, {NS} AS odb_status,
+       {NS} AS odb_tablespace,
+       CAST(e % 100000 AS BIGINT) AS odb_value,
+       {ND} AS odb_value_d
+FROM a JOIN sdim ON e % 29 = sdim.idx
+WHERE e % 4 = 0 AND u % 13 <> 0
+UNION ALL
+SELECT instance, ts, 'oracledb.cpu_time', {NS}, {NS}, {NS}, {NI},
+       CAST(e % 100000 AS DOUBLE) / 100
+FROM a WHERE e % 4 = 0 AND e % 29 = {len(ORACLE_STAT_TABLE)}
+  AND u % 13 <> 0
+UNION ALL
+SELECT instance, ts, 'oracledb.sessions.usage',
+       CASE WHEN e % 3 = 0 THEN 'BACKGROUND' ELSE 'USER' END,
+       CASE WHEN u % 2 = 0 THEN 'ACTIVE' ELSE 'INACTIVE' END,
+       {NS}, CAST(COUNT(*) AS BIGINT), {ND}
+FROM a WHERE e % 4 = 1
+GROUP BY instance, ts, 4, 5
+UNION ALL
+{res_sql}
+UNION ALL
+SELECT instance, ts, m, {NS}, {NS}, 'TS' || CAST(e % 4 AS VARCHAR),
+       vi, {ND}
+FROM a, LATERAL (VALUES
+  ('oracledb.tablespace_size.usage',
+   CAST((e % 10000) * 8192 AS BIGINT)),
+  ('oracledb.tablespace_size.limit',
+   CAST(CASE WHEN u % 7 = 0 THEN -1
+             ELSE (u % 20000) * 8192 END AS BIGINT))) t(m, vi)
+WHERE e % 4 = 3 AND e % 31 <> 0
+  AND (u % 7 = 0 OR u % 23 <> 0)
+"""
+
+
+EXT18_QUERIES["oracledb_metrics"] = q_oracledb
+EXT18_ORACLES["oracledb_metrics"] = _oracledb_oracle()
