@@ -1485,3 +1485,368 @@ WHERE e % 4 = 3 AND e % 31 <> 0
 
 EXT18_QUERIES["oracledb_metrics"] = q_oracledb
 EXT18_ORACLES["oracledb_metrics"] = _oracledb_oracle()
+
+
+# ---------------------------------------------------------------------------
+# saphana receiver: M_* view snapshots -> monitoring aggregations
+# ---------------------------------------------------------------------------
+
+_SA_NOW = 1000000
+
+
+def q_saphana(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.saphana import saphana_monitoring
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    inst = F.lit("HDB").alias("instance")
+    host = F.concat(F.lit("hn"), (u % 2).cast("string")).alias("host")
+
+    def part(k):
+        return ev.where(e % 19 == k)
+
+    views = {}
+    views["m_services"] = part(0).select(
+        inst, host, F.when(u % 3 == 0, F.lit("YES"))
+        .otherwise(F.lit("NO")).alias("active_status"))
+    views["m_service_threads"] = part(1).select(
+        inst, host, F.when(u % 2 == 0, F.lit("TRUE"))
+        .otherwise(F.lit("FALSE")).alias("is_active"))
+    views["m_cs_all_columns"] = part(2).select(
+        inst, host,
+        *[((e * (i + 2)) % 100000).alias(f"{t}_memory_size_in_{s}")
+          for i, (t, s) in enumerate(
+              (t, s) for t in ("main", "delta")
+              for s in ("data", "dict", "index", "misc"))])
+    views["m_rs_tables"] = part(3).select(
+        inst, host, (e % 1000).alias("used_fixed_part_size"),
+        (u % 1000).alias("used_variable_part_size"))
+    views["m_service_component_memory"] = part(4).select(
+        inst, host,
+        F.concat(F.lit("cp"), (e % 3).cast("string")).alias("component"),
+        (u % 5000).alias("used_memory_size"))
+    views["m_connections"] = part(5).select(
+        inst, host,
+        F.element_at(F.array(F.lit("RUNNING"), F.lit("IDLE"),
+                             F.lit(""), F.lit("QUEUING")),
+                     (e % 4 + 1).cast("int")).alias("connection_status"))
+    views["m_backup_catalog"] = part(6).select(
+        inst, F.when(e % 3 == 0, F.lit("successful"))
+        .otherwise(F.lit("failed")).alias("state_name"),
+        e.alias("utc_start_time"))
+    views["m_database"] = part(7).select(
+        inst, host, F.lit("SYS").alias("system_id"),
+        F.concat(F.lit("D"), (u % 2).cast("string"))
+        .alias("database_name"),
+        (e % 5000).alias("start_time"))
+    views["statistics_current_alerts"] = part(8).select(
+        inst, (e % 5 + 1).cast("string").alias("alert_rating"))
+    views["m_workload"] = part(9).select(
+        inst, host, (e % 100).alias("update_transaction_count"),
+        (u % 100).alias("commit_count"), (e % 10).alias("rollback_count"))
+    views["m_blocked_transactions"] = part(10).select(inst, host)
+    views["m_disks"] = part(11).select(
+        inst, host,
+        F.concat(F.lit("/hana/"), (e % 2).cast("string")).alias("path"),
+        F.when(u % 2 == 0, F.lit("DATA")).otherwise(F.lit("LOG"))
+        .alias("usage_type"),
+        (1000 + e % 1000).alias("total_size"), (e % 800).alias("used_size"))
+    views["m_licenses"] = part(12).select(
+        inst, F.lit("SYS").alias("system_id"),
+        F.concat(F.lit("P"), (e % 2).cast("string"))
+        .alias("product_name"),
+        (100 + u % 100).alias("product_limit"),
+        (e % 100).alias("product_usage"),
+        (500000 + e % 100000).alias("expiration_date"))
+    views["m_service_replication"] = part(13).select(
+        inst, host,
+        F.concat(F.lit("sec"), (u % 2).cast("string"))
+        .alias("secondary_host"),
+        (30000 + e % 3).cast("string").alias("port"),
+        F.lit("SYNC").alias("replication_mode"),
+        (e % 70000).alias("backlog_size"), (u % 900).alias("backlog_time"),
+        F.when(e % 5 == 0, F.lit(0)).otherwise(e % 20 + 1)
+        .alias("shipped_log_buffers_count"),
+        (F.when(e % 5 == 0, F.lit(0)).otherwise(e % 20 + 1)
+         * (u % 50)).alias("shipped_log_buffers_duration"))
+    views["m_service_statistics"] = part(14).select(
+        inst, host,
+        F.when(u % 7 == 0, F.lit(-2)).otherwise(e % 50)
+        .alias("active_request_count"),
+        (100 + e % 200).alias("all_finished_request_count"),
+        (e % 100).alias("finished_non_internal_request_count"),
+        (u % 30).alias("pending_request_count"),
+        (e % 400).alias("response_time"))
+    views["m_volume_io_total_statistics"] = part(15).select(
+        inst, host,
+        F.concat(F.lit("/vol/"), (e % 2).cast("string")).alias("path"),
+        F.when(u % 2 == 0, F.lit("DATA")).otherwise(F.lit("LOG"))
+        .alias("type"),
+        (e % 5000).alias("total_reads"), (u % 5000).alias("total_writes"),
+        (e % 90000).alias("total_read_size"),
+        (u % 90000).alias("total_write_size"),
+        (e % 7000).alias("total_read_time"),
+        (u % 7000).alias("total_write_time"))
+    views["m_service_memory"] = part(16).select(
+        inst, host,
+        F.concat(F.lit("svc"), (e % 3).cast("string"))
+        .alias("service_name"),
+        (e % 100000).alias("logical_memory_size"),
+        (u % 100000).alias("physical_memory_size"),
+        (e % 3000).alias("code_size"), (u % 2000).alias("stack_size"),
+        (5000 + e % 5000).alias("heap_memory_allocated_size"),
+        (e % 5000).alias("heap_memory_used_size"),
+        (4000 + u % 4000).alias("shared_memory_allocated_size"),
+        (u % 4000).alias("shared_memory_used_size"),
+        (e % 600).alias("compactors_allocated_size"),
+        (u % 500).alias("compactors_freeable_size"),
+        (e % 900000).alias("allocation_limit"),
+        (u % 800000).alias("effective_allocation_limit"))
+    views["m_cs_tables"] = part(17).select(
+        inst, host,
+        F.concat(F.lit("sc"), (u % 2).cast("string")).alias("schema_name"),
+        (e % 70000).alias("estimated_max_memory_size_in_total"),
+        (u % 8000).alias("last_compressed_record_count"),
+        (e % 9000).alias("read_count"), (u % 9000).alias("write_count"),
+        (e % 400).alias("merge_count"),
+        (e % 50000).alias("memory_size_in_main"),
+        (u % 40000).alias("memory_size_in_delta"),
+        (e % 3000).alias("memory_size_in_history_main"),
+        (u % 3000).alias("memory_size_in_history_delta"),
+        (e % 20000).alias("raw_record_count_in_main"),
+        (u % 20000).alias("raw_record_count_in_delta"),
+        (e % 1000).alias("raw_record_count_in_history_main"),
+        (u % 1000).alias("raw_record_count_in_history_delta"))
+    views["m_host_resource_utilization"] = part(18).select(
+        inst, host,
+        (e % 100000).alias("free_physical_memory"),
+        (u % 100000).alias("used_physical_memory"),
+        (e % 30000).alias("free_swap_space"),
+        (u % 30000).alias("used_swap_space"),
+        (e % 900000).alias("instance_total_memory_used_size"),
+        (e % 950000).alias("instance_total_memory_peak_used_size"),
+        (1000000 + e % 500000)
+        .alias("instance_total_memory_allocated_size"),
+        (e % 4000).alias("instance_code_size"),
+        (u % 6000).alias("instance_shared_memory_allocated_size"),
+        (e % 80000).alias("total_cpu_user_time"),
+        (u % 70000).alias("total_cpu_system_time"),
+        (e % 60000).alias("total_cpu_wio_time"),
+        (u % 50000).alias("total_cpu_idle_time"))
+    return saphana_monitoring(views, _SA_NOW)
+
+
+def _saphana_oracle() -> str:
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS BIGINT)"
+    ND = "CAST(NULL AS DOUBLE)"
+    B = lambda x: f"CAST({x} AS BIGINT)"  # noqa: E731
+    parts = []
+    first = True
+
+    def sel(host, metric, a1, a2, vi, vd, frm):
+        nonlocal first
+        a = (lambda n: f" AS {n}") if first else (lambda n: "")
+        first = False
+        return (f"SELECT 'HDB'{a('instance')}, {host}{a('host')}, "
+                f"{metric}{a('sa_metric')}, {a1}{a('sa_a1')}, "
+                f"{a2}{a('sa_a2')}, {vi}{a('sa_value')}, "
+                f"{vd}{a('sa_value_d')} {frm}")
+
+    H = "'hn' || CAST(u % 2 AS VARCHAR)"
+    # services / threads
+    parts.append(sel("host", "m", "a1", NS, "v", ND, f"""FROM (
+      SELECT {H} AS host,
+        SUM(CASE WHEN u % 3 = 0 THEN 1 ELSE 0 END) AS act,
+        SUM(CASE WHEN u % 3 = 0 THEN 0 ELSE 1 END) AS inact
+      FROM a WHERE e % 19 = 0 GROUP BY host
+    ), LATERAL (VALUES ('saphana.service.count', 'active', act),
+      ('saphana.service.count', 'inactive', inact)) t(m, a1, v)"""))
+    parts.append(sel("host", "m", "a1", NS, "v", ND, f"""FROM (
+      SELECT {H} AS host,
+        SUM(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END) AS act,
+        SUM(CASE WHEN u % 2 = 0 THEN 0 ELSE 1 END) AS inact
+      FROM a WHERE e % 19 = 1 GROUP BY host
+    ), LATERAL (VALUES ('saphana.service.thread.count', 'active', act),
+      ('saphana.service.thread.count', 'inactive', inact)) t(m, a1, v)"""))
+    # cs_all_columns: 8 sums, multipliers i+2 in (t,s) order
+    combos = [(t, s, i) for i, (t, s) in enumerate(
+        (t, s) for t in ("main", "delta")
+        for s in ("data", "dict", "index", "misc"))]
+    vals = ", ".join(f"('{t}', '{s}', s{i})" for t, s, i in combos)
+    sums = ", ".join(f"SUM((e * {i + 2}) % 100000) AS s{i}"
+                     for _, _, i in combos)
+    parts.append(sel("host", "'saphana.column.memory.used'", "a1",
+                     "a2", "v", ND, f"""FROM (
+      SELECT {H} AS host, {sums} FROM a WHERE e % 19 = 2
+      GROUP BY host), LATERAL (VALUES {vals}) t(a1, a2, v)"""))
+    parts.append(sel("host", "'saphana.row_store.memory.used'", "a1",
+                     NS, "v", ND, f"""FROM (
+      SELECT {H} AS host, SUM(e % 1000) AS f, SUM(u % 1000) AS vr
+      FROM a WHERE e % 19 = 3 GROUP BY host
+    ), LATERAL (VALUES ('fixed', f), ('variable', vr)) t(a1, v)"""))
+    parts.append(sel("host", "'saphana.component.memory.used'",
+                     "comp", NS, B("SUM(u % 5000)"), ND,
+                     f"""FROM (SELECT {H} AS host,
+      'cp' || CAST(e % 3 AS VARCHAR) AS comp, u
+      FROM a WHERE e % 19 = 4) GROUP BY host, comp"""))
+    parts.append(sel("host", "'saphana.connection.count'",
+                     "LOWER(cs)", NS, B("COUNT(*)"), ND,
+                     f"""FROM (SELECT {H} AS host,
+      ['RUNNING','IDLE','','QUEUING'][CAST(e % 4 AS INT) + 1] AS cs
+      FROM a WHERE e % 19 = 5) WHERE cs <> ''
+      GROUP BY host, LOWER(cs)"""))
+    parts.append(sel(NS, "'saphana.backup.latest'", NS, NS,
+                     B(f"MAX(e) - {_SA_NOW}"), ND,
+                     "FROM a WHERE e % 19 = 6 AND e % 3 = 0"))
+    parts.append(sel("host", "'saphana.uptime'", "'SYS'",
+                     "'D' || CAST(u % 2 AS VARCHAR)",
+                     B(f"{_SA_NOW} - e % 5000"), ND,
+                     f"FROM (SELECT {H} AS host, u, e FROM a WHERE "
+                     "e % 19 = 7)"))
+    parts.append(sel(NS, "'saphana.alert.count'",
+                     "CAST(e % 5 + 1 AS VARCHAR)", NS,
+                     B("COUNT(*)"), ND,
+                     "FROM a WHERE e % 19 = 8 "
+                     "GROUP BY CAST(e % 5 + 1 AS VARCHAR)"))
+    parts.append(sel("host", "'saphana.transaction.count'", "a1", NS,
+                     "v", ND, f"""FROM (
+      SELECT {H} AS host, SUM(e % 100) AS up, SUM(u % 100) AS cm,
+             SUM(e % 10) AS rb
+      FROM a WHERE e % 19 = 9 GROUP BY host
+    ), LATERAL (VALUES ('update', up), ('commit', cm),
+      ('rollback', rb)) t(a1, v)"""))
+    parts.append(sel("host", "'saphana.transaction.blocked'", NS, NS,
+                     B("COUNT(*)"), ND,
+                     f"FROM (SELECT {H} AS host FROM a WHERE "
+                     "e % 19 = 10) GROUP BY host"))
+    parts.append(sel("host", "'saphana.disk.size.current'", "a1",
+                     "a2", "v", ND, f"""FROM (
+      SELECT {H} AS host,
+        '/hana/' || CAST(e % 2 AS VARCHAR) || '|' ||
+          CASE WHEN u % 2 = 0 THEN 'DATA' ELSE 'LOG' END AS a1,
+        1000 + e % 1000 AS tot, e % 800 AS us
+      FROM a WHERE e % 19 = 11
+    ), LATERAL (VALUES ('free', tot - us), ('used', us)) t(a2, v)"""))
+    parts.append(sel(NS, "m", "'SYS|P' || CAST(e % 2 AS VARCHAR)",
+                     NS, "v", ND, f"""FROM (
+      SELECT u, e FROM a WHERE e % 19 = 12
+    ), LATERAL (VALUES
+      ('saphana.license.limit', CAST(100 + u % 100 AS BIGINT)),
+      ('saphana.license.peak', CAST(e % 100 AS BIGINT)),
+      ('saphana.license.expiration.time',
+       CAST(500000 + e % 100000 - {_SA_NOW} AS BIGINT))) t(m, v)"""))
+    parts.append(sel("host", "m", "a1", NS, "vi", "vd", f"""FROM (
+      SELECT {H} AS host,
+        {H} || '|sec' || CAST(u % 2 AS VARCHAR) || '|' ||
+          CAST(30000 + e % 3 AS VARCHAR) || '|SYNC' AS a1,
+        e % 70000 AS bs, u % 900 AS bt,
+        CASE WHEN e % 5 = 0 THEN 0.0
+             ELSE CAST(u % 50 AS DOUBLE) END AS avgt
+      FROM a WHERE e % 19 = 13
+    ), LATERAL (VALUES
+      ('saphana.replication.backlog.size', a1, CAST(bs AS BIGINT), {ND}),
+      ('saphana.replication.backlog.time', a1, CAST(bt AS BIGINT), {ND}),
+      ('saphana.replication.average_time', a1, {NI}, avgt)
+    ) t(m, a1x, vi, vd)"""))
+    parts.append(sel("host", "m", "a1", NS, "vi", "vd", f"""FROM (
+      SELECT {H} AS host,
+        SUM(e % 100) AS ext,
+        SUM(100 + e % 200 - e % 100) AS intn,
+        SUM(e % 50) AS act, SUM(u % 30) AS pen,
+        ROUND(AVG(CAST(e % 400 AS DOUBLE)), 2) AS avgt
+      FROM a WHERE e % 19 = 14 AND u % 7 <> 0 GROUP BY host
+    ), LATERAL (VALUES
+      ('saphana.network.request.finished.count', 'external',
+       CAST(ext AS BIGINT), {ND}),
+      ('saphana.network.request.finished.count', 'internal',
+       CAST(intn AS BIGINT), {ND}),
+      ('saphana.network.request.count', 'active',
+       CAST(act AS BIGINT), {ND}),
+      ('saphana.network.request.count', 'pending',
+       CAST(pen AS BIGINT), {ND}),
+      ('saphana.network.request.average_time', {NS}, {NI}, avgt)
+    ) t(m, a1, vi, vd)"""))
+    parts.append(sel("host", "m", "a1", "a2", "v", ND, f"""FROM (
+      SELECT {H} AS host,
+        '/vol/' || CAST(e % 2 AS VARCHAR) || '|' ||
+          CASE WHEN u % 2 = 0 THEN 'DATA' ELSE 'LOG' END AS a1,
+        SUM(e % 5000) AS r, SUM(u % 5000) AS w,
+        SUM(e % 90000) AS rs, SUM(u % 90000) AS ws,
+        SUM(e % 7000) AS rt, SUM(u % 7000) AS wt
+      FROM a WHERE e % 19 = 15 GROUP BY host, a1
+    ), LATERAL (VALUES
+      ('saphana.volume.operation.count', 'read', r),
+      ('saphana.volume.operation.count', 'write', w),
+      ('saphana.volume.operation.size', 'read', rs),
+      ('saphana.volume.operation.size', 'write', ws),
+      ('saphana.volume.operation.time', 'read', rt),
+      ('saphana.volume.operation.time', 'write', wt)) t(m, a2, v)"""))
+    svc_vals = """
+      ('saphana.service.memory.used', 'logical', e % 100000),
+      ('saphana.service.memory.used', 'physical', u % 100000),
+      ('saphana.service.code_size', NULL, e % 3000),
+      ('saphana.service.stack_size', NULL, u % 2000),
+      ('saphana.service.memory.heap.current', 'free', 5000),
+      ('saphana.service.memory.heap.current', 'used', e % 5000),
+      ('saphana.service.memory.shared.current', 'free', 4000),
+      ('saphana.service.memory.shared.current', 'used', u % 4000),
+      ('saphana.service.memory.compactors.allocated', NULL, e % 600),
+      ('saphana.service.memory.compactors.freeable', NULL, u % 500),
+      ('saphana.service.memory.limit', NULL, e % 900000),
+      ('saphana.service.memory.effective_limit', NULL, u % 800000)"""
+    parts.append(sel("host", "m",
+                     "'svc' || CAST(e % 3 AS VARCHAR)", "a2", "v",
+                     ND, f"""FROM (
+      SELECT {H} AS host, u, e FROM a WHERE e % 19 = 16
+    ), LATERAL (VALUES {svc_vals}) t(m, a2, v)"""))
+    cst_vals = """
+      ('saphana.schema.memory.used.max', NULL, em),
+      ('saphana.schema.record.compressed.count', NULL, lc),
+      ('saphana.schema.operation.count', 'read', rd),
+      ('saphana.schema.operation.count', 'write', wr),
+      ('saphana.schema.operation.count', 'merge', mg),
+      ('saphana.schema.memory.used.current', 'main', mm),
+      ('saphana.schema.memory.used.current', 'delta', md),
+      ('saphana.schema.memory.used.current', 'history_main', mhm),
+      ('saphana.schema.memory.used.current', 'history_delta', mhd),
+      ('saphana.schema.record.count', 'main', rm),
+      ('saphana.schema.record.count', 'delta', rdl),
+      ('saphana.schema.record.count', 'history_main', rhm),
+      ('saphana.schema.record.count', 'history_delta', rhd)"""
+    parts.append(sel("host", "m", "sch", "a2", "v", ND, f"""FROM (
+      SELECT {H} AS host, 'sc' || CAST(u % 2 AS VARCHAR) AS sch,
+        SUM(e % 70000) AS em, SUM(u % 8000) AS lc,
+        SUM(e % 9000) AS rd, SUM(u % 9000) AS wr, SUM(e % 400) AS mg,
+        SUM(e % 50000) AS mm, SUM(u % 40000) AS md,
+        SUM(e % 3000) AS mhm, SUM(u % 3000) AS mhd,
+        SUM(e % 20000) AS rm, SUM(u % 20000) AS rdl,
+        SUM(e % 1000) AS rhm, SUM(u % 1000) AS rhd
+      FROM a WHERE e % 19 = 17 GROUP BY host, sch
+    ), LATERAL (VALUES {cst_vals}) t(m, a2, v)"""))
+    hr_vals = f"""
+      ('saphana.host.memory.current', 'free', e % 100000),
+      ('saphana.host.memory.current', 'used', u % 100000),
+      ('saphana.host.swap.current', 'free', e % 30000),
+      ('saphana.host.swap.current', 'used', u % 30000),
+      ('saphana.instance.memory.current', 'used', e % 900000),
+      ('saphana.instance.memory.used.peak', NULL, e % 950000),
+      ('saphana.instance.memory.current', 'free',
+       1000000 + e % 500000 - e % 900000),
+      ('saphana.instance.code_size', NULL, e % 4000),
+      ('saphana.instance.memory.shared.allocated', NULL, u % 6000),
+      ('saphana.cpu.used', 'user', e % 80000),
+      ('saphana.cpu.used', 'system', u % 70000),
+      ('saphana.cpu.used', 'io_wait', e % 60000),
+      ('saphana.cpu.used', 'idle', u % 50000)"""
+    parts.append(sel("host", "m", "a1", NS, "v", ND, f"""FROM (
+      SELECT {H} AS host, u, e FROM a WHERE e % 19 = 18
+    ), LATERAL (VALUES {hr_vals}) t(m, a1, v)"""))
+
+    body = "\nUNION ALL\n".join(parts)
+    return ("WITH a AS (SELECT user_id AS u, event_id AS e FROM "
+            "events)\n" + body)
+
+
+EXT18_QUERIES["saphana_monitoring"] = q_saphana
+EXT18_ORACLES["saphana_monitoring"] = _saphana_oracle()
