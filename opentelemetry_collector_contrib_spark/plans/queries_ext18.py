@@ -1850,3 +1850,110 @@ def _saphana_oracle() -> str:
 
 EXT18_QUERIES["saphana_monitoring"] = q_saphana
 EXT18_ORACLES["saphana_monitoring"] = _saphana_oracle()
+
+
+# ---------------------------------------------------------------------------
+# splunkenterprise receiver: SPL searches as Spark aggregations
+# ---------------------------------------------------------------------------
+
+
+def q_splunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.splunk import splunk_spl_metrics
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    host = F.concat(F.lit("sp"), (u % 3).cast("string")).alias("host")
+
+    license_usage = ev.where(e % 5 == 0).select(
+        F.when(u % 7 == 0, F.lit(None).cast("string"))
+        .when(u % 7 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("ix"), (u % 4).cast("string")))
+        .alias("idx"),
+        (e % 100000).alias("b"))
+    scheduler = ev.where(e % 5 == 1).select(
+        host,
+        F.element_at(F.array(
+            F.lit("completed"), F.lit("skipped"), F.lit("deferred"),
+            F.lit("success"), F.lit("running")),
+            (u % 5 + 1).cast("int")).alias("status"),
+        (1000 + e % 500).cast("double").alias("dispatch_time"),
+        (900 + e % 400).cast("double").alias("scheduled_time"),
+        F.when(u % 3 == 0, F.lit(None).cast("double"))
+        .otherwise((u % 50).cast("double")).alias("window_time"),
+        (e % 300).cast("double").alias("run_time"))
+    indexerpipe = ev.where(e % 5 == 2).select(
+        host, ((e % 6400).cast("double") / 64)
+        .alias("write_cpu_seconds"),
+        ((u % 3200).cast("double") / 32).alias("service_cpu_seconds"))
+    iostats = ev.where(e % 5 == 3).select(
+        host, (e % 200).alias("reads_ps"), (u % 200).alias("writes_ps"),
+        (1 + e % 4).alias("interval"))
+    throughput = ev.where(e % 5 == 4).select(
+        F.when(u % 9 == 0, F.lit("blocked")).otherwise(F.lit("normal"))
+        .alias("status"),
+        ((e % 12800).cast("double") / 128).alias("average_kbps"))
+    return splunk_spl_metrics(license_usage, scheduler, indexerpipe,
+                              iostats, throughput, build="B1",
+                              version="9.0")
+
+
+O_SPLUNK = """
+WITH a AS (
+  SELECT 'sp' || CAST(user_id % 3 AS VARCHAR) AS host,
+         user_id AS u, event_id AS e
+  FROM events
+), NB AS (SELECT 'B1' AS b, '9.0' AS v)
+SELECT 'splunk.license.index.usage' AS sp_metric,
+       indexname AS sp_attr,
+       CAST(ROUND(SUM(b), 9) AS BIGINT) AS sp_value,
+       CAST(NULL AS DOUBLE) AS sp_value_d,
+       'B1' AS sp_build, '9.0' AS sp_version
+FROM (
+  SELECT CASE WHEN u % 7 IN (0, 1) THEN '(UNKNOWN)'
+              ELSE 'ix' || CAST(u % 4 AS VARCHAR) END AS indexname,
+         e % 100000 AS b
+  FROM a WHERE e % 5 = 0)
+GROUP BY indexname
+UNION ALL
+SELECT 'splunk.scheduler.avg.execution.latency', host, NULL,
+       ROUND(AVG(GREATEST(0.0,
+         CAST(1000 + e % 500 AS DOUBLE)
+         - (900 + e % 400
+            + CASE WHEN u % 3 = 0 THEN 0 ELSE u % 50 END))), 2),
+       'B1', '9.0'
+FROM a WHERE e % 5 = 1 AND u % 5 < 4 GROUP BY host
+UNION ALL
+SELECT 'splunk.scheduler.completion.ratio', host, NULL,
+       ROUND((1 - CAST(SUM(CASE WHEN u % 5 = 1 THEN 1 ELSE 0 END)
+                       AS DOUBLE)
+                / SUM(CASE WHEN u % 5 IN (0, 1, 3) THEN 1 ELSE 0 END))
+             * 100, 2),
+       'B1', '9.0'
+FROM a WHERE e % 5 = 1 AND u % 5 < 4 GROUP BY host
+UNION ALL
+SELECT 'splunk.scheduler.avg.run.time', host, NULL,
+       ROUND(AVG(CAST(e % 300 AS DOUBLE)), 2), 'B1', '9.0'
+FROM a WHERE e % 5 = 1 AND u % 5 < 4 GROUP BY host
+UNION ALL
+SELECT 'splunk.indexer.raw.write.time', host, NULL,
+       SUM(CAST(e % 6400 AS DOUBLE) / 64), 'B1', '9.0'
+FROM a WHERE e % 5 = 2 GROUP BY host
+UNION ALL
+SELECT 'splunk.indexer.cpu.time', host, NULL,
+       SUM(CAST(u % 3200 AS DOUBLE) / 32), 'B1', '9.0'
+FROM a WHERE e % 5 = 2 GROUP BY host
+UNION ALL
+SELECT 'splunk.io.avg.iops', host,
+       CAST(ROUND(AVG(CAST((1 + e % 4) * (e % 200 + u % 200)
+                           AS DOUBLE))) AS BIGINT),
+       NULL, 'B1', '9.0'
+FROM a WHERE e % 5 = 3 GROUP BY host
+UNION ALL
+SELECT 'splunk.indexer.throughput',
+       CASE WHEN u % 9 = 0 THEN 'blocked' ELSE 'normal' END,
+       NULL, CAST(e % 12800 AS DOUBLE) / 128 * 1000, 'B1', '9.0'
+FROM a WHERE e % 5 = 4
+"""
+
+EXT18_QUERIES["splunk_spl_metrics"] = q_splunk
+EXT18_ORACLES["splunk_spl_metrics"] = O_SPLUNK
