@@ -1957,3 +1957,128 @@ FROM a WHERE e % 5 = 4
 
 EXT18_QUERIES["splunk_spl_metrics"] = q_splunk
 EXT18_ORACLES["splunk_spl_metrics"] = O_SPLUNK
+
+
+# ---------------------------------------------------------------------------
+# prometheus initial-point adjuster: reset segments as windows
+# ---------------------------------------------------------------------------
+
+
+def q_prom_adjust_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prom_adjuster import prom_adjust_start_times
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    fx = ev.select(
+        F.concat(F.lit("job"), (u % 2).cast("string")).alias("job"),
+        F.concat(F.lit("s"), (u % 5).cast("string")).alias("series"),
+        e.alias("ts"), (e - e % 100).alias("start_ts"),
+        (e % 13 == 0).alias("stale"),
+        (e % 97).cast("double").alias("value"),
+    )
+    out = prom_adjust_start_times(fx, ["job", "series"], family="sum")
+    return out.select("job", "series", "ts", "start_ts", "stale",
+                      "value", "start_adjusted")
+
+
+O_PROM_ADJ_SUM = """
+WITH fx AS (
+  SELECT 'job' || CAST(user_id % 2 AS VARCHAR) AS job,
+         's' || CAST(user_id % 5 AS VARCHAR) AS series,
+         event_id AS ts, event_id - event_id % 100 AS start_ts,
+         event_id % 13 = 0 AS stale,
+         CAST(event_id % 97 AS DOUBLE) AS value
+  FROM events
+), st1 AS (
+  SELECT *, ROW_NUMBER() OVER w = 1 AS first,
+         CASE WHEN ROW_NUMBER() OVER w = 1 OR NOT stale
+              THEN value END AS cv
+  FROM fx WINDOW w AS (PARTITION BY job, series ORDER BY ts)
+), st2 AS (
+  SELECT *, LAST_VALUE(cv IGNORE NULLS) OVER
+    (PARTITION BY job, series ORDER BY ts
+     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv
+  FROM st1
+), st3 AS (
+  SELECT *, first OR (NOT stale AND NOT first
+                      AND COALESCE(value < pv, FALSE)) AS b
+  FROM st2
+), st4 AS (
+  SELECT *, SUM(CASE WHEN b THEN 1 ELSE 0 END) OVER
+    (PARTITION BY job, series ORDER BY ts
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM st3
+)
+SELECT job, series, ts, start_ts, stale, value,
+       FIRST_VALUE(start_ts) OVER
+         (PARTITION BY job, series, seg ORDER BY ts) AS start_adjusted
+FROM st4
+"""
+
+EXT18_QUERIES["prom_adjust_sum"] = q_prom_adjust_sum
+EXT18_ORACLES["prom_adjust_sum"] = O_PROM_ADJ_SUM
+
+
+def q_prom_adjust_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prom_adjuster import prom_adjust_start_times
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    fx = ev.select(
+        F.lit("j").alias("job"),
+        F.concat(F.lit("s"), (u % 4).cast("string")).alias("series"),
+        e.alias("ts"), (e - e % 200).alias("start_ts"),
+        (e % 19 == 0).alias("stale"),
+        F.when(e % 11 == 0, F.lit(0)).otherwise(e % 50)
+        .cast("bigint").alias("count"),
+        F.when(e % 17 == 0, F.lit(0.0))
+        .otherwise((e % 900).cast("double") / 8).alias("sum"),
+    )
+    out = prom_adjust_start_times(fx, ["job", "series"],
+                                  family="summary")
+    return out.select("job", "series", "ts", "start_ts", "stale",
+                      "count", "sum", "start_adjusted")
+
+
+O_PROM_ADJ_SUMMARY = """
+WITH fx AS (
+  SELECT 'j' AS job, 's' || CAST(user_id % 4 AS VARCHAR) AS series,
+         event_id AS ts, event_id - event_id % 200 AS start_ts,
+         event_id % 19 = 0 AS stale,
+         CAST(CASE WHEN event_id % 11 = 0 THEN 0
+                   ELSE event_id % 50 END AS BIGINT) AS count,
+         CASE WHEN event_id % 17 = 0 THEN 0.0
+              ELSE CAST(event_id % 900 AS DOUBLE) / 8 END AS sum
+  FROM events
+), st1 AS (
+  SELECT *, ROW_NUMBER() OVER w = 1 AS first,
+         CASE WHEN ROW_NUMBER() OVER w = 1 OR NOT stale
+              THEN count END AS cc,
+         CASE WHEN ROW_NUMBER() OVER w = 1 OR NOT stale
+              THEN sum END AS cs
+  FROM fx WINDOW w AS (PARTITION BY job, series ORDER BY ts)
+), st2 AS (
+  SELECT *,
+    LAST_VALUE(cc IGNORE NULLS) OVER wp AS pc,
+    LAST_VALUE(cs IGNORE NULLS) OVER wp AS ps
+  FROM st1 WINDOW wp AS (PARTITION BY job, series ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), st3 AS (
+  SELECT *, first OR (NOT stale AND NOT first AND COALESCE(
+      (count <> 0 AND pc <> 0 AND count < pc)
+      OR (sum <> 0 AND ps <> 0 AND sum < ps), FALSE)) AS b
+  FROM st2
+), st4 AS (
+  SELECT *, SUM(CASE WHEN b THEN 1 ELSE 0 END) OVER
+    (PARTITION BY job, series ORDER BY ts
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM st3
+)
+SELECT job, series, ts, start_ts, stale, count, sum,
+       FIRST_VALUE(start_ts) OVER
+         (PARTITION BY job, series, seg ORDER BY ts) AS start_adjusted
+FROM st4
+"""
+
+EXT18_QUERIES["prom_adjust_summary"] = q_prom_adjust_summary
+EXT18_ORACLES["prom_adjust_summary"] = O_PROM_ADJ_SUMMARY
