@@ -237,8 +237,6 @@ _JOB_FAN = [
     ("spark.job.stage.result", "failed", "num_failed_stages"),
 ]
 
-_OUT = ["ts", "app_id", "app_name", "as_scope", "as_id", "as_metric",
-        "as_attr1", "as_attr2", "as_value", "as_value_d"]
 
 
 def _sel(df, scope, sid, entries):

@@ -38,8 +38,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_OUT = ["cluster", "ts", "km_metric", "km_group", "km_topic",
-        "km_partition", "km_broker", "km_value"]
 
 
 def _row(metric, group=None, topic=None, partition=None, broker=None,

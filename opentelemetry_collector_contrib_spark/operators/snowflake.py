@@ -39,9 +39,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_OUT = ["account", "sf_metric", "sf_attr", "sf_schema", "sf_status",
-        "sf_error", "sf_qtype", "sf_warehouse", "sf_db", "sf_size",
-        "sf_value", "sf_value_d"]
 
 def _NS():
     return F.lit(None).cast("string")

@@ -61,7 +61,6 @@ def splunk_spl_metrics(
     iostats(host, reads_ps, writes_ps, interval),
     throughput(status, average_kbps).
     """
-    ns = F.lit(None).cast("string")
     nl = F.lit(None).cast("bigint")
     nd = F.lit(None).cast("double")
     bv = [F.lit(build).alias("sp_build"),

@@ -120,7 +120,6 @@ _STATUS_SCHEMA = ("struct<db_online: string, db_restoring: string, "
 _WAIT_SCHEMA = ("struct<wait_category: string, wait_type: string, "
                 "wait_time_ms: string>")
 
-_OUT_ATTRS = ["computer", "instance", "db"]
 
 
 def _ent(metric, a1, a2, vi, vd, present):
