@@ -697,3 +697,8 @@ from .queries_ext20 import EXT20_ORACLES, EXT20_QUERIES  # noqa: E402
 
 QUERIES.update(EXT20_QUERIES)
 ORACLES.update(EXT20_ORACLES)
+
+from .queries_ext21 import EXT21_ORACLES, EXT21_QUERIES  # noqa: E402
+
+QUERIES.update(EXT21_QUERIES)
+ORACLES.update(EXT21_ORACLES)
