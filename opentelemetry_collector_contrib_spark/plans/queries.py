@@ -702,3 +702,8 @@ from .queries_ext21 import EXT21_ORACLES, EXT21_QUERIES  # noqa: E402
 
 QUERIES.update(EXT21_QUERIES)
 ORACLES.update(EXT21_ORACLES)
+
+from .queries_ext22 import EXT22_ORACLES, EXT22_QUERIES  # noqa: E402
+
+QUERIES.update(EXT22_QUERIES)
+ORACLES.update(EXT22_ORACLES)
