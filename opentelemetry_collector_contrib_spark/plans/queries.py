@@ -707,3 +707,8 @@ from .queries_ext22 import EXT22_ORACLES, EXT22_QUERIES  # noqa: E402
 
 QUERIES.update(EXT22_QUERIES)
 ORACLES.update(EXT22_ORACLES)
+
+from .queries_ext23 import EXT23_ORACLES, EXT23_QUERIES  # noqa: E402
+
+QUERIES.update(EXT23_QUERIES)
+ORACLES.update(EXT23_ORACLES)
