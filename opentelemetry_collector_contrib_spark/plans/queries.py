@@ -712,3 +712,8 @@ from .queries_ext23 import EXT23_ORACLES, EXT23_QUERIES  # noqa: E402
 
 QUERIES.update(EXT23_QUERIES)
 ORACLES.update(EXT23_ORACLES)
+
+from .queries_ext24 import EXT24_ORACLES, EXT24_QUERIES  # noqa: E402
+
+QUERIES.update(EXT24_QUERIES)
+ORACLES.update(EXT24_ORACLES)
