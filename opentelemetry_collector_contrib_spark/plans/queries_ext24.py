@@ -218,3 +218,158 @@ FROM c
 
 EXT24_QUERIES["jaeger_export"] = q_jaeger_export
 EXT24_ORACLES["jaeger_export"] = O_JAEGER_EXPORT
+
+
+def q_signalfx_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP metrics → SignalFx datapoints
+    (``pkg/translator/signalfx/from_metrics.go``); fixture fans the
+    events table across all five metric shapes."""
+    from ..operators.signalfx_export import signalfx_from_metrics
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    d = lambda c: c.cast("double")  # noqa: E731
+
+    fx = ev.select(
+        e.alias("i"),
+        F.concat(F.lit("met"), s(e % 6)).alias("name"),
+        F.when(e % 5 == 0, F.lit("gauge"))
+        .when(e % 5 == 1, F.lit("sum"))
+        .when(e % 5 == 2, F.lit("histogram"))
+        .when(e % 5 == 3, F.lit("summary"))
+        .when(e % 2 == 0, F.lit("exphist")).otherwise(F.lit("empty"))
+        .alias("mtype"),
+        (u % 3 != 0).alias("monotonic"),
+        (e % 2 == 0).alias("delta"),
+        (F.lit(1700000000000000000) + e * 1000000).cast("bigint")
+        .alias("ts_ns"),
+        F.when(e % 7 != 0, F.map_from_arrays(
+            F.array(F.lit("k"), F.lit("q")),
+            F.array(F.concat(F.lit("v"), s(e % 3)),
+                    F.concat(F.lit("z"), s(u % 2)))))
+        .otherwise(F.map_from_arrays(F.array().cast("array<string>"),
+                                     F.array().cast("array<string>")))
+        .alias("attrs"),
+        F.when(u % 5 != 0, F.create_map(
+            F.lit("host"), F.concat(F.lit("h"), s(u % 4))))
+        .otherwise(F.map_from_arrays(F.array().cast("array<string>"),
+                                     F.array().cast("array<string>")))
+        .alias("res_attrs"),
+        F.when(e % 35 == 0, F.lit(None).cast("boolean"))
+        .otherwise(e % 2 == 0).alias("is_int"),
+        (e % 100).cast("bigint").alias("vint"),
+        d((u % 4) * 0.25).alias("vdouble"),
+        F.when(e % 5 == 2, e % 50 + 2).otherwise(e % 30 + 1)
+        .cast("bigint").alias("count"),
+        F.when(e % 5 == 2,
+               F.when(u % 4 != 0, d((u % 10) * 1.5)))
+        .otherwise(F.when(u % 3 != 0, d((u % 9) * 1.25))).alias("sum"),
+        F.when(u % 5 != 0, F.lit(0.25)).cast("double").alias("min"),
+        F.when(u % 6 != 0, d((u % 7) * 2.0)).alias("max"),
+        F.array(F.lit(0.0), F.lit(1.0), F.lit(2.5)).alias("bounds"),
+        F.when(e % 20 == 2,
+               F.array(F.lit(1), F.lit(2)).cast("array<bigint>"))
+        .when(e % 15 == 2, F.array().cast("array<bigint>"))
+        .otherwise(F.array(e % 3, e % 4, e % 5 + 1, F.lit(7))
+                   .cast("array<bigint>")).alias("bucket_counts"),
+        F.when(u % 2 == 0, F.array(
+            F.struct(F.lit(0.5).alias("q"),
+                     d((u % 5) * 0.25).alias("v")),
+            F.struct(F.lit(0.99).alias("q"),
+                     d((u % 9) * 0.5).alias("v"))))
+        .otherwise(F.array().cast(
+            "array<struct<q:double,v:double>>")).alias("quantiles"),
+    )
+
+    return signalfx_from_metrics(fx, id_cols=["i"])
+
+
+O_SIGNALFX_EXPORT = """
+WITH a AS (
+  SELECT event_id AS i, user_id AS u, event_id AS e,
+         'met' || CAST(event_id % 6 AS VARCHAR) AS name,
+         1700000000000 + event_id AS ts_ms,
+         CASE WHEN event_id % 2 = 0 THEN 'COUNTER'
+              ELSE 'CUMULATIVE_COUNTER' END AS hist_mt
+  FROM events
+), dims AS (
+  SELECT *,
+    list_filter([
+      CASE WHEN u % 5 <> 0 THEN 'host=h' || CAST(u % 4 AS VARCHAR) END,
+      CASE WHEN e % 7 <> 0 THEN 'k=v' || CAST(e % 3 AS VARCHAR) END,
+      CASE WHEN e % 7 <> 0 THEN 'q=z' || CAST(u % 2 AS VARCHAR) END
+    ], x -> x IS NOT NULL) AS base
+  FROM a
+), pts AS (
+  -- number points (gauge + sum), incl. the EMPTY-value point
+  SELECT i, name AS metric,
+         CASE WHEN e % 5 = 0 THEN 'GAUGE'
+              WHEN u % 3 = 0 THEN 'GAUGE'
+              ELSE hist_mt END AS metric_type,
+         ts_ms, base,
+         CASE WHEN e % 35 <> 0 AND e % 2 = 0 THEN e % 100 END AS vint,
+         CASE WHEN e % 35 <> 0 AND e % 2 <> 0
+              THEN (u % 4) * 0.25 END AS vdouble,
+         NULL AS extra
+  FROM dims WHERE e % 5 IN (0, 1)
+  UNION ALL
+  SELECT i, name || '_count', hist_mt, ts_ms, base,
+         e % 50 + 2, NULL, NULL
+  FROM dims WHERE e % 5 = 2
+  UNION ALL
+  SELECT i, name || '_sum', hist_mt, ts_ms, base,
+         NULL, (u % 10) * 1.5, NULL
+  FROM dims WHERE e % 5 = 2 AND u % 4 <> 0
+  UNION ALL
+  SELECT i, name || '_min', 'GAUGE', ts_ms, base, NULL, 0.25, NULL
+  FROM dims WHERE e % 5 = 2 AND u % 5 <> 0
+  UNION ALL
+  SELECT i, name || '_max', 'GAUGE', ts_ms, base,
+         NULL, (u % 7) * 2.0, NULL
+  FROM dims WHERE e % 5 = 2 AND u % 6 <> 0
+  UNION ALL
+  SELECT i, name || '_bucket', hist_mt, ts_ms, base,
+         e % 3, NULL, 'le=0'
+  FROM dims WHERE e % 5 = 2 AND e % 20 <> 2 AND e % 15 <> 2
+  UNION ALL
+  SELECT i, name || '_bucket', hist_mt, ts_ms, base,
+         e % 3 + e % 4, NULL, 'le=1'
+  FROM dims WHERE e % 5 = 2 AND e % 20 <> 2 AND e % 15 <> 2
+  UNION ALL
+  SELECT i, name || '_bucket', hist_mt, ts_ms, base,
+         e % 3 + e % 4 + e % 5 + 1, NULL, 'le=2.5'
+  FROM dims WHERE e % 5 = 2 AND e % 20 <> 2 AND e % 15 <> 2
+  UNION ALL
+  SELECT i, name || '_bucket', hist_mt, ts_ms, base,
+         e % 3 + e % 4 + e % 5 + 8, NULL, 'le=+Inf'
+  FROM dims WHERE e % 5 = 2 AND e % 20 <> 2 AND e % 15 <> 2
+  UNION ALL
+  SELECT i, name || '_count', 'CUMULATIVE_COUNTER', ts_ms, base,
+         e % 30 + 1, NULL, NULL
+  FROM dims WHERE e % 5 = 3
+  UNION ALL
+  SELECT i, name || '_sum', 'CUMULATIVE_COUNTER', ts_ms, base, NULL,
+         CASE WHEN u % 3 <> 0 THEN (u % 9) * 1.25 ELSE 0.0 END, NULL
+  FROM dims WHERE e % 5 = 3
+  UNION ALL
+  SELECT i, name || '_quantile', 'GAUGE', ts_ms, base,
+         NULL, (u % 5) * 0.25, 'quantile=0.5'
+  FROM dims WHERE e % 5 = 3 AND u % 2 = 0
+  UNION ALL
+  SELECT i, name || '_quantile', 'GAUGE', ts_ms, base,
+         NULL, (u % 9) * 0.5, 'quantile=0.99'
+  FROM dims WHERE e % 5 = 3 AND u % 2 = 0
+)
+SELECT i, metric, metric_type, ts_ms,
+  COALESCE(array_to_string(list_sort(
+    CASE WHEN extra IS NULL THEN base
+         ELSE list_append(base, extra) END), ','), '') AS dims,
+  CAST(vint AS BIGINT) AS vint,
+  CAST(vdouble AS DOUBLE) AS vdouble
+FROM pts
+"""
+
+
+EXT24_QUERIES["signalfx_export"] = q_signalfx_export
+EXT24_ORACLES["signalfx_export"] = O_SIGNALFX_EXPORT
