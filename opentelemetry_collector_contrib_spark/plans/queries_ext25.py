@@ -376,6 +376,252 @@ FROM a
 """
 
 
+def _syslog_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    return ev.select(
+        e.alias("i"),
+        (F.lit(1700000000000000000) + e * 1357911).cast("bigint")
+        .alias("ts_ns"),
+        _omap(
+            (e % 3 == 0, "priority", F.lit("34")),
+            (e % 9 == 0, "version", F.lit("2")),
+            (u % 3 != 0, "hostname", F.concat(F.lit("h"), s(u % 5))),
+            (e % 2 == 0, "appname", F.concat(F.lit("app"), s(e % 4))),
+            (e % 5 == 0, "proc_id", s(e % 1000)),
+            (e % 7 == 0, "msg_id", F.concat(F.lit("mid"), s(e % 3))),
+            (e % 11 != 0, "message",
+             F.concat(F.lit("m "), F.col("event_type"), F.lit(" "),
+                      s(e % 13))),
+        ).alias("attrs"),
+        F.when(e % 18 == 0, F.map_from_arrays(
+            F.array().cast("array<string>"),
+            F.array().cast("array<map<string,string>>")))
+        .when(e % 12 == 0, F.create_map(
+            F.lit("aa"), F.create_map(F.lit("k1"),
+                                      F.concat(F.lit("v"), s(e % 3))),
+            F.lit("bb"), F.create_map(F.lit("k2"),
+                                      F.concat(F.lit("w"), s(u % 2)))))
+        .when(e % 6 == 0, F.create_map(
+            F.lit("aa"), F.create_map(
+                F.lit("k1"), F.concat(F.lit("v"), s(e % 3)),
+                F.lit("k2"), F.concat(F.lit("w"), s(u % 2)))))
+        .alias("structured_data"),
+    )
+
+
+def q_syslog_export_5424(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.syslog_export import syslog_export_lines
+
+    return syslog_export_lines(_syslog_fixture(spark, sf_dir),
+                               id_cols=["i"], protocol="rfc5424",
+                               octet_counting=True)
+
+
+def q_syslog_export_3164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.syslog_export import syslog_export_lines
+
+    return syslog_export_lines(_syslog_fixture(spark, sf_dir),
+                               id_cols=["i"], protocol="rfc3164")
+
+
+_SYSLOG_PARTS = """
+WITH a AS (
+  SELECT event_id AS i, user_id AS u, event_id AS e, event_type,
+         1700000000000000000 + event_id * 1357911 AS ts_ns
+  FROM events
+), b AS (
+  SELECT *,
+    CASE WHEN e % 3 = 0 THEN '34' ELSE '165' END AS pri,
+    CASE WHEN u % 3 <> 0 THEN 'h' || CAST(u % 5 AS VARCHAR)
+         ELSE '-' END AS host,
+    CASE WHEN e % 2 = 0 THEN 'app' || CAST(e % 4 AS VARCHAR) END
+      AS app,
+    CASE WHEN e % 11 <> 0
+         THEN 'm ' || event_type || ' ' || CAST(e % 13 AS VARCHAR)
+         ELSE '' END AS msg,
+    ts_ns // 1000000000 AS secs,
+    ts_ns % 1000000000 AS ns
+  FROM a
+)
+"""
+
+
+O_SYSLOG_EXPORT_5424 = _SYSLOG_PARTS + """
+, c AS (
+  SELECT i,
+    '<' || pri || '>' ||
+    CASE WHEN e % 9 = 0 THEN '2' ELSE '1' END || ' ' ||
+    strftime(make_timestamp(secs * 1000000), '%Y-%m-%dT%H:%M:%S') ||
+    CASE WHEN ns > 0
+         THEN '.' || rtrim(lpad(CAST(ns AS VARCHAR), 9, '0'), '0')
+         ELSE '' END || 'Z ' ||
+    host || ' ' ||
+    COALESCE(app, '-') || ' ' ||
+    CASE WHEN e % 5 = 0 THEN CAST(e % 1000 AS VARCHAR)
+         ELSE '-' END || ' ' ||
+    CASE WHEN e % 7 = 0 THEN 'mid' || CAST(e % 3 AS VARCHAR)
+         ELSE '-' END || ' ' ||
+    CASE WHEN e % 18 = 0 THEN ''
+         WHEN e % 12 = 0 THEN
+           '[aa k1="v' || CAST(e % 3 AS VARCHAR) || '"]' ||
+           '[bb k2="w' || CAST(u % 2 AS VARCHAR) || '"]'
+         WHEN e % 6 = 0 THEN
+           '[aa k1="v' || CAST(e % 3 AS VARCHAR) ||
+           '" k2="w' || CAST(u % 2 AS VARCHAR) || '"]'
+         ELSE '-' END ||
+    CASE WHEN msg <> '' THEN ' ' || msg ELSE '' END ||
+    chr(10) AS body
+  FROM b
+)
+SELECT i, CAST(length(body) AS VARCHAR) || ' ' || body AS line FROM c
+"""
+
+
+O_SYSLOG_EXPORT_3164 = _SYSLOG_PARTS + """
+SELECT i,
+  '<' || pri || '>' ||
+  strftime(make_timestamp(secs * 1000000), '%b %d %H:%M:%S') || ' ' ||
+  host || ' ' ||
+  CASE WHEN app IS NOT NULL THEN app || ':' ELSE '' END ||
+  CASE WHEN app IS NOT NULL AND msg <> '' THEN ' ' ELSE '' END ||
+  msg || chr(10) AS line
+FROM b
+"""
+
+
+def q_carbon_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.carbon_export import carbon_export_lines
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    d = lambda c: c.cast("double")  # noqa: E731
+
+    fx = ev.select(
+        e.alias("i"),
+        F.when(e % 21 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("met"), s(e % 6))).alias("name"),
+        F.when(e % 5 == 0, F.lit("gauge"))
+        .when(e % 5 == 1, F.lit("sum"))
+        .when(e % 5 == 2, F.lit("histogram"))
+        .when(e % 5 == 3, F.lit("summary"))
+        .otherwise(F.lit("empty")).alias("mtype"),
+        (F.lit(1700000000000000000) + e * 1000000000).cast("bigint")
+        .alias("ts_ns"),
+        F.map_from_entries(F.filter(F.array(
+            F.when(e % 7 != 0, F.struct(
+                F.lit("k").alias("key"),
+                F.concat(F.lit("v"), s(e % 3)).alias("value"))),
+            F.when(e % 8 == 0, F.struct(
+                F.lit("bad;key!").alias("key"),
+                F.lit("").alias("value"))),
+        ), lambda x: x.isNotNull())).alias("attrs"),
+        F.when(e % 35 == 0, F.lit(None).cast("boolean"))
+        .otherwise(e % 2 == 0).alias("is_int"),
+        (e % 100).cast("bigint").alias("vint"),
+        d((u % 4) * 0.25).alias("vdouble"),
+        F.when(e % 5 == 2, e % 50 + 2).otherwise(e % 30 + 1)
+        .cast("bigint").alias("count"),
+        F.when(e % 5 == 2,
+               F.when(u % 4 != 0, d((u % 10) * 1.5)))
+        .otherwise(d((u % 9) * 1.25)).alias("sum"),
+        F.when(e % 15 == 2, F.array().cast("array<double>"))
+        .otherwise(F.array(F.lit(0.0), F.lit(1.0), F.lit(2.5)))
+        .alias("bounds"),
+        F.when(e % 20 == 2,
+               F.array(F.lit(1), F.lit(2)).cast("array<bigint>"))
+        .otherwise(F.array(e % 3, e % 4, e % 5 + 1, F.lit(7))
+                   .cast("array<bigint>")).alias("bucket_counts"),
+        F.when(u % 2 == 0, F.array(
+            F.struct(F.lit(0.5).alias("q"),
+                     d((u % 5) * 0.25).alias("v")),
+            F.struct(F.lit(0.25).alias("q"),
+                     d((u % 9) * 0.5).alias("v"))))
+        .otherwise(F.array().cast(
+            "array<struct<q:double,v:double>>")).alias("quantiles"),
+    )
+
+    return carbon_export_lines(fx, id_cols=["i"])
+
+
+O_CARBON_EXPORT = """
+WITH a AS (
+  SELECT event_id AS i, user_id AS u, event_id AS e,
+         'met' || CAST(event_id % 6 AS VARCHAR) AS name,
+         CAST(1700000000 + event_id AS VARCHAR) AS ts
+  FROM events WHERE event_id % 21 <> 0
+), b AS (
+  SELECT *,
+    COALESCE(CASE WHEN e % 7 <> 0
+                  THEN ';k=v' || CAST(e % 3 AS VARCHAR) END, '') ||
+    CASE WHEN e % 8 = 0 THEN ';bad_key_=<empty>' ELSE '' END AS tags,
+    CASE WHEN e % 5 = 2 THEN
+      CASE WHEN u % 4 <> 0 THEN regexp_replace(
+        CAST(CAST((u % 10) * 1.5 AS DOUBLE) AS VARCHAR), '\\.0$', '')
+      ELSE '0' END
+    ELSE regexp_replace(
+      CAST(CAST((u % 9) * 1.25 AS DOUBLE) AS VARCHAR), '\\.0$', '')
+    END AS sum_v,
+    CASE WHEN e % 5 = 2 THEN CAST(e % 50 + 2 AS VARCHAR)
+         ELSE CAST(e % 30 + 1 AS VARCHAR) END AS count_v
+  FROM a
+), lns AS (
+  SELECT i, name || tags || ' ' ||
+    CASE WHEN e % 2 = 0 THEN CAST(e % 100 AS VARCHAR)
+         ELSE regexp_replace(
+           CAST(CAST((u % 4) * 0.25 AS DOUBLE) AS VARCHAR),
+           '\\.0$', '') END || ' ' || ts AS body
+  FROM b WHERE e % 5 IN (0, 1) AND e % 35 <> 0
+  UNION ALL
+  SELECT i, name || '.count' || tags || ' ' || count_v || ' ' || ts
+  FROM b WHERE e % 5 IN (2, 3)
+  UNION ALL
+  SELECT i, name || tags || ' ' || sum_v || ' ' || ts
+  FROM b WHERE e % 5 IN (2, 3)
+  UNION ALL
+  SELECT i, name || '.bucket' || tags || ';upper_bound=' || ub ||
+         ' ' || cnt || ' ' || ts
+  FROM (
+    SELECT i, name, tags, ts, j,
+      CASE j WHEN 1 THEN '0' WHEN 2 THEN '1' WHEN 3 THEN '2.5'
+           ELSE 'inf' END AS ub,
+      CASE WHEN e % 20 = 2 THEN
+        CASE j WHEN 1 THEN '1' WHEN 2 THEN '2' END
+      ELSE
+        CASE j WHEN 1 THEN CAST(e % 3 AS VARCHAR)
+             WHEN 2 THEN CAST(e % 4 AS VARCHAR)
+             WHEN 3 THEN CAST(e % 5 + 1 AS VARCHAR)
+             ELSE '7' END
+      END AS cnt
+    FROM b, (SELECT unnest(generate_series(1, 4)) AS j)
+    WHERE e % 5 = 2 AND e % 15 <> 2
+  ) WHERE cnt IS NOT NULL
+  UNION ALL
+  SELECT i, name || '.quantile' || tags || ';quantile=' ||
+    CASE j WHEN 1 THEN '50' ELSE '25' END || ' ' ||
+    CASE j WHEN 1 THEN regexp_replace(
+      CAST(CAST((u % 5) * 0.25 AS DOUBLE) AS VARCHAR), '\\.0$', '')
+    ELSE regexp_replace(
+      CAST(CAST((u % 9) * 0.5 AS DOUBLE) AS VARCHAR), '\\.0$', '')
+    END || ' ' || ts
+  FROM b, (SELECT unnest(generate_series(1, 2)) AS j)
+  WHERE e % 5 = 3 AND u % 2 = 0
+)
+SELECT i, body || chr(10) AS line FROM lns
+"""
+
+
+EXT25_QUERIES["carbon_export"] = q_carbon_export
+EXT25_ORACLES["carbon_export"] = O_CARBON_EXPORT
+
+EXT25_QUERIES["syslog_export_5424"] = q_syslog_export_5424
+EXT25_ORACLES["syslog_export_5424"] = O_SYSLOG_EXPORT_5424
+EXT25_QUERIES["syslog_export_3164"] = q_syslog_export_3164
+EXT25_ORACLES["syslog_export_3164"] = O_SYSLOG_EXPORT_3164
+
 EXT25_QUERIES["splunk_hec_logs"] = q_splunk_hec_logs
 EXT25_ORACLES["splunk_hec_logs"] = O_SPLUNK_HEC_LOGS
 EXT25_QUERIES["splunk_hec_metrics"] = q_splunk_hec_metrics
