@@ -617,6 +617,173 @@ SELECT i, body || chr(10) AS line FROM lns
 EXT25_QUERIES["carbon_export"] = q_carbon_export
 EXT25_ORACLES["carbon_export"] = O_CARBON_EXPORT
 
+
+def q_sumologic_prom_export(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from ..operators.sumologic_export import sumologic_prom_lines
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    d = lambda c: c.cast("double")  # noqa: E731
+
+    fx = ev.select(
+        e.alias("i"),
+        F.concat(F.lit("met;"), s(e % 6)).alias("name"),  # sanitized
+        F.when(e % 5 == 0, F.lit("gauge"))
+        .when(e % 5 == 1, F.lit("sum"))
+        .when(e % 5 == 2, F.lit("histogram"))
+        .when(e % 5 == 3, F.lit("summary"))
+        .otherwise(F.lit("empty")).alias("mtype"),
+        (F.lit(1700000000000000000) + e * 1000000).cast("bigint")
+        .alias("ts_ns"),
+        _omap(
+            (e % 7 != 0, "k", F.concat(F.lit("v"), s(e % 3))),
+            # same key as a resource attr: PutStr keeps the resource
+            # POSITION but takes this value
+            (e % 4 == 0, "env", F.concat(F.lit("dp"), s(u % 2))),
+        ).alias("attrs"),
+        _omap(
+            (F.lit(True), "env", F.concat(F.lit("prod"), s(u % 3))),
+            (u % 3 != 0, "host name", F.concat(F.lit("h"), s(u % 5))),
+        ).alias("res_attrs"),
+        F.when(e % 35 == 0, F.lit(None).cast("boolean"))
+        .otherwise(e % 2 == 0).alias("is_int"),
+        (e % 100).cast("bigint").alias("vint"),
+        d((u % 4) * 0.25).alias("vdouble"),
+        F.when(e % 5 == 2, e % 50 + 2).otherwise(e % 30 + 1)
+        .cast("bigint").alias("count"),
+        F.when(e % 5 == 2,
+               F.when(u % 4 != 0, d((u % 10) * 1.5)))
+        .otherwise(d((u % 9) * 1.25)).alias("sum"),
+        F.array(F.lit(0.0), F.lit(1.0), F.lit(2.5)).alias("bounds"),
+        F.when(e % 15 == 2, F.array().cast("array<bigint>"))
+        .otherwise(F.array(e % 3, e % 4, e % 5 + 1, F.lit(7))
+                   .cast("array<bigint>")).alias("bucket_counts"),
+        F.when(u % 2 == 0, F.array(
+            F.struct(F.lit(0.5).alias("q"),
+                     d((u % 5) * 0.25).alias("v")),
+            F.struct(F.lit(0.99).alias("q"),
+                     d((u % 9) * 0.5).alias("v"))))
+        .otherwise(F.array().cast(
+            "array<struct<q:double,v:double>>")).alias("quantiles"),
+    )
+
+    return sumologic_prom_lines(fx, id_cols=["i"])
+
+
+O_SUMOLOGIC_PROM_EXPORT = """
+WITH a AS (
+  SELECT event_id AS i, user_id AS u, event_id AS e,
+         'met_' || CAST(event_id % 6 AS VARCHAR) AS name,
+         CAST(1700000000000 + event_id AS VARCHAR) AS ts
+  FROM events
+), b AS (
+  SELECT *,
+    -- merged tag body WITHOUT the per-line extra: env (dp value wins
+    -- in the resource position), host_name, k
+    'env="' || CASE WHEN e % 4 = 0 THEN 'dp' || CAST(u % 2 AS VARCHAR)
+                    ELSE 'prod' || CAST(u % 3 AS VARCHAR) END || '"' ||
+    COALESCE(CASE WHEN u % 3 <> 0
+      THEN ',host_name="h' || CAST(u % 5 AS VARCHAR) || '"' END, '')
+      AS pre,
+    COALESCE(CASE WHEN e % 7 <> 0
+      THEN ',k="v' || CAST(e % 3 AS VARCHAR) || '"' END, '') AS post
+  FROM a
+), lns AS (
+  SELECT i,
+    CASE WHEN e % 35 = 0 THEN ''
+    ELSE name || '{' || pre || post || '} ' ||
+      CASE WHEN e % 2 = 0 THEN CAST(e % 100 AS VARCHAR)
+           ELSE regexp_replace(
+             CAST(CAST((u % 4) * 0.25 AS DOUBLE) AS VARCHAR),
+             '\\.0$', '') END || ' ' || ts END AS line
+  FROM b WHERE e % 5 IN (0, 1)
+  UNION ALL
+  SELECT i, name || '_bucket{' || pre || ',le="' || ub || '"' ||
+         post || '} ' || cum || ' ' || ts
+  FROM (
+    SELECT i, name, pre, post, ts, j,
+      CASE j WHEN 1 THEN '0' WHEN 2 THEN '1' WHEN 3 THEN '2.5'
+           ELSE '+Inf' END AS ub,
+      CAST(CASE j WHEN 1 THEN e % 3
+           WHEN 2 THEN e % 3 + e % 4
+           WHEN 3 THEN e % 3 + e % 4 + e % 5 + 1
+           ELSE e % 3 + e % 4 + e % 5 + 8 END AS VARCHAR) AS cum
+    FROM b, (SELECT unnest(generate_series(1, 4)) AS j)
+    WHERE e % 5 = 2 AND e % 15 <> 2
+  )
+  UNION ALL
+  SELECT i, name || '_sum{' || pre || post || '} ' ||
+    regexp_replace(CAST(CAST((u % 10) * 1.5 AS DOUBLE) AS VARCHAR),
+                   '\\.0$', '') || ' ' || ts
+  FROM b WHERE e % 5 = 2 AND u % 4 <> 0
+  UNION ALL
+  SELECT i, name || '_count{' || pre || post || '} ' ||
+    CAST(e % 50 + 2 AS VARCHAR) || ' ' || ts
+  FROM b WHERE e % 5 = 2
+  UNION ALL
+  SELECT i, name || '{' || pre || ',quantile="' ||
+    CASE j WHEN 1 THEN '0.5' ELSE '0.99' END || '"' || post || '} ' ||
+    CASE j WHEN 1 THEN regexp_replace(
+      CAST(CAST((u % 5) * 0.25 AS DOUBLE) AS VARCHAR), '\\.0$', '')
+    ELSE regexp_replace(
+      CAST(CAST((u % 9) * 0.5 AS DOUBLE) AS VARCHAR), '\\.0$', '')
+    END || ' ' || ts
+  FROM b, (SELECT unnest(generate_series(1, 2)) AS j)
+  WHERE e % 5 = 3 AND u % 2 = 0
+  UNION ALL
+  SELECT i, name || '_sum{' || pre || post || '} ' ||
+    regexp_replace(CAST(CAST((u % 9) * 1.25 AS DOUBLE) AS VARCHAR),
+                   '\\.0$', '') || ' ' || ts
+  FROM b WHERE e % 5 = 3
+  UNION ALL
+  SELECT i, name || '_count{' || pre || post || '} ' ||
+    CAST(e % 30 + 1 AS VARCHAR) || ' ' || ts
+  FROM b WHERE e % 5 = 3
+)
+SELECT i, line FROM lns
+"""
+
+
+def q_sumologic_log_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sumologic_export import sumologic_log_lines
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    fx = ev.select(
+        e.alias("i"),
+        F.when(e % 9 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("msg "), F.col("event_type"))).alias("body"),
+        _omap(
+            (e % 3 != 0, "zk", F.concat(F.lit("v"), s(e % 4))),
+            (F.lit(True), "app", F.concat(F.lit("a"), s(u % 3))),
+        ).alias("attrs"),
+    )
+
+    return sumologic_log_lines(fx, id_cols=["i"], log_format="json")
+
+
+O_SUMOLOGIC_LOG_JSON = """
+SELECT event_id AS i,
+  '{"app":"a' || CAST(user_id % 3 AS VARCHAR) || '"' ||
+  CASE WHEN event_id % 9 <> 0
+       THEN ',"log":"msg ' || event_type || '"' ELSE '' END ||
+  CASE WHEN event_id % 3 <> 0
+       THEN ',"zk":"v' || CAST(event_id % 4 AS VARCHAR) || '"'
+       ELSE '' END ||
+  '}' AS line
+FROM events
+"""
+
+
+EXT25_QUERIES["sumologic_prom_export"] = q_sumologic_prom_export
+EXT25_ORACLES["sumologic_prom_export"] = O_SUMOLOGIC_PROM_EXPORT
+EXT25_QUERIES["sumologic_log_json"] = q_sumologic_log_json
+EXT25_ORACLES["sumologic_log_json"] = O_SUMOLOGIC_LOG_JSON
+
 EXT25_QUERIES["syslog_export_5424"] = q_syslog_export_5424
 EXT25_ORACLES["syslog_export_5424"] = O_SYSLOG_EXPORT_5424
 EXT25_QUERIES["syslog_export_3164"] = q_syslog_export_3164
