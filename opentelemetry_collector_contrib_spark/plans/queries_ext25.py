@@ -779,6 +779,80 @@ FROM events
 """
 
 
+def q_alertmanager_export(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from ..operators.alertmanager_export import alertmanager_alerts
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    start = F.lit(1700000000000000000) + e * 1000000
+
+    fx = ev.select(
+        e.alias("i"),
+        F.when(e % 13 == 0, F.lit("")).otherwise(
+            F.lpad(F.lower(F.hex(F.lit(1000) + u)), 32, "0"))
+        .alias("trace_id"),
+        F.lpad(F.lower(F.hex(e + 1)), 16, "0").alias("span_id"),
+        F.when(e % 4 != 0, F.array(
+            F.struct((start + 1).cast("bigint").alias("ts_ns"),
+                     F.concat(F.lit("exc-"), F.col("event_type"))
+                     .alias("name"),
+                     _omap(
+                         (e % 2 == 0, "severity",
+                          F.when(u % 2 == 0, F.lit("critical"))
+                          .otherwise(F.lit("warning"))),
+                         (F.lit(True), "attr1",
+                          F.concat(F.lit("a"), s(u % 3))),
+                         (e % 3 == 0, "other",
+                          F.concat(F.lit("o"), s(e % 5))),
+                     ).alias("attrs")),
+            F.struct((start + 2).cast("bigint").alias("ts_ns"),
+                     F.lit("retry").alias("name"),
+                     F.expr("map()").cast("map<string,string>")
+                     .alias("attrs")),
+        )).alias("events"),
+    )
+
+    return alertmanager_alerts(fx, id_cols=["i"],
+                               event_labels=["attr1", "attr2"])
+
+
+O_ALERTMANAGER_EXPORT = """
+WITH a AS (
+  SELECT event_id AS i, user_id AS u, event_id AS e, event_type,
+         1700000000000000000 + event_id * 1000000 AS start_ns,
+         CASE WHEN event_id % 13 = 0 THEN ''
+              ELSE lpad(lower(to_hex(1000 + user_id)), 32, '0') END
+           AS tid,
+         lpad(lower(to_hex(event_id + 1)), 16, '0') AS sid
+  FROM events WHERE event_id % 4 <> 0
+)
+SELECT i, start_ns + 1 AS starts_at_ns,
+  'attr1=a' || CAST(u % 3 AS VARCHAR) || ',event_name=exc-' ||
+  event_type || ',severity=' ||
+  CASE WHEN e % 2 = 0 THEN
+    CASE WHEN u % 2 = 0 THEN 'critical' ELSE 'warning' END
+  ELSE 'info' END AS labels,
+  'SpanID=' || sid || ',TraceID=' || tid ||
+  ',attr1=a' || CAST(u % 3 AS VARCHAR) ||
+  CASE WHEN e % 3 = 0 THEN ',other=o' || CAST(e % 5 AS VARCHAR)
+       ELSE '' END ||
+  CASE WHEN e % 2 = 0 THEN ',severity=' ||
+    CASE WHEN u % 2 = 0 THEN 'critical' ELSE 'warning' END
+  ELSE '' END AS annotations,
+  'opentelemetry-collector' AS generator_url
+FROM a
+UNION ALL
+SELECT i, start_ns + 2, 'event_name=retry,severity=info',
+  'SpanID=' || sid || ',TraceID=' || tid, 'opentelemetry-collector'
+FROM a
+"""
+
+
+EXT25_QUERIES["alertmanager_export"] = q_alertmanager_export
+EXT25_ORACLES["alertmanager_export"] = O_ALERTMANAGER_EXPORT
+
 EXT25_QUERIES["sumologic_prom_export"] = q_sumologic_prom_export
 EXT25_ORACLES["sumologic_prom_export"] = O_SUMOLOGIC_PROM_EXPORT
 EXT25_QUERIES["sumologic_log_json"] = q_sumologic_log_json
