@@ -853,6 +853,131 @@ FROM a
 EXT25_QUERIES["alertmanager_export"] = q_alertmanager_export
 EXT25_ORACLES["alertmanager_export"] = O_ALERTMANAGER_EXPORT
 
+
+def q_mezmo_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mezmo_honeycomb_export import mezmo_log_lines
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    fx = ev.select(
+        e.alias("i"),
+        F.concat(F.lit("msg-"), F.col("event_type")).alias("body"),
+        F.when(e % 6 == 0, F.lit(0)).otherwise(
+            F.lit(1700000000000000000) + e * 1234567).cast("bigint")
+        .alias("ts_ns"),
+        F.when(e % 13 == 0, F.lit("")).otherwise(
+            F.lpad(F.lower(F.hex(F.lit(1000) + u)), 32, "0"))
+        .alias("trace_id"),
+        F.when(e % 11 == 0, F.lit("")).otherwise(
+            F.lpad(F.lower(F.hex(e + 1)), 16, "0")).alias("span_id"),
+        F.when(e % 5 == 0, F.lit("")).otherwise(
+            F.when(u % 2 == 0, F.lit("INFO")).otherwise(F.lit("WARN")))
+        .alias("severity_text"),
+        _omap(
+            (e % 2 == 0, "appname", F.concat(F.lit("app"), s(u % 3))),
+            (F.lit(True), "k", F.concat(F.lit("v"), s(e % 4))),
+            (e % 9 == 0, "hostname", F.concat(F.lit("ha"), s(e % 2))),
+        ).alias("attrs"),
+        _omap(
+            (u % 3 != 0, "host.name", F.concat(F.lit("h"), s(u % 5))),
+        ).alias("res_attrs"),
+    )
+
+    return mezmo_log_lines(fx, id_cols=["i"])
+
+
+O_MEZMO_EXPORT = """
+WITH a AS (
+  SELECT event_id AS i, user_id AS u, event_id AS e, event_type
+  FROM events
+)
+SELECT i,
+  CASE WHEN e % 6 <> 0
+       THEN (1700000000000000000 + e * 1234567) // 1000000 END
+    AS ts_ms,
+  'msg-' || event_type AS line,
+  CASE WHEN e % 2 = 0 THEN 'app' || CAST(u % 3 AS VARCHAR)
+       ELSE '' END AS app,
+  CASE WHEN e % 5 = 0 THEN 'info'
+       WHEN u % 2 = 0 THEN 'INFO' ELSE 'WARN' END AS level,
+  COALESCE(array_to_string(list_sort(list_filter([
+    CASE WHEN e % 2 = 0
+         THEN 'appname=app' || CAST(u % 3 AS VARCHAR) END,
+    CASE WHEN e % 9 = 0 THEN 'hostname=ha' || CAST(e % 2 AS VARCHAR)
+         WHEN u % 3 <> 0 THEN 'hostname=h' || CAST(u % 5 AS VARCHAR)
+         END,
+    'k=v' || CAST(e % 4 AS VARCHAR),
+    CASE WHEN e % 11 <> 0
+         THEN 'span.id=' || lpad(lower(to_hex(e + 1)), 16, '0') END,
+    CASE WHEN e % 13 <> 0
+         THEN 'trace.id=' || lpad(lower(to_hex(1000 + u)), 32, '0')
+         END
+  ], x -> x IS NOT NULL)), ','), '') AS meta
+FROM a
+"""
+
+
+def q_honeycomb_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mezmo_honeycomb_export import (
+        Marker,
+        honeycomb_markers,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    fx = ev.select(
+        e.alias("i"),
+        F.concat(F.lit("b-"), F.col("event_type")).alias("body"),
+        (e % 25).cast("bigint").alias("severity_number"),
+        _omap(
+            (e % 3 == 0, "kind", F.lit("deploy")),
+            (e % 2 == 0, "msg", F.concat(F.lit("m"), s(e % 5))),
+            (e % 7 == 0, "link", F.concat(F.lit("http://x/"), s(u))),
+        ).alias("attributes"),
+    )
+
+    return honeycomb_markers(fx, id_cols=["i"], markers=[
+        Marker(type="deploy-marker",
+               log_conditions=['attributes["kind"] == "deploy"'],
+               dataset_slug="ds1"),
+        Marker(type="error-marker",
+               log_conditions=[
+                   "severity_number >= SEVERITY_NUMBER_WARN"],
+               message_key="msg", url_key="link"),
+    ])
+
+
+O_HONEYCOMB_MARKERS = """
+WITH a AS (
+  SELECT event_id AS i, user_id AS u, event_id AS e FROM events
+)
+SELECT i, 'deploy-marker' AS marker_type,
+  '{"type":"deploy-marker"}' AS payload, 'ds1' AS dataset_slug
+FROM a WHERE e % 3 = 0
+UNION ALL
+SELECT i, 'error-marker',
+  '{' ||
+  CASE WHEN e % 2 = 0
+       THEN '"message":"m' || CAST(e % 5 AS VARCHAR) || '",'
+       ELSE '' END ||
+  '"type":"error-marker"' ||
+  CASE WHEN e % 7 = 0
+       THEN ',"url":"http://x/' || CAST(u AS VARCHAR) || '"'
+       ELSE '' END ||
+  '}', '__all__'
+FROM a WHERE e % 25 >= 13
+"""
+
+
+EXT25_QUERIES["mezmo_export"] = q_mezmo_export
+EXT25_ORACLES["mezmo_export"] = O_MEZMO_EXPORT
+EXT25_QUERIES["honeycomb_markers"] = q_honeycomb_markers
+EXT25_ORACLES["honeycomb_markers"] = O_HONEYCOMB_MARKERS
+
 EXT25_QUERIES["sumologic_prom_export"] = q_sumologic_prom_export
 EXT25_ORACLES["sumologic_prom_export"] = O_SUMOLOGIC_PROM_EXPORT
 EXT25_QUERIES["sumologic_log_json"] = q_sumologic_log_json
