@@ -722,3 +722,8 @@ from .queries_ext25 import EXT25_ORACLES, EXT25_QUERIES  # noqa: E402
 
 QUERIES.update(EXT25_QUERIES)
 ORACLES.update(EXT25_ORACLES)
+
+from .queries_ext26 import EXT26_ORACLES, EXT26_QUERIES  # noqa: E402
+
+QUERIES.update(EXT26_QUERIES)
+ORACLES.update(EXT26_ORACLES)
