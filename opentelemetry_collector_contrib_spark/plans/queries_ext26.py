@@ -276,3 +276,401 @@ EXT26_QUERIES["azuremonitor_logs"] = q_azuremonitor_logs
 EXT26_ORACLES["azuremonitor_logs"] = O_AZUREMONITOR_LOGS
 EXT26_QUERIES["azuremonitor_metrics"] = q_azuremonitor_metrics
 EXT26_ORACLES["azuremonitor_metrics"] = O_AZUREMONITOR_METRICS
+
+
+def q_azuremonitor_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.azuremonitor_trace_export import (
+        azuremonitor_span_envelopes,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    q = F.floor(e / 5)
+    t = e % 5
+    start = F.lit(1700000000000000000) + e * 1000000
+    dur_us = e * 97003 * F.when(e % 50 == 0, F.lit(200)).otherwise(
+        F.lit(1))
+
+    fx = ev.select(
+        e.alias("i"),
+        F.lpad(F.lower(F.hex(F.lit(1000) + u)), 32, "0")
+        .alias("trace_id"),
+        F.lpad(F.lower(F.hex(e + 1)), 16, "0").alias("span_id"),
+        F.when(e % 3 == 0, F.lit("")).otherwise(
+            F.lpad(F.lower(F.hex(F.floor(e / 2) + 1)), 16, "0"))
+        .alias("parent_span_id"),
+        F.concat(F.lit("op-"), F.col("event_type")).alias("name"),
+        (e % 6).cast("int").alias("kind"),
+        start.cast("bigint").alias("start_ns"),
+        (start + dur_us * 1000).cast("bigint").alias("end_ns"),
+        F.when(e % 11 == 0, F.lit(2)).when(e % 11 == 1, F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("status_code"),
+        F.when(e % 11 == 0, F.lit("boom")).otherwise(F.lit(""))
+        .alias("status_message"),
+        _omap(
+            ((t != 4) & (e % 4 == 0), "enduser.id",
+             F.concat(F.lit("u"), s(u % 5))),
+            # http family
+            (t == 0, "http.method",
+             F.when(u % 2 == 0, F.lit("GET")).otherwise(F.lit("POST"))),
+            ((t == 0) & (q % 3 != 0), "http.route",
+             F.when(q % 2 == 0, F.concat(F.lit("r"), s(q % 4)))
+             .otherwise(F.concat(F.lit("/r"), s(q % 4)))),
+            ((t == 0) & (q % 7 != 0), "http.status_code",
+             s(q % 7 * 90 + 80)),
+            ((t == 0) & (u % 3 != 0), "http.scheme", F.lit("http")),
+            ((t == 0) & (u % 4 == 0), "http.host",
+             F.concat(F.lit("hh"), s(u % 4))),
+            ((t == 0) & (u % 5 == 0), "http.server_name",
+             F.concat(F.lit("sn"), s(u % 2))),
+            ((t == 0) & (q % 5 != 0), "http.target",
+             F.when(q % 2 == 0, F.concat(F.lit("tg"), s(q % 3)))
+             .otherwise(F.concat(F.lit("/tg"), s(q % 3)))),
+            ((t == 0) & (u % 2 == 0), "net.host.port", F.lit("8080")),
+            ((t == 0) & (u % 7 == 0), "net.host.name",
+             F.concat(F.lit("nh"), s(u % 3))),
+            ((t == 0) & (q % 2 == 0), "http.url",
+             F.concat(F.lit("https://ux"), s(q % 3), F.lit(".io/p"))),
+            ((t == 0) & (q % 4 == 0), "http.client_ip",
+             F.concat(F.lit("9.9.9."), s(u % 5))),
+            # rpc family
+            (t == 1, "rpc.system", F.lit("grpc")),
+            (t == 1, "rpc.grpc.status_code", s(q % 5)),
+            # db family
+            (t == 2, "db.system", F.lit("mysql")),
+            ((t == 2) & (q % 2 == 0), "db.statement",
+             F.concat(F.lit("SELECT "), s(q % 3))),
+            ((t == 2) & (q % 3 == 0), "db.operation",
+             F.concat(F.lit("op"), s(q % 3))),
+            # messaging family
+            (t == 3, "messaging.system", F.lit("kafka")),
+            ((t == 3) & (q % 2 == 0), "messaging.url",
+             F.concat(F.lit("amqp://m"), s(q % 3))),
+            # shared peer attrs (rpc/db/messaging + http dep ladder)
+            (t.isin(0, 1, 2, 3) & (u % 2 == 0), "net.peer.name",
+             F.concat(F.lit("pn"), s(u % 2))),
+            (t.isin(0, 1, 2, 3) & (u % 3 == 0), "net.peer.ip",
+             F.concat(F.lit("10.1.1."), s(u % 3))),
+            (t.isin(0, 1, 2, 3) & (q % 2 == 0), "net.peer.port",
+             F.lit("7070")),
+            # unknown / faas family
+            ((t == 4) & (q % 4 == 0), "faas.trigger", F.lit("http")),
+            ((t == 4) & (q % 4 >= 2), "za",
+             F.concat(F.lit("zv"), s(q % 2))),
+        ).alias("attrs"),
+        _omap(
+            (F.lit(True), "rk", F.concat(F.lit("rv"), s(u % 2))),
+            (u % 5 != 0, "service.name",
+             F.concat(F.lit("svc"), s(u % 3))),
+            (u % 4 == 0, "service.namespace",
+             F.concat(F.lit("ns"), s(u % 2))),
+            (u % 3 == 0, "service.instance.id",
+             F.concat(F.lit("inst"), s(u % 7))),
+        ).alias("res_attrs"),
+        F.when(u % 9 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("lib"), s(u % 2))).alias("scope_name"),
+        F.when(u % 6 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("1."), s(u % 3))).alias("scope_version"),
+        F.when(e % 7 == 0, F.concat(
+            F.array(F.struct(
+                (start + 5).cast("bigint").alias("ts_ns"),
+                F.lit("exception").alias("name"),
+                _omap(
+                    (F.lit(True), "exception.type",
+                     F.concat(F.lit("T"), s(e % 3))),
+                    (e % 2 == 0, "exception.message", F.lit("em")),
+                    (e % 21 == 0, "exception.stacktrace", F.lit("st")),
+                ).alias("attrs"))),
+            F.when(e % 14 == 0, F.array(F.struct(
+                (start + 6).cast("bigint").alias("ts_ns"),
+                F.lit("note").alias("name"),
+                F.expr("map()").cast("map<string,string>")
+                .alias("attrs"))))
+            .otherwise(F.expr("array()").cast(
+                "array<struct<ts_ns:bigint,name:string,"
+                "attrs:map<string,string>>>")),
+        )).alias("events"),
+        F.when(e % 10 == 0, F.concat(
+            F.array(F.struct(F.lit("lt1").alias("trace_id"),
+                             F.lit("ls1").alias("span_id"))),
+            F.when(e % 20 == 0, F.array(F.struct(
+                F.lit("lt2").alias("trace_id"),
+                F.lit("ls2").alias("span_id"))))
+            .otherwise(F.expr("array()").cast(
+                "array<struct<trace_id:string,span_id:string>>")),
+        )).alias("links"),
+    )
+
+    return azuremonitor_span_envelopes(fx, id_cols=["i"])
+
+
+O_AZUREMONITOR_SPANS = """
+WITH a AS (
+  SELECT event_id AS i, user_id AS u, event_id AS e, event_type,
+         event_id // 5 AS q, event_id % 5 AS t,
+         1700000000000000000 + event_id * 1000000 AS start_ns,
+         event_id * 97003 *
+           (CASE WHEN event_id % 50 = 0 THEN 200 ELSE 1 END) AS dur_us
+  FROM events
+  WHERE NOT (event_id % 5 = 4 AND (event_id // 5) % 4 = 0)  -- faas
+), b AS (
+  SELECT *,
+    e % 6 IN (2, 5) AS is_req,
+    e % 6 IN (0, 1) AS is_internal,
+    CASE WHEN e % 11 = 0 THEN 2 WHEN e % 11 = 1 THEN 1
+         ELSE 0 END AS st,
+    CASE WHEN u % 2 = 0 THEN 'GET' ELSE 'POST' END AS method,
+    q % 3 <> 0 AS route_p,
+    CASE WHEN q % 2 = 0 THEN 'r' ELSE '/r' END ||
+      CAST(q % 4 AS VARCHAR) AS route_raw,
+    '/r' || CAST(q % 4 AS VARCHAR) AS route_pref,
+    q % 7 <> 0 AS code_p, q % 7 * 90 + 80 AS hcode,
+    u % 3 <> 0 AS scheme_p,
+    u % 4 = 0 AS host_p, 'hh' || CAST(u % 4 AS VARCHAR) AS hostv,
+    u % 5 = 0 AS server_p, 'sn' || CAST(u % 2 AS VARCHAR) AS serverv,
+    q % 5 <> 0 AS target_p,
+    '/tg' || CAST(q % 3 AS VARCHAR) AS target_pref,
+    CASE WHEN q % 2 = 0 THEN 'tg' ELSE '/tg' END ||
+      CAST(q % 3 AS VARCHAR) AS target_raw,
+    u % 2 = 0 AS hport_p,
+    u % 7 = 0 AS nhn_p, 'nh' || CAST(u % 3 AS VARCHAR) AS nhnv,
+    q % 2 = 0 AS url_p,
+    'https://ux' || CAST(q % 3 AS VARCHAR) || '.io/p' AS urlv,
+    'ux' || CAST(q % 3 AS VARCHAR) || '.io' AS urlhost,
+    q % 4 = 0 AS cip_p, '9.9.9.' || CAST(u % 5 AS VARCHAR) AS cipv,
+    u % 2 = 0 AS pn_p, 'pn' || CAST(u % 2 AS VARCHAR) AS pnv,
+    u % 3 = 0 AS pip_p, '10.1.1.' || CAST(u % 3 AS VARCHAR) AS pipv,
+    q % 2 = 0 AS pport_p,
+    'op-' || event_type AS sname
+  FROM a
+), c AS (
+  SELECT *,
+    COALESCE(CASE WHEN pn_p THEN pnv WHEN pip_p THEN pipv END, '') ||
+      CASE WHEN pport_p THEN ':7070' ELSE '' END AS peer,
+    CASE WHEN t = 1 THEN
+           CASE WHEN q % 5 <> 0 THEN CAST(q % 5 AS VARCHAR)
+                ELSE '0' END
+         WHEN t = 0 AND code_p THEN CAST(hcode AS VARCHAR)
+         ELSE CAST(st AS VARCHAR) END AS resp_code,
+    CASE WHEN t = 0 AND code_p THEN hcode BETWEEN 100 AND 399
+         ELSE st <> 2 END AS success,
+    CASE WHEN t = 0 THEN method || ' ' ||
+           CASE WHEN route_p THEN route_pref ELSE sname END
+         WHEN t = 1 THEN 'grpc ' || sname
+         ELSE sname END AS req_name,
+    CASE WHEN t = 0 THEN method ||
+           CASE WHEN route_p THEN ' ' || route_raw ELSE '' END
+         ELSE sname END AS dep_name,
+    CASE WHEN t = 0 THEN
+      CASE WHEN scheme_p AND host_p AND target_p
+           THEN 'http://' || hostv || target_pref
+           WHEN scheme_p AND server_p AND hport_p AND target_p
+           THEN 'http://' || serverv || ':8080' || target_pref
+           WHEN scheme_p AND nhn_p AND hport_p AND target_p
+           THEN 'http://' || nhnv || ':8080' || target_pref
+           WHEN url_p THEN urlv END END AS req_url,
+    CASE WHEN t = 0 THEN
+      CASE WHEN url_p THEN urlv
+           WHEN scheme_p AND host_p AND target_p
+           THEN 'http://' || hostv || target_pref
+           WHEN scheme_p AND pn_p AND pport_p AND target_p
+           THEN 'http://' || pnv || ':7070' || target_pref
+           WHEN scheme_p AND pip_p AND pport_p AND target_p
+           THEN 'http://' || pipv || ':7070' || target_pref END
+    END AS dep_http_data,
+    CASE WHEN t = 0 THEN
+      CASE WHEN url_p THEN urlhost
+           WHEN scheme_p AND host_p AND target_p THEN hostv
+           WHEN scheme_p AND pn_p AND pport_p AND target_p
+           THEN pnv || ':7070'
+           WHEN scheme_p AND pip_p AND pport_p AND target_p
+           THEN pipv || ':7070' END
+    END AS dep_http_target
+  FROM b
+), d AS (
+  SELECT *,
+    list_filter([
+      CASE WHEN t <> 4 AND e % 4 = 0
+           THEN 'enduser.id=u' || CAST(u % 5 AS VARCHAR) END,
+      CASE WHEN t = 0 THEN 'http.method=' || method END,
+      CASE WHEN t = 0 AND route_p THEN 'http.route=' || route_raw END,
+      CASE WHEN t = 0 AND code_p
+           THEN 'http.status_code=' || CAST(hcode AS VARCHAR) END,
+      CASE WHEN t = 0 AND scheme_p THEN 'http.scheme=http' END,
+      CASE WHEN t = 0 AND host_p THEN 'http.host=' || hostv END,
+      CASE WHEN t = 0 AND server_p
+           THEN 'http.server_name=' || serverv END,
+      CASE WHEN t = 0 AND target_p
+           THEN 'http.target=' || target_raw END,
+      CASE WHEN t = 0 AND hport_p THEN 'net.host.port=8080' END,
+      CASE WHEN t = 0 AND nhn_p THEN 'net.host.name=' || nhnv END,
+      CASE WHEN t = 0 AND url_p THEN 'http.url=' || urlv END,
+      CASE WHEN t = 0 AND cip_p THEN 'http.client_ip=' || cipv END,
+      CASE WHEN t = 1 THEN 'rpc.system=grpc' END,
+      CASE WHEN t = 1
+           THEN 'rpc.grpc.status_code=' || CAST(q % 5 AS VARCHAR) END,
+      CASE WHEN t = 2 THEN 'db.system=mysql' END,
+      CASE WHEN t = 2 AND q % 2 = 0
+           THEN 'db.statement=SELECT ' || CAST(q % 3 AS VARCHAR) END,
+      CASE WHEN t = 2 AND q % 3 = 0
+           THEN 'db.operation=op' || CAST(q % 3 AS VARCHAR) END,
+      CASE WHEN t = 3 THEN 'messaging.system=kafka' END,
+      CASE WHEN t = 3 AND q % 2 = 0
+           THEN 'messaging.url=amqp://m' || CAST(q % 3 AS VARCHAR) END,
+      CASE WHEN t IN (0, 1, 2, 3) AND pn_p
+           THEN 'net.peer.name=' || pnv END,
+      CASE WHEN t IN (0, 1, 2, 3) AND pip_p
+           THEN 'net.peer.ip=' || pipv END,
+      CASE WHEN t IN (0, 1, 2, 3) AND pport_p
+           THEN 'net.peer.port=7070' END,
+      CASE WHEN t = 4 AND q % 4 >= 2
+           THEN 'za=zv' || CAST(q % 2 AS VARCHAR) END
+    ], x -> x IS NOT NULL) AS span_props,
+    list_filter([
+      'otel.status_code=' ||
+        CASE st WHEN 2 THEN 'STATUS_CODE_ERROR'
+             WHEN 1 THEN 'STATUS_CODE_OK'
+             ELSE 'STATUS_CODE_UNSET' END,
+      CASE WHEN st = 2 THEN 'otel.status_description=boom' END,
+      'rk=rv' || CAST(u % 2 AS VARCHAR),
+      CASE WHEN u % 5 <> 0
+           THEN 'service.name=svc' || CAST(u % 3 AS VARCHAR) END,
+      CASE WHEN u % 4 = 0
+           THEN 'service.namespace=ns' || CAST(u % 2 AS VARCHAR) END,
+      CASE WHEN u % 3 = 0 THEN 'service.instance.id=inst' ||
+           CAST(u % 7 AS VARCHAR) END,
+      CASE WHEN u % 9 <> 0 THEN 'instrumentationlibrary.name=lib' ||
+           CAST(u % 2 AS VARCHAR) END,
+      CASE WHEN u % 6 <> 0
+           THEN 'instrumentationlibrary.version=1.' ||
+                CAST(u % 3 AS VARCHAR) END,
+      CASE WHEN e % 10 = 0 THEN '_MS.links=' ||
+        '[{{"operation_Id":"lt1","id":"ls1"}}' ||
+        CASE WHEN e % 20 = 0
+             THEN ',{{"operation_Id":"lt2","id":"ls2"}}' ELSE '' END ||
+        ']' END
+    ], x -> x IS NOT NULL) AS extra_props
+  FROM c
+)
+SELECT i,
+  CASE WHEN is_req THEN 'Request' ELSE 'RemoteDependency' END AS kind,
+  'Microsoft.ApplicationInsights.' ||
+    CASE WHEN is_req THEN 'Request'
+         ELSE 'RemoteDependency' END AS envelope_name,
+  {rfc_start} AS time,
+  lpad(lower(to_hex(1000 + u)), 32, '0') AS op_id,
+  CASE WHEN e % 3 = 0 THEN ''
+       ELSE lpad(lower(to_hex(e // 2 + 1)), 16, '0') END
+    AS op_parent_id,
+  CASE WHEN t <> 4 AND e % 4 = 0
+       THEN 'u' || CAST(u % 5 AS VARCHAR) END AS user_id,
+  CASE WHEN is_req THEN req_name END AS operation_name,
+  CASE WHEN u % 5 <> 0 THEN
+    CASE WHEN u % 4 = 0
+         THEN 'ns' || CAST(u % 2 AS VARCHAR) || '.svc' ||
+              CAST(u % 3 AS VARCHAR)
+         ELSE 'svc' || CAST(u % 3 AS VARCHAR) END END AS cloud_role,
+  CASE WHEN u % 3 = 0 THEN 'inst' || CAST(u % 7 AS VARCHAR) END
+    AS cloud_role_instance,
+  lpad(lower(to_hex(e + 1)), 16, '0') AS data_id,
+  CASE WHEN is_req THEN req_name ELSE dep_name END AS name,
+  lpad(CAST(dur_us // 86400000000 AS VARCHAR), 2, '0') || '.' ||
+  lpad(CAST(dur_us % 86400000000 // 3600000000 AS VARCHAR), 2, '0')
+    || ':' ||
+  lpad(CAST(dur_us % 3600000000 // 60000000 AS VARCHAR), 2, '0')
+    || ':' ||
+  lpad(CAST(dur_us % 60000000 // 1000000 AS VARCHAR), 2, '0')
+    || '.' ||
+  lpad(CAST(dur_us % 1000000 AS VARCHAR), 6, '0') AS duration,
+  resp_code AS response_code,
+  success,
+  CASE WHEN is_req THEN
+    CASE WHEN t = 0 THEN req_url WHEN t = 1 THEN req_name END END
+    AS url,
+  CASE WHEN is_req THEN
+    CASE WHEN t = 0 THEN
+           CASE WHEN cip_p THEN cipv WHEN pip_p THEN pipv END
+         WHEN t = 1 THEN peer
+         WHEN t = 3 THEN
+           CASE WHEN q % 2 = 0
+                THEN 'amqp://m' || CAST(q % 3 AS VARCHAR)
+                ELSE peer END END END AS source,
+  CASE WHEN NOT is_req THEN
+    CASE WHEN is_internal THEN 'InProc'
+         WHEN t = 0 THEN 'HTTP'
+         WHEN t = 1 THEN 'grpc'
+         WHEN t = 2 THEN 'mysql'
+         WHEN t = 3 THEN 'kafka' END END AS dep_type,
+  CASE WHEN NOT is_req THEN
+    CASE WHEN t = 0 THEN dep_http_data
+         WHEN t = 1 THEN sname
+         WHEN t = 2 THEN
+           CASE WHEN q % 2 = 0
+                THEN 'SELECT ' || CAST(q % 3 AS VARCHAR)
+                WHEN q % 3 = 0 THEN 'op' || CAST(q % 3 AS VARCHAR) END
+         WHEN t = 3 THEN
+           CASE WHEN q % 2 = 0
+                THEN 'amqp://m' || CAST(q % 3 AS VARCHAR) END END END
+    AS dep_data,
+  CASE WHEN NOT is_req THEN
+    CASE WHEN t = 0 THEN dep_http_target
+         WHEN t IN (1, 2) THEN peer
+         WHEN t = 3 THEN
+           CASE WHEN q % 2 = 0
+                THEN 'amqp://m' || CAST(q % 3 AS VARCHAR)
+                ELSE peer END END END AS dep_target,
+  NULL AS exc_type, NULL AS exc_message, NULL AS exc_stack,
+  CAST(NULL AS BOOLEAN) AS exc_has_full_stack,
+  NULL AS severity_level, NULL AS message,
+  array_to_string(list_sort(
+    CASE WHEN is_req AND t = 2 THEN extra_props
+         ELSE span_props || extra_props END), ',') AS properties
+FROM d
+UNION ALL
+SELECT i, 'Exception', 'Microsoft.ApplicationInsights.Exception',
+  {rfc_ev},
+  lpad(lower(to_hex(1000 + u)), 32, '0'),
+  lpad(lower(to_hex(e + 1)), 16, '0'),
+  NULL, NULL,
+  CASE WHEN u % 5 <> 0 THEN
+    CASE WHEN u % 4 = 0
+         THEN 'ns' || CAST(u % 2 AS VARCHAR) || '.svc' ||
+              CAST(u % 3 AS VARCHAR)
+         ELSE 'svc' || CAST(u % 3 AS VARCHAR) END END,
+  CASE WHEN u % 3 = 0 THEN 'inst' || CAST(u % 7 AS VARCHAR) END,
+  NULL, NULL, NULL, NULL, CAST(NULL AS BOOLEAN), NULL, NULL,
+  NULL, NULL, NULL,
+  'T' || CAST(e % 3 AS VARCHAR),
+  CASE WHEN e % 2 = 0 THEN 'em' ELSE '' END,
+  CASE WHEN e % 21 = 0 THEN 'st' ELSE '' END,
+  e % 21 = 0,
+  'Error', NULL,
+  array_to_string(list_sort(list_filter([
+    'exception.type=T' || CAST(e % 3 AS VARCHAR),
+    CASE WHEN e % 2 = 0 THEN 'exception.message=em' END,
+    CASE WHEN e % 21 = 0 THEN 'exception.stacktrace=st' END,
+    'rk=rv' || CAST(u % 2 AS VARCHAR),
+    CASE WHEN u % 5 <> 0
+         THEN 'service.name=svc' || CAST(u % 3 AS VARCHAR) END,
+    CASE WHEN u % 4 = 0
+         THEN 'service.namespace=ns' || CAST(u % 2 AS VARCHAR) END,
+    CASE WHEN u % 3 = 0
+         THEN 'service.instance.id=inst' || CAST(u % 7 AS VARCHAR) END,
+    CASE WHEN u % 9 <> 0
+         THEN 'instrumentationlibrary.name=lib' ||
+              CAST(u % 2 AS VARCHAR) END,
+    CASE WHEN u % 6 <> 0
+         THEN 'instrumentationlibrary.version=1.' ||
+              CAST(u % 3 AS VARCHAR) END
+  ], x -> x IS NOT NULL)), ',')
+FROM a WHERE e % 7 = 0
+""".format(
+    rfc_start=_RFC3339.format(s="start_ns // 1000000000",
+                              n="start_ns % 1000000000"),
+    rfc_ev=_RFC3339.format(s="(start_ns + 5) // 1000000000",
+                           n="(start_ns + 5) % 1000000000"))
+
+
+EXT26_QUERIES["azuremonitor_spans"] = q_azuremonitor_spans
+EXT26_ORACLES["azuremonitor_spans"] = O_AZUREMONITOR_SPANS
