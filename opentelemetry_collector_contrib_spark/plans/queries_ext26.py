@@ -674,3 +674,146 @@ FROM a WHERE e % 7 = 0
 
 EXT26_QUERIES["azuremonitor_spans"] = q_azuremonitor_spans
 EXT26_ORACLES["azuremonitor_spans"] = O_AZUREMONITOR_SPANS
+
+
+def q_awsemf_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.awsemf_export import awsemf_events
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    d = lambda c: c.cast("double")  # noqa: E731
+
+    fx = ev.select(
+        F.concat(F.lit("m"), s(e % 9)).alias("name"),
+        F.when(e % 2 == 0, F.lit("ms")).otherwise(F.lit(""))
+        .alias("unit"),
+        F.when(e % 20 == 3, F.lit("exphist")).otherwise(
+            F.when(e % 4 == 0, F.lit("gauge"))
+            .when(e % 4 == 1, F.lit("sum"))
+            .when(e % 4 == 2, F.lit("histogram"))
+            .otherwise(F.lit("summary"))).alias("mtype"),
+        F.when(u % 9 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("lib"), s(u % 2))).alias("scope_name"),
+        _omap(
+            (F.lit(True), "dim1", F.concat(F.lit("a"), s(u % 3))),
+            (u % 2 == 0, "dim2", F.concat(F.lit("b"), s(u % 5))),
+            (u % 7 == 0, "aws.emf.storage_resolution", F.lit("30")),
+        ).alias("attrs"),
+        _omap(
+            (u % 5 != 0, "service.name",
+             F.concat(F.lit("svc"), s(u % 3))),
+            (u % 4 == 0, "service.namespace", F.lit("ns0")),
+            (u % 6 == 0, "receiver", F.lit("prometheus")),
+        ).alias("res_attrs"),
+        (e % 2 == 0).alias("is_int"),
+        (e % 100).cast("bigint").alias("vint"),
+        F.when((e % 30 == 7) & (e % 2 != 0), d(F.lit(float("nan"))))
+        .otherwise(d((u % 4) * 0.25)).alias("vdouble"),
+        (e % 50 + 2).cast("bigint").alias("count"),
+        d((u % 10) * 1.5).alias("sum"),
+        F.when(u % 5 != 0, F.lit(0.25)).cast("double").alias("min"),
+        F.when(u % 6 != 0, d((u % 7) * 2.0)).alias("max"),
+    )
+
+    return awsemf_events(fx, timestamp_ms=1700000000000)
+
+
+O_AWSEMF_EXPORT = """
+WITH raw AS (
+  SELECT user_id AS u, event_id AS e,
+    'm' || CAST(event_id % 9 AS VARCHAR) AS name,
+    CASE WHEN event_id % 2 = 0 THEN 'ms' ELSE '' END AS unit,
+    CASE WHEN event_id % 20 = 3 THEN 'exphist'
+         WHEN event_id % 4 = 0 THEN 'gauge'
+         WHEN event_id % 4 = 1 THEN 'sum'
+         WHEN event_id % 4 = 2 THEN 'histogram'
+         ELSE 'summary' END AS mt
+  FROM events
+), pts AS (
+  SELECT *,
+    CASE WHEN u % 5 <> 0 AND u % 4 = 0
+         THEN 'ns0/svc' || CAST(u % 3 AS VARCHAR)
+         WHEN u % 5 <> 0 THEN 'svc' || CAST(u % 3 AS VARCHAR)
+         WHEN u % 4 = 0 THEN 'ns0'
+         ELSE 'default' END AS ns,
+    u % 6 = 0 AS prom,
+    u % 9 <> 0 AS has_otel,
+    CASE WHEN u % 9 <> 0
+         THEN 'lib' || CAST(u % 2 AS VARCHAR) ELSE '' END AS otellib,
+    u % 2 = 0 AS has_dim2,
+    'a' || CAST(u % 3 AS VARCHAR) AS d1v,
+    CASE WHEN u % 2 = 0
+         THEN 'b' || CAST(u % 5 AS VARCHAR) ELSE '' END AS d2v,
+    CASE WHEN u % 7 = 0 THEN 30 ELSE 60 END AS stor,
+    CASE WHEN mt IN ('gauge', 'sum') THEN
+      CASE WHEN e % 2 = 0 THEN CAST(e % 100 AS VARCHAR)
+           ELSE regexp_replace(
+             CAST(CAST((u % 4) * 0.25 AS DOUBLE) AS VARCHAR),
+             '\\.0$', '') END
+    ELSE '{"Max":' ||
+      regexp_replace(CAST(CAST(CASE WHEN u % 6 <> 0
+        THEN (u % 7) * 2.0 ELSE 0 END AS DOUBLE) AS VARCHAR),
+        '\\.0$', '') ||
+      ',"Min":' || CASE WHEN u % 5 <> 0 THEN '0.25' ELSE '0' END ||
+      ',"Count":' || CAST(e % 50 + 2 AS VARCHAR) ||
+      ',"Sum":' || regexp_replace(
+        CAST(CAST((u % 10) * 1.5 AS DOUBLE) AS VARCHAR),
+        '\\.0$', '') || '}' END AS vjson
+  FROM raw
+  WHERE mt <> 'exphist'
+    AND NOT (mt IN ('gauge', 'sum') AND e % 2 <> 0 AND e % 30 = 7)
+), dedup AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY ns, mt, has_otel, otellib, has_dim2, d1v, d2v,
+                   stor, prom, name
+      ORDER BY unit, vjson) AS rn
+  FROM pts
+), grp AS (
+  SELECT ns, mt, has_otel, otellib, has_dim2, d1v, d2v, stor, prom,
+    string_agg('"' || name || '":' || vjson, chr(30) ORDER BY name)
+      AS met_fields,
+    string_agg('{"Name":"' || name || '","Unit":"' || unit ||
+               '","StorageResolution":' || CAST(stor AS VARCHAR) ||
+               '}', ',' ORDER BY name) AS met_infos
+  FROM dedup WHERE rn = 1
+  GROUP BY ns, mt, has_otel, otellib, has_dim2, d1v, d2v, stor, prom
+), dims AS (
+  SELECT *,
+    -- full set kept only when >1 non-OTelLib label (dim2 present)
+    CASE WHEN has_dim2 THEN
+      CASE WHEN has_otel
+           THEN '["OTelLib","dim1","dim2"],' ELSE '["dim1","dim2"],'
+      END ELSE '' END ||
+    CASE WHEN has_otel THEN '["OTelLib"],' ELSE '[],' END ||
+    CASE WHEN has_otel THEN '["OTelLib","dim1"]'
+         ELSE '["dim1"]' END ||
+    CASE WHEN has_dim2 THEN
+      CASE WHEN has_otel THEN ',["OTelLib","dim2"]'
+           ELSE ',["dim2"]' END ELSE '' END AS dims_json
+  FROM grp
+)
+SELECT ns AS namespace,
+  '/metrics/' || ns AS log_group,
+  'otel-stream' AS log_stream,
+  1700000000000 AS timestamp_ms,
+  '{' || array_to_string(list_sort(list_filter([
+    CASE WHEN has_otel THEN '"OTelLib":"' || otellib || '"' END,
+    '"Version":"1"',
+    '"_aws":{"CloudWatchMetrics":[{"Namespace":"' || ns ||
+      '","Dimensions":[' || dims_json || '],"Metrics":[' ||
+      met_infos || ']}],"Timestamp":1700000000000}',
+    '"dim1":"' || d1v || '"',
+    CASE WHEN has_dim2 THEN '"dim2":"' || d2v || '"' END,
+    CASE WHEN prom THEN '"prom_metric_type":"' ||
+      CASE mt WHEN 'gauge' THEN 'gauge' WHEN 'sum' THEN 'counter'
+           WHEN 'histogram' THEN 'histogram'
+           ELSE 'summary' END || '"' END
+  ] || string_split(met_fields, chr(30)),
+  x -> x IS NOT NULL)), ',') || '}' AS body
+FROM dims
+"""
+
+
+EXT26_QUERIES["awsemf_export"] = q_awsemf_export
+EXT26_ORACLES["awsemf_export"] = O_AWSEMF_EXPORT
