@@ -817,3 +817,201 @@ FROM dims
 
 EXT26_QUERIES["awsemf_export"] = q_awsemf_export
 EXT26_ORACLES["awsemf_export"] = O_AWSEMF_EXPORT
+
+
+def q_logservice_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.logservice_export import logservice_logs
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    fx = ev.select(
+        e.alias("i"),
+        F.when(e % 17 == 0, F.lit(None).cast("string"))
+        .when(e % 19 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("b-"), F.col("event_type")))
+        .alias("body"),
+        F.when(e % 6 == 0, F.lit(0)).otherwise(
+            F.lit(1700000000000000000) + e * 1234567).cast("bigint")
+        .alias("ts_ns"),
+        F.when(e % 13 == 0, F.lit("")).otherwise(
+            F.lpad(F.lower(F.hex(F.lit(1000) + u)), 32, "0"))
+        .alias("trace_id"),
+        F.when(e % 11 == 0, F.lit("")).otherwise(
+            F.lpad(F.lower(F.hex(e + 1)), 16, "0")).alias("span_id"),
+        (e % 26).cast("int").alias("severity_number"),
+        F.concat(F.lit("sev"), s(e % 5)).alias("severity_text"),
+        (e % 256).cast("bigint").alias("flags"),
+        _omap(
+            (e % 3 != 0, "zk", F.concat(F.lit("v"), s(e % 4))),
+            (F.lit(True), "ak", F.concat(F.lit("w"), s(u % 3))),
+        ).alias("attrs"),
+        _omap(
+            (u % 3 != 0, "host.name", F.concat(F.lit("h"), s(u % 5))),
+            (u % 5 != 0, "service.name",
+             F.concat(F.lit("svc"), s(u % 3))),
+            (u % 2 == 0, "rk", F.concat(F.lit("rv"), s(u % 4))),
+        ).alias("res_attrs"),
+        F.concat(F.lit("lib"), s(u % 2)).alias("scope_name"),
+        F.when(u % 6 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("1."), s(u % 3))).alias("scope_version"),
+    )
+
+    return logservice_logs(fx, id_cols=["i"])
+
+
+O_LOGSERVICE_EXPORT = """
+SELECT event_id AS i,
+  CASE WHEN event_id % 6 <> 0
+       THEN (1700000000000000000 + event_id * 1234567) // 1000000000
+       END AS time_s,
+  CASE WHEN user_id % 3 <> 0
+       THEN 'h' || CAST(user_id % 5 AS VARCHAR) ELSE '' END AS host,
+  CASE WHEN user_id % 5 <> 0
+       THEN 'svc' || CAST(user_id % 3 AS VARCHAR) ELSE '' END
+    AS service,
+  CASE WHEN user_id % 2 = 0
+       THEN '{"rk":"rv' || CAST(user_id % 4 AS VARCHAR) || '"}'
+       ELSE '{}' END AS resource,
+  'lib' || CAST(user_id % 2 AS VARCHAR) AS otlp_name,
+  CASE WHEN user_id % 6 = 0 THEN ''
+       ELSE '1.' || CAST(user_id % 3 AS VARCHAR) END AS otlp_version,
+  CASE WHEN event_id % 6 = 0 THEN '0'
+       ELSE CAST(1700000000000000000 + event_id * 1234567 AS VARCHAR)
+       END AS time_unix_nano,
+  CAST(event_id % 26 AS VARCHAR) AS severity_number,
+  'sev' || CAST(event_id % 5 AS VARCHAR) AS severity_text,
+  '{"ak":"w' || CAST(user_id % 3 AS VARCHAR) || '"' ||
+  CASE WHEN event_id % 3 <> 0
+       THEN ',"zk":"v' || CAST(event_id % 4 AS VARCHAR) || '"'
+       ELSE '' END || '}' AS attribute,
+  CASE WHEN event_id % 19 = 0 THEN ''
+       ELSE 'b-' || event_type END AS content,
+  lower(to_hex(event_id % 256)) AS flags,
+  CASE WHEN event_id % 13 = 0 THEN ''
+       ELSE lpad(lower(to_hex(1000 + user_id)), 32, '0') END
+    AS trace_id,
+  CASE WHEN event_id % 11 = 0 THEN ''
+       ELSE lpad(lower(to_hex(event_id + 1)), 16, '0') END AS span_id
+FROM events WHERE event_id % 17 <> 0
+"""
+
+
+EXT26_QUERIES["logservice_export"] = q_logservice_export
+EXT26_ORACLES["logservice_export"] = O_LOGSERVICE_EXPORT
+
+
+def q_logservice_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.logservice_export import logservice_spans
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    start = F.lit(1700000000000000000) + e * 1234567
+
+    fx = ev.select(
+        e.alias("i"),
+        F.when(e % 13 == 0, F.lit("")).otherwise(
+            F.lpad(F.lower(F.hex(F.lit(1000) + u)), 32, "0"))
+        .alias("trace_id"),
+        F.lpad(F.lower(F.hex(e + 1)), 16, "0").alias("span_id"),
+        F.when(e % 3 == 0, F.lit("")).otherwise(
+            F.lpad(F.lower(F.hex(F.floor(e / 2) + 1)), 16, "0"))
+        .alias("parent_span_id"),
+        F.concat(F.lit("op-"), F.col("event_type")).alias("name"),
+        (e % 7).cast("int").alias("kind"),
+        F.when(e % 10 == 5, F.lit(0)).otherwise(start).cast("bigint")
+        .alias("start_ns"),
+        F.when(e % 6 == 0, F.lit(0)).otherwise(
+            start + (e % 997 + 1) * 1000).cast("bigint")
+        .alias("end_ns"),
+        F.when(e % 11 == 0, F.lit(2)).when(e % 11 == 1, F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("status_code"),
+        F.when(e % 11 == 0, F.lit("boom")).otherwise(F.lit(""))
+        .alias("status_message"),
+        F.when(e % 4 == 0, F.lit("a=b")).otherwise(F.lit(""))
+        .alias("trace_state"),
+        _omap(
+            (e % 3 != 0, "ak", F.concat(F.lit("x"), s(e % 3))),
+        ).alias("attrs"),
+        _omap(
+            (u % 3 != 0, "host.name", F.concat(F.lit("h"), s(u % 5))),
+            (u % 5 != 0, "service.name",
+             F.concat(F.lit("svc"), s(u % 3))),
+            (u % 2 == 0, "rk", F.concat(F.lit("rv"), s(u % 4))),
+        ).alias("res_attrs"),
+        F.concat(F.lit("lib"), s(u % 2)).alias("scope_name"),
+        F.concat(F.lit("1."), s(u % 3)).alias("scope_version"),
+        F.when(e % 5 == 0, F.array(F.struct(
+            (start + 5).cast("bigint").alias("ts_ns"),
+            F.lit("ev").alias("name"),
+            F.create_map(F.lit("m"), F.lit("1")).alias("attrs"))))
+        .alias("events"),
+        F.when(e % 10 == 0, F.array(F.struct(
+            F.lit("lt").alias("trace_id"),
+            F.lit("ls").alias("span_id"),
+            F.map_from_arrays(F.array().cast("array<string>"),
+                              F.array().cast("array<string>"))
+            .alias("attrs")))).alias("links"),
+    )
+
+    return logservice_spans(fx, id_cols=["i"])
+
+
+O_LOGSERVICE_SPANS = """
+WITH a AS (
+  SELECT event_id AS i, user_id AS u, event_id AS e, event_type,
+         1700000000000000000 + event_id * 1234567 AS start0,
+         CASE WHEN event_id % 10 = 5 THEN 0
+              ELSE 1700000000000000000 + event_id * 1234567 END
+           AS start_ns,
+         CASE WHEN event_id % 6 = 0 THEN 0
+              ELSE 1700000000000000000 + event_id * 1234567
+                   + (event_id % 997 + 1) * 1000 END AS end_ns
+  FROM events
+)
+SELECT i,
+  CASE WHEN end_ns > 0 THEN end_ns // 1000000000 END AS time_s,
+  CASE WHEN u % 3 <> 0 THEN 'h' || CAST(u % 5 AS VARCHAR)
+       ELSE '' END AS host,
+  CASE WHEN u % 5 <> 0 THEN 'svc' || CAST(u % 3 AS VARCHAR)
+       ELSE '' END AS service,
+  CASE WHEN u % 2 = 0
+       THEN '{"rk":"rv' || CAST(u % 4 AS VARCHAR) || '"}'
+       ELSE '{}' END AS resource,
+  'lib' || CAST(u % 2 AS VARCHAR) AS otlp_name,
+  '1.' || CAST(u % 3 AS VARCHAR) AS otlp_version,
+  CASE WHEN e % 13 = 0 THEN ''
+       ELSE lpad(lower(to_hex(1000 + u)), 32, '0') END AS trace_id,
+  lpad(lower(to_hex(e + 1)), 16, '0') AS span_id,
+  CASE WHEN e % 3 = 0 THEN ''
+       ELSE lpad(lower(to_hex(e // 2 + 1)), 16, '0') END
+    AS parent_span_id,
+  CASE e % 7 WHEN 1 THEN 'internal' WHEN 2 THEN 'server'
+       WHEN 3 THEN 'client' WHEN 4 THEN 'producer'
+       WHEN 5 THEN 'consumer' ELSE 'unspecified' END AS kind,
+  'op-' || event_type AS name,
+  CASE WHEN e % 10 = 0 THEN
+    '[{"attribute":{},"spanID":"ls","traceID":"lt"}]'
+  ELSE '[]' END AS links,
+  CASE WHEN e % 5 = 0 THEN
+    '[{"attribute":{"m":"1"},"name":"ev","time":' ||
+    CAST(start0 + 5 AS VARCHAR) || '}]'
+  ELSE '[]' END AS logs,
+  CASE WHEN e % 4 = 0 THEN 'a=b' ELSE '' END AS trace_state,
+  CAST(start_ns // 1000 AS VARCHAR) AS start,
+  CAST(end_ns // 1000 AS VARCHAR) AS "end",
+  CAST((end_ns - start_ns) // 1000 AS VARCHAR) AS duration,
+  CASE WHEN e % 3 <> 0
+       THEN '{"ak":"x' || CAST(e % 3 AS VARCHAR) || '"}'
+       ELSE '{}' END AS attribute,
+  CASE WHEN e % 11 = 0 THEN 'ERROR' WHEN e % 11 = 1 THEN 'OK'
+       ELSE 'UNSET' END AS status_code,
+  CASE WHEN e % 11 = 0 THEN 'boom' ELSE '' END AS status_message
+FROM a
+"""
+
+
+EXT26_QUERIES["logservice_spans"] = q_logservice_spans
+EXT26_ORACLES["logservice_spans"] = O_LOGSERVICE_SPANS
