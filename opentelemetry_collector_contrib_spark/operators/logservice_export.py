@@ -207,3 +207,153 @@ def logservice_spans(
         F.coalesce(F.col(status_message_col), F.lit(""))
         .alias("status_message"),
     )
+
+
+_LN_T = "struct<name:string,extra:string,value:string>"
+_EMPTY_LNS = f"array<{_LN_T}>"
+
+
+def _sanitize_label_key(c: Column) -> Column:
+    """sanitize.go:15-41: non-alnum → '_', digit-leading → 'key_',
+    underscore-leading → 'key'; empty stays empty."""
+    s = F.regexp_replace(c, r"[^0-9a-zA-Z]", "_")
+    s = F.when(s.rlike("^[0-9]"), F.concat(F.lit("key_"), s)) \
+        .otherwise(s)
+    s = F.when(s.startswith("_"), F.concat(F.lit("key"), s)) \
+        .otherwise(s)
+    return F.when(c == "", c).otherwise(s)
+
+
+def _fmt_g(c: Column) -> Column:
+    return F.regexp_replace(c.cast("string"), r"\.0$", "")
+
+
+def logservice_metrics(
+    df: DataFrame,
+    *,
+    id_cols: list[str],
+    name_col: str = "name",
+    mtype_col: str = "mtype",
+    ts_ns_col: str = "ts_ns",
+    attrs_col: str = "attrs",
+    res_attrs_col: str = "res_attrs",
+    is_int_col: str = "is_int",
+    vint_col: str = "vint",
+    vdouble_col: str = "vdouble",
+    count_col: str = "count",
+    sum_col: str = "sum",
+    bounds_col: str = "bounds",
+    bucket_counts_col: str = "bucket_counts",
+    quantiles_col: str = "quantiles",
+) -> DataFrame:
+    """Metric datapoints → SLS time-series KV logs
+    (``alibabacloudlogserviceexporter/metricsdata_to_logservice.go``):
+    ``__name__`` via formatMetricName ([a-zA-Z0-9_:] else ``_``),
+    ``__labels__`` = ``k#$#v|...`` with sanitized keys sorted by key
+    (resource labels then point attrs; the reference's sort is
+    unstable on duplicate keys — unique keys assumed), ``__time_nano__``
+    decimal, ``__value__`` FormatFloat 'g'. Gauge/sum per point
+    (EMPTY skipped), histogram ``_sum``/``_count`` + RAW per-bucket
+    counts with ``le`` = 'g' bound / ``+Inf`` capped at
+    min(len(bounds)+1, len(counts)) (:179-225), summary
+    ``_sum``/``_count`` + UNSUFFIXED quantile points (:227-261),
+    exp-histogram/empty dropped; Log.Time = ns/1e9 with NO Now()
+    fallback (:113-119)."""
+    name = F.col(name_col)
+    mtype = F.col(mtype_col)
+
+    def lab_ents(m: Column) -> Column:
+        return F.transform(
+            F.map_entries(F.coalesce(
+                m, F.expr("map()").cast("map<string,string>"))),
+            lambda e: F.struct(
+                _sanitize_label_key(e["key"]).alias("key"),
+                e["value"].alias("value")))
+
+    base_ents = F.concat(lab_ents(F.col(res_attrs_col)),
+                         lab_ents(F.col(attrs_col)))
+
+    def ln(nm: Column, extra: Column, value: Column) -> Column:
+        return F.struct(nm.alias("name"),
+                        extra.cast("string").alias("extra"),
+                        value.cast("string").alias("value"))
+
+    def one(cond: Column, x: Column) -> Column:
+        return F.when(cond, F.array(x)).otherwise(
+            F.expr("array()").cast(_EMPTY_LNS))
+
+    nil_s = F.lit(None).cast("string")
+    is_int = F.col(is_int_col)
+    number_lns = one(
+        mtype.isin("gauge", "sum") & is_int.isNotNull(),
+        ln(name,
+           nil_s,
+           F.when(is_int, F.col(vint_col).cast("string"))
+           .otherwise(_fmt_g(F.col(vdouble_col)))))
+
+    counts = F.coalesce(F.col(bucket_counts_col),
+                        F.expr("array()").cast("array<bigint>"))
+    bounds = F.coalesce(F.col(bounds_col),
+                        F.expr("array()").cast("array<double>"))
+    n_buckets = F.least(F.size(bounds) + 1, F.size(counts))
+    hist = mtype == "histogram"
+    sum_v = _fmt_g(F.coalesce(F.col(sum_col), F.lit(0.0)))
+    count_v = F.coalesce(F.col(count_col), F.lit(0)).cast("string")
+    hist_lns = F.concat(
+        one(hist, ln(F.concat(name, F.lit("_sum")), nil_s, sum_v)),
+        one(hist, ln(F.concat(name, F.lit("_count")), nil_s,
+                     count_v)),
+        F.when(hist, F.filter(F.transform(
+            counts,
+            lambda c, j: F.when(j < n_buckets, ln(
+                F.concat(name, F.lit("_bucket")),
+                F.when(j < F.size(bounds),
+                       _fmt_g(F.element_at(bounds, j + 1)))
+                .otherwise(F.lit("+Inf")),
+                c.cast("string")))),
+            lambda x: x.isNotNull()))
+        .otherwise(F.expr("array()").cast(_EMPTY_LNS)),
+    )
+
+    summ = mtype == "summary"
+    summary_lns = F.concat(
+        one(summ, ln(F.concat(name, F.lit("_sum")), nil_s, sum_v)),
+        one(summ, ln(F.concat(name, F.lit("_count")), nil_s,
+                     count_v)),
+        F.when(summ, F.transform(
+            F.coalesce(F.col(quantiles_col), F.expr("array()").cast(
+                "array<struct<q:double,v:double>>")),
+            lambda qv: ln(name, _fmt_g(qv["q"]), _fmt_g(qv["v"]))))
+        .otherwise(F.expr("array()").cast(_EMPTY_LNS)),
+    )
+
+    out = df.select(
+        *id_cols,
+        F.expr(f"CAST(COALESCE({ts_ns_col}, 0) AS BIGINT)"
+               " div 1000000000").alias("time_s"),
+        F.coalesce(F.col(ts_ns_col), F.lit(0)).cast("string")
+        .alias("time_nano"),
+        base_ents.alias("_base"),
+        (F.when(mtype == "histogram", F.lit("le"))
+         .when(mtype == "summary", F.lit("quantile"))).alias("_lkey"),
+        F.explode(F.concat(number_lns, hist_lns, summary_lns))
+        .alias("_ln"),
+    )
+    p = F.col("_ln")
+    ents = F.array_sort(F.concat(
+        F.col("_base"),
+        F.when(p["extra"].isNotNull(), F.array(F.struct(
+            F.col("_lkey").alias("key"), p["extra"].alias("value"))))
+        .otherwise(F.expr("array()").cast(
+            "array<struct<key:string,value:string>>"))))
+    return out.select(
+        *id_cols,
+        F.col("time_s"),
+        F.regexp_replace(p["name"], r"[^a-zA-Z0-9_:]", "_")
+        .alias("metric_name"),
+        F.array_join(F.transform(
+            ents, lambda e: F.concat(e["key"], F.lit("#$#"),
+                                     e["value"])), "|").alias("labels"),
+        F.col("time_nano"),
+        p["value"].alias("value"),
+    )

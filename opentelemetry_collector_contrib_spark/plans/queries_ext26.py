@@ -1015,3 +1015,129 @@ FROM a
 
 EXT26_QUERIES["logservice_spans"] = q_logservice_spans
 EXT26_ORACLES["logservice_spans"] = O_LOGSERVICE_SPANS
+
+
+def q_logservice_metrics(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from ..operators.logservice_export import logservice_metrics
+
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    d = lambda c: c.cast("double")  # noqa: E731
+
+    fx = ev.select(
+        e.alias("i"),
+        F.concat(F.lit("met-"), s(e % 6)).alias("name"),
+        F.when(e % 5 == 0, F.lit("gauge"))
+        .when(e % 5 == 1, F.lit("sum"))
+        .when(e % 5 == 2, F.lit("histogram"))
+        .when(e % 5 == 3, F.lit("summary"))
+        .when(e % 2 == 0, F.lit("exphist")).otherwise(F.lit("empty"))
+        .alias("mtype"),
+        (F.lit(1700000000000000000) + e * 1000000000).cast("bigint")
+        .alias("ts_ns"),
+        _omap(
+            (F.lit(True), "dim.a", F.concat(F.lit("x"), s(e % 3))),
+            (u % 4 == 0, "1b", F.concat(F.lit("y"), s(u % 2))),
+            (u % 3 == 0, "_z", F.concat(F.lit("w"), s(u % 3))),
+        ).alias("attrs"),
+        _omap(
+            (F.lit(True), "rk", F.concat(F.lit("rv"), s(u % 2))),
+            (u % 2 == 0, "h-n", F.concat(F.lit("hv"), s(u % 5))),
+        ).alias("res_attrs"),
+        F.when(e % 35 == 0, F.lit(None).cast("boolean"))
+        .otherwise(e % 2 == 0).alias("is_int"),
+        (e % 100).cast("bigint").alias("vint"),
+        d((u % 4) * 0.25).alias("vdouble"),
+        F.when(e % 5 == 2, e % 50 + 2).otherwise(e % 30 + 1)
+        .cast("bigint").alias("count"),
+        F.when(u % 4 != 0, d((u % 10) * 1.5)).alias("sum"),
+        F.array(F.lit(0.0), F.lit(1.0), F.lit(2.5)).alias("bounds"),
+        F.when(e % 20 == 2,
+               F.array(F.lit(1), F.lit(2)).cast("array<bigint>"))
+        .when(e % 15 == 2, F.array().cast("array<bigint>"))
+        .otherwise(F.array(e % 3, e % 4, e % 5 + 1, F.lit(7))
+                   .cast("array<bigint>")).alias("bucket_counts"),
+        F.when(u % 2 == 0, F.array(
+            F.struct(F.lit(0.5).alias("q"),
+                     d((u % 5) * 0.25).alias("v")),
+            F.struct(F.lit(0.99).alias("q"),
+                     d((u % 9) * 0.5).alias("v"))))
+        .otherwise(F.array().cast(
+            "array<struct<q:double,v:double>>")).alias("quantiles"),
+    )
+
+    return logservice_metrics(fx, id_cols=["i"])
+
+
+O_LOGSERVICE_METRICS = """
+WITH a AS (
+  SELECT event_id AS i, user_id AS u, event_id AS e,
+    'met_' || CAST(event_id % 6 AS VARCHAR) AS fname,
+    1700000000 + event_id AS time_s,
+    CAST(1700000000000000000 + event_id * 1000000000 AS VARCHAR)
+      AS time_nano,
+    regexp_replace(CAST(CAST((user_id % 10) * 1.5 AS DOUBLE)
+      AS VARCHAR), '\\.0$', '') AS sum_g
+  FROM events
+), b AS (
+  SELECT *,
+    'dim_a#$#x' || CAST(e % 3 AS VARCHAR) ||
+    CASE WHEN u % 2 = 0
+         THEN '|h_n#$#hv' || CAST(u % 5 AS VARCHAR) ELSE '' END ||
+    CASE WHEN u % 4 = 0
+         THEN '|key_1b#$#y' || CAST(u % 2 AS VARCHAR) ELSE '' END ||
+    CASE WHEN u % 3 = 0
+         THEN '|key_z#$#w' || CAST(u % 3 AS VARCHAR) ELSE '' END
+      AS pre,
+    '|rk#$#rv' || CAST(u % 2 AS VARCHAR) AS post,
+    CASE WHEN u % 4 <> 0 THEN sum_g ELSE '0' END AS sum_v,
+    CASE WHEN e % 5 = 2 THEN CAST(e % 50 + 2 AS VARCHAR)
+         ELSE CAST(e % 30 + 1 AS VARCHAR) END AS count_v
+  FROM a
+)
+SELECT i, time_s, fname AS metric_name, pre || post AS labels,
+  time_nano,
+  CASE WHEN e % 2 = 0 THEN CAST(e % 100 AS VARCHAR)
+       ELSE regexp_replace(CAST(CAST((u % 4) * 0.25 AS DOUBLE)
+         AS VARCHAR), '\\.0$', '') END AS value
+FROM b WHERE e % 5 IN (0, 1) AND e % 35 <> 0
+UNION ALL
+SELECT i, time_s, fname || '_sum', pre || post, time_nano, sum_v
+FROM b WHERE e % 5 IN (2, 3)
+UNION ALL
+SELECT i, time_s, fname || '_count', pre || post, time_nano, count_v
+FROM b WHERE e % 5 IN (2, 3)
+UNION ALL
+SELECT i, time_s, fname || '_bucket',
+  pre || '|le#$#' || ub || post, time_nano, cnt
+FROM (
+  SELECT i, time_s, fname, pre, post, time_nano, j,
+    CASE j WHEN 1 THEN '0' WHEN 2 THEN '1' WHEN 3 THEN '2.5'
+         ELSE '+Inf' END AS ub,
+    CASE WHEN e % 20 = 2 THEN
+      CASE j WHEN 1 THEN '1' WHEN 2 THEN '2' END
+    WHEN e % 15 = 2 THEN NULL
+    ELSE CASE j WHEN 1 THEN CAST(e % 3 AS VARCHAR)
+         WHEN 2 THEN CAST(e % 4 AS VARCHAR)
+         WHEN 3 THEN CAST(e % 5 + 1 AS VARCHAR) ELSE '7' END
+    END AS cnt
+  FROM b, (SELECT unnest(generate_series(1, 4)) AS j)
+  WHERE e % 5 = 2
+) WHERE cnt IS NOT NULL
+UNION ALL
+SELECT i, time_s, fname,
+  pre || '|quantile#$#' || CASE j WHEN 1 THEN '0.5' ELSE '0.99' END
+  || post, time_nano,
+  CASE j WHEN 1 THEN regexp_replace(
+    CAST(CAST((u % 5) * 0.25 AS DOUBLE) AS VARCHAR), '\\.0$', '')
+  ELSE regexp_replace(
+    CAST(CAST((u % 9) * 0.5 AS DOUBLE) AS VARCHAR), '\\.0$', '') END
+FROM b, (SELECT unnest(generate_series(1, 2)) AS j)
+WHERE e % 5 = 3 AND u % 2 = 0
+"""
+
+
+EXT26_QUERIES["logservice_metrics"] = q_logservice_metrics
+EXT26_ORACLES["logservice_metrics"] = O_LOGSERVICE_METRICS
