@@ -1141,3 +1141,135 @@ WHERE e % 5 = 3 AND u % 2 = 0
 
 EXT26_QUERIES["logservice_metrics"] = q_logservice_metrics
 EXT26_ORACLES["logservice_metrics"] = O_LOGSERVICE_METRICS
+
+
+def _opensearch_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    return ev.select(
+        e.alias("i"),
+        F.when(e % 17 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("b-"), F.col("event_type"))).alias("body"),
+        (F.lit(1700000000000000000) + e * 1234567).cast("bigint")
+        .alias("ts_ns"),
+        F.when(e % 13 == 0, F.lit("")).otherwise(
+            F.lpad(F.lower(F.hex(F.lit(1000) + u)), 32, "0"))
+        .alias("trace_id"),
+        F.when(e % 11 == 0, F.lit("")).otherwise(
+            F.lpad(F.lower(F.hex(e + 1)), 16, "0")).alias("span_id"),
+        (e % 26).cast("int").alias("severity_number"),
+        F.when(e % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("sev"), s(e % 5))).alias("severity_text"),
+        (e % 256).cast("bigint").alias("flags"),
+        _omap(
+            (F.lit(True), "app.name", F.concat(F.lit("x"), s(e % 3))),
+            (e % 4 == 0, "app", F.concat(F.lit("p"), s(u % 2))),
+            (e % 2 == 0, "zz", F.concat(F.lit("z"), s(u % 3))),
+        ).alias("attrs"),
+        _omap(
+            (F.lit(True), "rk", F.concat(F.lit("rv"), s(u % 2))),
+            (u % 3 == 0, "app.name", F.concat(F.lit("ry"), s(u % 4))),
+        ).alias("res_attrs"),
+    )
+
+
+def q_opensearch_log_docs(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from ..operators.opensearch_export import opensearch_log_documents
+
+    return opensearch_log_documents(
+        _opensearch_fixture(spark, sf_dir), id_cols=["i"])
+
+
+O_OPENSEARCH_LOG_DOCS = """
+WITH a AS (
+  SELECT event_id AS i, user_id AS u, event_id AS e, event_type,
+         1700000000000000000 + event_id * 1234567 AS ts
+  FROM events
+)
+SELECT i,
+  '{"@timestamp":"' ||
+  strftime(make_timestamp((ts // 1000000000) * 1000000),
+           '%Y-%m-%dT%H:%M:%S') || '.' ||
+  lpad(CAST(ts % 1000000000 AS VARCHAR), 9, '0') || 'Z"' ||
+  ',"Attributes":{"app":{"name":"x' || CAST(e % 3 AS VARCHAR) ||
+  '"' ||
+  CASE WHEN e % 4 = 0
+       THEN ',"value":"p' || CAST(u % 2 AS VARCHAR) || '"'
+       ELSE '' END || '}' ||
+  ',"rk":"rv' || CAST(u % 2 AS VARCHAR) || '"' ||
+  CASE WHEN e % 2 = 0
+       THEN ',"zz":"z' || CAST(u % 3 AS VARCHAR) || '"'
+       ELSE '' END || '}' ||
+  CASE WHEN e % 17 <> 0
+       THEN ',"Body":"b-' || event_type || '"' ELSE '' END ||
+  ',"SeverityNumber":' || CAST(e % 26 AS VARCHAR) ||
+  CASE WHEN e % 5 <> 0
+       THEN ',"SeverityText":"sev' || CAST(e % 5 AS VARCHAR) || '"'
+       ELSE '' END ||
+  CASE WHEN e % 11 <> 0
+       THEN ',"SpanId":"' || lpad(lower(to_hex(e + 1)), 16, '0') ||
+            '"' ELSE '' END ||
+  ',"TraceFlags":' || CAST(e % 256 AS VARCHAR) ||
+  CASE WHEN e % 13 <> 0
+       THEN ',"TraceId":"' || lpad(lower(to_hex(1000 + u)), 32, '0')
+            || '"' ELSE '' END ||
+  '}' AS document
+FROM a
+"""
+
+
+def q_opensearch_log_docs_flat(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..operators.opensearch_export import opensearch_log_documents
+
+    return opensearch_log_documents(
+        _opensearch_fixture(spark, sf_dir), id_cols=["i"],
+        flatten_attributes=True, dedup=False, dedot=False,
+        timestamp_field="ts", unix_time=True)
+
+
+O_OPENSEARCH_LOG_DOCS_FLAT = """
+WITH a AS (
+  SELECT event_id AS i, user_id AS u, event_id AS e, event_type,
+         1700000000000000000 + event_id * 1234567 AS ts
+  FROM events
+)
+SELECT i,
+  -- insertion order, flat dotted keys, no dedup
+  '{"rk":"rv' || CAST(u % 2 AS VARCHAR) || '"' ||
+  CASE WHEN u % 3 = 0
+       THEN ',"app.name":"ry' || CAST(u % 4 AS VARCHAR) || '"'
+       ELSE '' END ||
+  ',"ts":' || CAST(ts // 1000000 AS VARCHAR) ||
+  CASE WHEN e % 13 <> 0
+       THEN ',"TraceId":"' || lpad(lower(to_hex(1000 + u)), 32, '0')
+            || '"' ELSE '' END ||
+  CASE WHEN e % 11 <> 0
+       THEN ',"SpanId":"' || lpad(lower(to_hex(e + 1)), 16, '0') ||
+            '"' ELSE '' END ||
+  ',"TraceFlags":' || CAST(e % 256 AS VARCHAR) ||
+  CASE WHEN e % 5 <> 0
+       THEN ',"SeverityText":"sev' || CAST(e % 5 AS VARCHAR) || '"'
+       ELSE '' END ||
+  ',"SeverityNumber":' || CAST(e % 26 AS VARCHAR) ||
+  CASE WHEN e % 17 <> 0
+       THEN ',"Body":"b-' || event_type || '"' ELSE '' END ||
+  ',"app.name":"x' || CAST(e % 3 AS VARCHAR) || '"' ||
+  CASE WHEN e % 4 = 0
+       THEN ',"app":"p' || CAST(u % 2 AS VARCHAR) || '"'
+       ELSE '' END ||
+  CASE WHEN e % 2 = 0
+       THEN ',"zz":"z' || CAST(u % 3 AS VARCHAR) || '"'
+       ELSE '' END ||
+  '}' AS document
+FROM a
+"""
+
+
+EXT26_QUERIES["opensearch_log_docs"] = q_opensearch_log_docs
+EXT26_ORACLES["opensearch_log_docs"] = O_OPENSEARCH_LOG_DOCS
+EXT26_QUERIES["opensearch_log_docs_flat"] = q_opensearch_log_docs_flat
+EXT26_ORACLES["opensearch_log_docs_flat"] = O_OPENSEARCH_LOG_DOCS_FLAT
