@@ -727,3 +727,8 @@ from .queries_ext26 import EXT26_ORACLES, EXT26_QUERIES  # noqa: E402
 
 QUERIES.update(EXT26_QUERIES)
 ORACLES.update(EXT26_ORACLES)
+
+from .queries_ext27 import EXT27_ORACLES, EXT27_QUERIES  # noqa: E402
+
+QUERIES.update(EXT27_QUERIES)
+ORACLES.update(EXT27_ORACLES)
