@@ -732,3 +732,8 @@ from .queries_ext27 import EXT27_ORACLES, EXT27_QUERIES  # noqa: E402
 
 QUERIES.update(EXT27_QUERIES)
 ORACLES.update(EXT27_ORACLES)
+
+from .queries_ext28 import EXT28_ORACLES, EXT28_QUERIES  # noqa: E402
+
+QUERIES.update(EXT28_QUERIES)
+ORACLES.update(EXT28_ORACLES)
