@@ -737,3 +737,8 @@ from .queries_ext28 import EXT28_ORACLES, EXT28_QUERIES  # noqa: E402
 
 QUERIES.update(EXT28_QUERIES)
 ORACLES.update(EXT28_ORACLES)
+
+from .queries_ext29 import EXT29_ORACLES, EXT29_QUERIES  # noqa: E402
+
+QUERIES.update(EXT29_QUERIES)
+ORACLES.update(EXT29_ORACLES)
