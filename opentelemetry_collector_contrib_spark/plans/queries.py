@@ -752,3 +752,8 @@ from .queries_ext31 import EXT31_ORACLES, EXT31_QUERIES  # noqa: E402
 
 QUERIES.update(EXT31_QUERIES)
 ORACLES.update(EXT31_ORACLES)
+
+from .queries_ext32 import EXT32_ORACLES, EXT32_QUERIES  # noqa: E402
+
+QUERIES.update(EXT32_QUERIES)
+ORACLES.update(EXT32_ORACLES)
