@@ -757,3 +757,8 @@ from .queries_ext32 import EXT32_ORACLES, EXT32_QUERIES  # noqa: E402
 
 QUERIES.update(EXT32_QUERIES)
 ORACLES.update(EXT32_ORACLES)
+
+from .queries_ext33 import EXT33_ORACLES, EXT33_QUERIES  # noqa: E402
+
+QUERIES.update(EXT33_QUERIES)
+ORACLES.update(EXT33_ORACLES)
