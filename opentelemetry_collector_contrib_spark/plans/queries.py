@@ -762,3 +762,8 @@ from .queries_ext33 import EXT33_ORACLES, EXT33_QUERIES  # noqa: E402
 
 QUERIES.update(EXT33_QUERIES)
 ORACLES.update(EXT33_ORACLES)
+
+from .queries_ext34 import EXT34_ORACLES, EXT34_QUERIES  # noqa: E402
+
+QUERIES.update(EXT34_QUERIES)
+ORACLES.update(EXT34_ORACLES)
