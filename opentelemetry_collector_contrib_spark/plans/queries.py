@@ -777,3 +777,8 @@ from .queries_ext36 import EXT36_ORACLES, EXT36_QUERIES  # noqa: E402
 
 QUERIES.update(EXT36_QUERIES)
 ORACLES.update(EXT36_ORACLES)
+
+from .queries_ext37 import EXT37_ORACLES, EXT37_QUERIES  # noqa: E402
+
+QUERIES.update(EXT37_QUERIES)
+ORACLES.update(EXT37_ORACLES)
