@@ -782,3 +782,13 @@ from .queries_ext37 import EXT37_ORACLES, EXT37_QUERIES  # noqa: E402
 
 QUERIES.update(EXT37_QUERIES)
 ORACLES.update(EXT37_ORACLES)
+
+from .queries_ext38 import EXT38_ORACLES, EXT38_QUERIES  # noqa: E402
+
+QUERIES.update(EXT38_QUERIES)
+ORACLES.update(EXT38_ORACLES)
+
+from .queries_ext39 import EXT39_ORACLES, EXT39_QUERIES  # noqa: E402
+
+QUERIES.update(EXT39_QUERIES)
+ORACLES.update(EXT39_ORACLES)
