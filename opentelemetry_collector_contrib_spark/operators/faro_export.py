@@ -293,7 +293,11 @@ def _faro_batch(body: pd.Series, res_json: pd.Series) -> pd.Series:
 
 def logs_to_faro_payloads(df: DataFrame, *,
                           id_cols: list[str]) -> DataFrame:
-    udf = pandas_udf(_faro_batch, returnType="string")
+    # asNondeterministic pins ONE evaluation — otherwise Catalyst
+    # re-inlines the UDF into both the dead-letter filter and the
+    # projection, decoding every body twice
+    udf = pandas_udf(_faro_batch,
+                     returnType="string").asNondeterministic()
     parsed = df.select(
         *id_cols,
         F.from_json(
