@@ -792,3 +792,8 @@ from .queries_ext39 import EXT39_ORACLES, EXT39_QUERIES  # noqa: E402
 
 QUERIES.update(EXT39_QUERIES)
 ORACLES.update(EXT39_ORACLES)
+
+from .queries_ext40 import EXT40_ORACLES, EXT40_QUERIES  # noqa: E402
+
+QUERIES.update(EXT40_QUERIES)
+ORACLES.update(EXT40_ORACLES)
