@@ -248,3 +248,240 @@ def waf_log_parse(df: DataFrame, *, id_cols: list[str],
                      acl.alias("value")),
         ))).alias("res_attrs"),
     )
+
+
+# --- S3 server access logs (s3-access-log/{unmarshaler,fields}.go) ----
+
+_S3_FIELDS = [
+    None, None, None,                       # owner, bucket, time
+    "source.address", "user.id", "aws.request_id", "rpc.method",
+    "aws.s3.key", None,                     # request uri
+    "http.response.status_code", "error.type",
+    "http.response.body.size", "aws.s3.object.size", "duration",
+    "aws.s3.turn_around_time", "http.request.header.referer",
+    "user_agent.original", "aws.s3.version_id",
+    "aws.extended_request_id", "aws.signature.version", "tls.cipher",
+    "aws.s3.auth_type", "http.request.header.host",
+    "tls.protocol.version", "aws.s3.access_point.arn",
+    "aws.s3.acl_required",
+]
+_S3_INT_IDX = {9, 11, 12, 13, 14}
+_S3_TOKEN_RE = r'("[^"]*")|(\[[^\]]*\])|([^ ]+)'
+
+
+def s3_access_log_parse(df: DataFrame, *, id_cols: list[str],
+                        line_col: str = "line") -> DataFrame:
+    """One row per S3 server access log line (unmarshaler.go:95-256):
+    quote-aware field scan (the bracketed timestamp is the Go
+    two-token rejoin), "-" skips except the acl field, the
+    "<method> <uri> <proto>" request split with path/query and the
+    protocol name table, TLSv-prefix version extraction, Yes/- acl
+    bool.  Field-count/parse violations dead-letter the row."""
+    toks = F.regexp_extract_all(F.col(line_col),
+                                F.lit(_S3_TOKEN_RE), F.lit(0))
+
+    def tok(i: int) -> Column:
+        t = F.try_element_at(toks, F.lit(i + 1))
+        return F.regexp_replace(t, r'^"(.*)"$', r"$1")
+
+    n_tok = F.size(toks)
+    bad = n_tok != 26
+
+    ts_raw = tok(2)
+    ts = F.try_to_timestamp(
+        ts_raw, F.lit("'['dd/MMM/yyyy:HH:mm:ss xx']'"))
+    bad = bad | (ts_raw.isNotNull() & (ts_raw != "-") & ts.isNull())
+
+    entries = []
+    for i in range(3, 26):
+        name = _S3_FIELDS[i]
+        v = F.nullif(tok(i), F.lit("-"))
+        if i == 8:  # request uri
+            parts = F.split(tok(i), " ")
+            ok3 = F.size(parts) == 3
+            method = F.try_element_at(parts, F.lit(1))
+            uri = F.try_element_at(parts, F.lit(2))
+            proto = F.try_element_at(parts, F.lit(3))
+            path = F.element_at(F.split(uri, r"\?", 2), 1)
+            query = F.try_element_at(F.split(uri, r"\?", 2), F.lit(2))
+            pname = F.element_at(F.split(proto, "/", 2), 1)
+            pver = F.try_element_at(F.split(proto, "/", 2), F.lit(2))
+            pname_m = (F.when(pname == "HTTP", F.lit("http"))
+                       .when(pname == "QUIC", F.lit("quic"))
+                       .when(pname == "SPDY", F.lit("spdy"))
+                       .otherwise(F.lower(pname)))
+            present = tok(i).isNotNull() & (tok(i) != "-")
+            bad = bad | (present & (
+                ~ok3 | (method == "") | (uri == "")
+                | pver.isNull() | (pname == "")
+                | F.coalesce(pver == "", F.lit(True))))
+            entries += [
+                (F.lit("http.request.method"),
+                 F.when(present, method)),
+                (F.lit("url.path"),
+                 F.when(present & path.startswith("/"), path)),
+                (F.lit("url.query"), F.when(present, query)),
+                (F.lit("network.protocol.name"),
+                 F.when(present, pname_m)),
+                (F.lit("network.protocol.version"),
+                 F.when(present, pver)),
+            ]
+        elif i == 23:  # TLS version: substring from the first '1'
+            idx = F.instr(v, "1")
+            bad = bad | (v.isNotNull() & (idx == 0))
+            entries.append((F.lit(name),
+                            F.when(idx > 0,
+                                   F.substring(v, idx, 100000))))
+        elif i == 25:  # acl required: Yes -> true, "-" -> false
+            raw = tok(i)
+            bad = bad | (raw.isNotNull()
+                         & ~raw.isin("Yes", "-"))
+            entries.append((F.lit(name),
+                            F.when(raw == "Yes", F.lit("true"))
+                            .when(raw == "-", F.lit("false"))))
+        elif i in _S3_INT_IDX:
+            n = v.try_cast("bigint")
+            bad = bad | (v.isNotNull() & n.isNull())
+            entries.append((F.lit(name), n.cast("string")))
+        else:
+            entries.append((F.lit(name), v))
+
+    attrs = F.map_from_entries(F.filter(
+        F.array(*[F.when(v.isNotNull(),
+                         F.struct(k.alias("key"), v.alias("value")))
+                  for k, v in entries]),
+        lambda x: x.isNotNull()))
+    owner = F.nullif(tok(0), F.lit("-"))
+    bucket = F.nullif(tok(1), F.lit("-"))
+    return df.select(
+        *id_cols, bad.alias("err"),
+        (F.unix_timestamp(ts).cast("bigint") * 1_000_000_000)
+        .alias("ts_ns"),
+        F.when(~bad, attrs).alias("attrs"),
+        F.when(~bad, F.map_from_entries(F.filter(F.array(
+            F.struct(F.lit("cloud.provider").alias("key"),
+                     F.lit("aws").alias("value")),
+            F.when(bucket.isNotNull(),
+                   F.struct(F.lit("aws.s3.bucket").alias("key"),
+                            bucket.alias("value"))),
+            F.when(owner.isNotNull(),
+                   F.struct(F.lit("aws.s3.owner").alias("key"),
+                            owner.alias("value"))),
+        ), lambda x: x.isNotNull()))).alias("res_attrs"),
+    )
+
+
+# --- CloudTrail logs (cloudtraillog/unmarshaler.go) -------------------
+
+_CT_SCHEMA = (
+    "struct<Records:array<struct<eventVersion:string,eventTime:string,"
+    "eventSource:string,eventName:string,awsRegion:string,"
+    "sourceIPAddress:string,userAgent:string,requestID:string,"
+    "eventID:string,eventType:string,eventCategory:string,"
+    "recipientAccountId:string,userIdentity:struct<type:string,"
+    "principalId:string,arn:string,accountId:string,"
+    "accessKeyId:string,userName:string,userId:string,"
+    "identityStoreArn:string>,responseElements:map<string,string>,"
+    "requestParameters:map<string,string>,resources:array<struct<"
+    "accountId:string,type:string,ARN:string>>,readOnly:boolean,"
+    "managementEvent:boolean,tlsDetails:struct<tlsVersion:string,"
+    "cipherSuite:string,clientProvidedHostHeader:string>,"
+    "sessionCredentialFromConsole:string,errorCode:string,"
+    "errorMessage:string,sharedEventID:string>>>")
+
+
+def cloudtrail_log_parse(df: DataFrame, *, id_cols: list[str],
+                         body_col: str = "body") -> DataFrame:
+    """CloudTrail file -> one row per Records[] entry
+    (unmarshaler.go:93-279): RFC3339 eventTime (bad time
+    dead-letters), the field/semconv table with empty-skip gates,
+    TLSv-prefix version trim, sessionCredentialFromConsole=="true"
+    bool, nested request/response/insight maps kept as flat
+    string maps and resources as account.id/type/arn structs."""
+    parsed = df.select(
+        *id_cols,
+        F.posexplode(F.coalesce(
+            F.from_json(F.col(body_col), _CT_SCHEMA)["Records"],
+            F.expr("array()").cast(
+                _CT_SCHEMA[len("struct<Records:"):-1])))
+        .alias("_pos", "r"))
+    r = F.col("r")
+    ts = F.try_to_timestamp(r["eventTime"])
+    err = r["eventTime"].isNotNull() & ts.isNull()
+    ui, tls = r["userIdentity"], r["tlsDetails"]
+    tlsv = tls["tlsVersion"]
+    tls_version = F.when(tlsv.startswith("TLSv"),
+                         F.substring(tlsv, 5, 1000)).otherwise(tlsv)
+
+    def put(name: str, v: Column) -> Column:
+        return F.when(v.isNotNull() & (v != ""),
+                      F.struct(F.lit(name).alias("key"),
+                               v.alias("value")))
+
+    def put_always(name: str, v: Column) -> Column:
+        return F.struct(F.lit(name).alias("key"),
+                        F.coalesce(v, F.lit("")).alias("value"))
+
+    attrs = F.map_from_entries(F.filter(F.array(
+        put_always("aws.cloudtrail.event_version", r["eventVersion"]),
+        put_always("aws.cloudtrail.event_id", r["eventID"]),
+        put("rpc.method", r["eventName"]),
+        put_always("rpc.system", r["eventType"]),
+        put("rpc.service", r["eventSource"]),
+        put("aws.request_id", r["requestID"]),
+        put_always("aws.event.category", r["eventCategory"]),
+        F.when(r["readOnly"].isNotNull(),
+               F.struct(F.lit("aws.event.read_only").alias("key"),
+                        r["readOnly"].cast("string").alias("value"))),
+        F.when(r["managementEvent"].isNotNull(),
+               F.struct(F.lit("aws.event.management").alias("key"),
+                        r["managementEvent"].cast("string")
+                        .alias("value"))),
+        put("source.address", r["sourceIPAddress"]),
+        put("user_agent.original", r["userAgent"]),
+        F.when(r["sessionCredentialFromConsole"] == "true",
+               F.struct(F.lit("aws.session.console").alias("key"),
+                        F.lit("true").alias("value"))),
+        put("user.id", ui["userId"]),
+        put("user.name", ui["userName"]),
+        put("aws.access_key.id", ui["accessKeyId"]),
+        put("aws.identity_store.arn", ui["identityStoreArn"]),
+        put("aws.principal.id", ui["principalId"]),
+        put("aws.principal.arn", ui["arn"]),
+        put("aws.principal.type", ui["type"]),
+        put("tls.protocol.version", tls_version),
+        put("tls.cipher", tls["cipherSuite"]),
+        put("server.address", tls["clientProvidedHostHeader"]),
+        put("aws.error.code", r["errorCode"]),
+        put("aws.error.message", r["errorMessage"]),
+        put("aws.shared_event_id", r["sharedEventID"]),
+    ), lambda x: x.isNotNull()))
+
+    return parsed.select(
+        *id_cols, err.alias("err"),
+        (F.unix_timestamp(ts).cast("bigint") * 1_000_000_000)
+        .alias("ts_ns"),
+        F.when(~err, attrs).alias("attrs"),
+        F.when(~err, r["requestParameters"])
+        .alias("request_parameters"),
+        F.when(~err, r["responseElements"])
+        .alias("response_elements"),
+        F.when(~err, F.transform(
+            F.coalesce(r["resources"], F.expr("array()").cast(
+                "array<struct<accountId:string,type:string,"
+                "ARN:string>>")),
+            lambda x: F.struct(x["accountId"].alias("account_id"),
+                               x["type"].alias("type"),
+                               x["ARN"].alias("arn"))))
+        .alias("resources"),
+        F.map_from_entries(F.array(
+            F.struct(F.lit("cloud.provider").alias("key"),
+                     F.lit("aws").alias("value")),
+            F.struct(F.lit("cloud.region").alias("key"),
+                     F.coalesce(r["awsRegion"], F.lit(""))
+                     .alias("value")),
+            F.struct(F.lit("cloud.account.id").alias("key"),
+                     F.coalesce(r["recipientAccountId"], F.lit(""))
+                     .alias("value")),
+        )).alias("res_attrs"),
+    )
