@@ -66,7 +66,11 @@ def vpc_flow_log_parse(
     fields: list[str],
     line_col: str = "line",
 ) -> DataFrame:
-    vals = F.split(F.col(line_col), " ")
+    # stage the split array: ~20 positional readers would otherwise
+    # re-inline (and re-evaluate) the split per reference — the helix
+    # lesson (PLANS.md session-4 addendum)
+    df = df.select("*", F.split(F.col(line_col), " ").alias("_vals"))
+    vals = F.col("_vals")
     n_fields = len(fields)
 
     def val(i: int) -> Column:
@@ -173,7 +177,11 @@ _WAF_SCHEMA = (
 
 def waf_log_parse(df: DataFrame, *, id_cols: list[str],
                   line_col: str = "line") -> DataFrame:
-    j = F.from_json(F.col(line_col), _WAF_SCHEMA)
+    # stage the parse: ~25 field readers re-inline from_json per
+    # reference otherwise
+    df = df.select("*", F.from_json(F.col(line_col), _WAF_SCHEMA)
+                   .alias("_waf"))
+    j = F.col("_waf")
     acl = F.coalesce(j["webaclId"], F.lit(""))
     arn_rest = F.when(acl.startswith("arn:aws:wafv2:"),
                       F.substring(acl, 15, 100000))
@@ -277,8 +285,12 @@ def s3_access_log_parse(df: DataFrame, *, id_cols: list[str],
     "<method> <uri> <proto>" request split with path/query and the
     protocol name table, TLSv-prefix version extraction, Yes/- acl
     bool.  Field-count/parse violations dead-letter the row."""
-    toks = F.regexp_extract_all(F.col(line_col),
-                                F.lit(_S3_TOKEN_RE), F.lit(0))
+    # stage the tokenization: 26 positional readers re-inline the
+    # regexp_extract_all per reference otherwise (measured ~5x)
+    df = df.select("*", F.regexp_extract_all(
+        F.col(line_col), F.lit(_S3_TOKEN_RE), F.lit(0))
+        .alias("_toks"))
+    toks = F.col("_toks")
 
     def tok(i: int) -> Column:
         t = F.try_element_at(toks, F.lit(i + 1))
