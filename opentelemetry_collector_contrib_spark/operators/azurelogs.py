@@ -373,10 +373,14 @@ def _common_schema_tokens(r: Column) -> Column:
     ), lambda t: t.isNotNull())
 
 
-def _fallback_body_tokens(r: Column, props_json: Column,
+def _fallback_body_tokens(r: Column, props: Column,
                           ident: Column, cat: Column) -> Column:
     """extractRawAttributes (resourcelogs_to_logs.go:233-262) +
-    the property_names.go per-category hand-off."""
+    the property_names.go per-category hand-off.  ``props`` must be a
+    STAGED ``map<string,string>`` column — the ~60 ``element_at``
+    readers across the category branches would otherwise re-inline
+    (and re-evaluate) the JSON map parse per reference (the awslogs
+    staging rule, PLANS.md)."""
     dur = r["durationMs"].try_cast("long")
     var_json = F.when(
         F.schema_of_variant(ident) == "STRING",
@@ -403,7 +407,6 @@ def _fallback_body_tokens(r: Column, props_json: Column,
         opt("network.peer.address", r["callerIpAddress"]),
     ), lambda t: t.isNotNull())
 
-    props = F.from_json(props_json, "map<string,string>")
     has_props = props.isNotNull() & (F.size(props) > 0)
 
     # per-category hand-off: mapped fields -> top-level attrs (with the
@@ -480,7 +483,13 @@ def azurelogs_parse(df: DataFrame, line_col: str = "body",
     like resourcelogs_to_logs.go:111-115.
     """
     line = F.col(line_col)
-    z = F.from_json(line, f"struct<records:{_AZ_REC}>")
+    # stage the envelope parse: the ok-flag and the explode would
+    # otherwise each re-evaluate the from_json (staging rule, PLANS.md)
+    df = df.select(
+        "*",
+        F.from_json(line, f"struct<records:{_AZ_REC}>").alias("_az2_z"),
+    )
+    z = F.col("_az2_z")
     recs = F.coalesce(z["records"], F.expr("array()").cast(_AZ_REC))
     out = df.select(
         "*",
@@ -537,6 +546,7 @@ def azurelogs_parse(df: DataFrame, line_col: str = "body",
         "*",
         F.from_json(props_json, _ACCESS).alias("_pa"),
         F.from_json(props_json, _WAF).alias("_pw"),
+        F.from_json(props_json, "map<string,string>").alias("_pm"),
     )
 
     cdn_toks, cdn_err = _access_log_tokens(F.col("_pa"), props_json,
@@ -545,7 +555,7 @@ def azurelogs_parse(df: DataFrame, line_col: str = "body",
                                          is_cdn=False)
     waf_toks, waf_err = _waf_log_tokens(F.col("_pw"))
     common = _common_schema_tokens(r)
-    body_toks = _fallback_body_tokens(r, props_json,
+    body_toks = _fallback_body_tokens(r, F.col("_pm"),
                                       r["identity"], cat)
 
     implemented = cat.isin(CAT_CDN, CAT_FD_ACCESS, CAT_FD_WAF)
@@ -567,4 +577,4 @@ def azurelogs_parse(df: DataFrame, line_col: str = "body",
         .alias("az2_attrs"),
         F.when(~implemented, _canon_attrs(body_toks, sep="="))
         .alias("az2_body"),
-    ).drop("_az2", "_props_json", "_pa", "_pw")
+    ).drop("_az2", "_az2_z", "_props_json", "_pa", "_pw", "_pm")

@@ -302,8 +302,17 @@ def _meta_tokens(meta: Column, payload: Column) -> Column:
 def faro_to_logs(df: DataFrame, payload_col: str = "body") -> DataFrame:
     """One Faro payload JSON per row → exploded log-record rows with
     ``fr_body`` (logfmt line), ``fr_kind``, ``fr_hash`` /
-    ``fr_drained`` (exceptions), ``fr_resource_attrs``, ``fr_ok``."""
-    p = F.from_json(F.col(payload_col), _FARO_SCHEMA)
+    ``fr_drained`` (exceptions), ``fr_resource_attrs``, ``fr_ok``.
+
+    The ``from_json`` of the full payload schema is STAGED as its own
+    column: four consumers (parsed flag, meta tokens, resource attrs,
+    the item explode) would otherwise re-inline — and re-evaluate —
+    the parse per reference (the awslogs staging rule, PLANS.md;
+    measured ~6x here)."""
+    df = df.select(
+        "*", F.from_json(F.col(payload_col), _FARO_SCHEMA).alias("_fr_p")
+    )
+    p = F.col("_fr_p")
     meta = p["meta"]
     app = meta["app"]
 
@@ -509,4 +518,4 @@ def faro_to_logs(df: DataFrame, payload_col: str = "body") -> DataFrame:
             it["drained"].isNotNull(), F.xxhash64(it["drained"]).cast("string")
         ).alias("fr_hash"),
         (F.col("_fr_parsed") & ~bad_key).alias("fr_ok"),
-    ).drop("_fr_item", "_fr_meta", "_fr_parsed")
+    ).drop("_fr_item", "_fr_meta", "_fr_parsed", "_fr_p")

@@ -164,8 +164,16 @@ def zipkin_v2_parse(
 ) -> DataFrame:
     """One zipkin v2 JSON span per row → flattened OTLP span columns
     (resource/scope identity as canonical strings — the ToTraces
-    service+library grouping is one groupBy on them)."""
-    z = F.from_json(F.col(line_col), _ZK_SCHEMA)
+    service+library grouping is one groupBy on them).
+
+    The span ``from_json`` is STAGED as its own column: ~20 consumers
+    in the wide projection below would otherwise re-inline — and
+    re-evaluate — the parse per reference (the awslogs staging rule,
+    PLANS.md; measured ~5x here)."""
+    df = df.select(
+        "*", F.from_json(F.col(line_col), _ZK_SCHEMA).alias("_zk_z")
+    )
+    z = F.col("_zk_z")
     tags = F.coalesce(z["tags"], F.from_json(F.lit("{}"), "map<string,string>"))
     tag = lambda k: F.element_at(tags, k)  # noqa: E731
 
@@ -412,4 +420,4 @@ def zipkin_v2_parse(
         "*",
         _canon(F.col("_zk_res_toks")).alias("zk_resource_attrs"),
         _canon(F.col("_zk_attr_toks")).alias("zk_attrs"),
-    ).drop("_zk_res_toks", "_zk_attr_toks")
+    ).drop("_zk_res_toks", "_zk_attr_toks", "_zk_z")
