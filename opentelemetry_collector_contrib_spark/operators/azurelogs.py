@@ -567,14 +567,27 @@ def azurelogs_parse(df: DataFrame, line_col: str = "body",
                  .when(cat == CAT_FD_ACCESS, fd_toks)
                  .when(cat == CAT_FD_WAF, waf_toks))
 
-    return stage2.select(
+    # stage the token ARRAYS before canonicalizing: _canon_attrs's
+    # dedup lambda re-evaluates its keys subtree PER ELEMENT, and over
+    # an unstaged expression that is the whole ~80-branch token
+    # construction (the zipkin entries^2 lesson; measured 70 -> ~8 s
+    # for the attrs column at sf0.1)
+    stage3 = stage2.select(
+        "*",
+        err.alias("az2_err"),
+        F.when(implemented & ~err, F.concat(attr_toks, common))
+        .alias("_attr_arr"),
+        F.when(~implemented, body_toks).alias("_body_arr"),
+    )
+    return stage3.select(
         "*",
         F.lit(SCOPE_NAME).alias("az2_scope_name"),
         F.lit(version).alias("az2_scope_version"),
-        err.alias("az2_err"),
-        F.when(implemented & ~err,
-               _canon_attrs(F.concat(attr_toks, common), sep="="))
+        F.when(F.col("_attr_arr").isNotNull(),
+               _canon_attrs(F.col("_attr_arr"), sep="="))
         .alias("az2_attrs"),
-        F.when(~implemented, _canon_attrs(body_toks, sep="="))
+        F.when(F.col("_body_arr").isNotNull(),
+               _canon_attrs(F.col("_body_arr"), sep="="))
         .alias("az2_body"),
-    ).drop("_az2", "_az2_z", "_props_json", "_pa", "_pw", "_pm")
+    ).drop("_az2", "_az2_z", "_props_json", "_pa", "_pw", "_pm",
+           "_attr_arr", "_body_arr")
