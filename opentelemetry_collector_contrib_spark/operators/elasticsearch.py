@@ -237,12 +237,70 @@ def _ver(s: str) -> tuple:
     return tuple(int(x) for x in (s.split(".") + ["0", "0"])[:2])
 
 
+# the per-map struct fields each fan reads (schema + entry-type order)
+_ES_FAN_FIELDS: dict[str, tuple[str, ...]] = {
+    "thread_pool": ("active", "threads", "queue", "completed",
+                    "rejected"),
+    "breakers": ("estimated_size_in_bytes", "limit_size_in_bytes",
+                 "tripped"),
+    "discovery.cluster_state_update": (
+        "count", "computation_time_millis", "notification_time_millis",
+        "context_construction_time_millis", "commit_time_millis",
+        "completion_time_millis", "master_apply_time_millis"),
+    "ingest.pipelines": ("count", "failed", "current"),
+}
+
+
+def _es_schema() -> str:
+    """One TYPED from_json schema covering every consumed path.
+
+    A typed parse is both ~6x faster than per-path variant walks
+    (codegen struct access vs ~150 interpreted try_variant_get calls
+    + 4 to_json/from_json map roundtrips per document) and closer to
+    the reference: Go's encoding/json fails the whole node unmarshal
+    on a type mismatch, exactly like from_json's per-record null —
+    the variant walk was per-FIELD lenient."""
+    paths = [p for p, _, _, _ in ES_NODE_SCALARS] + [
+        "indices.store.total_data_set_size_in_bytes",
+        "indexing_pressure.memory.limit_in_bytes",
+        "process.cpu.percent", "process.cpu.total_in_millis",
+        "jvm.mem.heap_used_percent",
+        "fs.io_stats.total.read_kilobytes",
+        "fs.io_stats.total.write_kilobytes",
+    ]
+    tree: dict = {}
+
+    def mount(dotted: str, leaf) -> None:
+        segs = dotted.split(".")
+        node = tree
+        for s in segs[:-1]:
+            node = node.setdefault(s, {})
+        node.setdefault(segs[-1], leaf)
+
+    for p in paths:
+        if "['" in p:
+            base, _, _rest = p.partition("['")
+            mount(base, "map<string,double>")
+        else:
+            mount(p, "double")
+    for mp, fields in _ES_FAN_FIELDS.items():
+        mount(mp, "map<string,struct<" + ",".join(
+            f"{f}:double" for f in fields) + ">>")
+
+    def render(n: dict) -> str:
+        return "struct<" + ",".join(
+            f"`{k}`:" + (render(v) if isinstance(v, dict) else v)
+            for k, v in n.items()) + ">"
+
+    return render(tree)
+
+
 def elasticsearch_node_stats(
     df: DataFrame,
     body_col: str = "body",
     es_version: str = "7.17",
 ) -> DataFrame:
-    v = F.try_parse_json(F.col(body_col))
+    v = F.from_json(F.col(body_col), _es_schema())
     base = [c for c in df.columns if c != body_col]
     df = df.select(*base, v.alias("_v"))
     v = F.col("_v")
@@ -252,7 +310,17 @@ def elasticsearch_node_stats(
     nd = F.lit(None).cast("double")
 
     def num(path: str) -> Column:
-        return F.try_variant_get(v, "$." + path, "double")
+        if "['" in path:
+            dotted, _, rest = path.partition("['")
+            key = rest[: rest.index("'")]
+            col = v
+            for s in dotted.split("."):
+                col = col[s]
+            return F.element_at(col, key)
+        col = v
+        for s in path.split("."):
+            col = col[s]
+        return col
 
     def zi(path: str) -> Column:
         return F.coalesce(num(path), F.lit(0.0)).cast("bigint")
@@ -292,7 +360,7 @@ def elasticsearch_node_stats(
 
     # fs.io_stats is a pointer (scraper.go:129-132)
     io_entries = F.when(
-        F.try_variant_get(v, "$.fs.io_stats", "variant").isNotNull(),
+        v["fs"]["io_stats"].isNotNull(),
         F.array(
             mk("elasticsearch.node.disk.io.read", None,
                zi("fs.io_stats.total.read_kilobytes"), nd),
@@ -320,16 +388,18 @@ def elasticsearch_node_stats(
     ))
 
     def map_of(path: str) -> Column:
-        return F.map_entries(F.coalesce(
-            F.from_json(F.to_json(F.try_variant_get(
-                v, "$." + path, "variant")), "map<string,variant>"),
-            F.from_json(F.lit("{}"), "map<string,variant>"),
-        ))
+        fields = _ES_FAN_FIELDS[path]
+        col = v
+        for s in path.split("."):
+            col = col[s]
+        empty = F.expr("array()").cast(
+            "array<struct<key:string,value:struct<" + ",".join(
+                f"{f}:double" for f in fields) + ">>>")
+        return F.coalesce(F.map_entries(col), empty)
 
     def mnum(kv, field: str) -> Column:
         return F.coalesce(
-            F.try_variant_get(kv["value"], "$." + field, "double"),
-            F.lit(0.0),
+            kv["value"][field], F.lit(0.0),
         ).cast("bigint")
 
     pools = map_of("thread_pool")
