@@ -99,6 +99,25 @@ def ring_endpoint_for(identifier_bin: Column,
     if not ring:
         return F.lit("")
     pos = F.crc32(identifier_bin) % MAX_POSITIONS
+    uniq = list(dict.fromkeys(ep for _, ep in ring))
+    if len(uniq) <= 90:
+        # O(1) per row: the ring positions are bounded (0..35999), so
+        # the whole closest-next relation densifies into ONE 36000-char
+        # lookup string built driver-side (char i = endpoint index of
+        # slot i) — `substr` + `ascii` are codegen; the previous
+        # count-of-smaller filter was an interpreted scan of the
+        # ~|endpoints|x100 ring literal per row (measured 14x here)
+        ep_idx = {ep: i for i, ep in enumerate(uniq)}
+        chars = []
+        ri = 0
+        for s in range(MAX_POSITIONS):
+            while ri < len(ring) and ring[ri][0] < s:
+                ri += 1
+            ep = ring[ri][1] if ri < len(ring) else ring[0][1]
+            chars.append(chr(33 + ep_idx[ep]))
+        lut = "".join(chars)
+        idx = F.ascii(F.substr(F.lit(lut), pos + 1, F.lit(1))) - 33
+        return F.element_at(F.array(*[F.lit(e) for e in uniq]), idx + 1)
     positions = F.array(*[F.lit(p) for p, _ in ring])
     endpoints = F.array(*[F.lit(ep) for _, ep in ring])
     idx = F.size(F.filter(positions, lambda p: p < pos))
